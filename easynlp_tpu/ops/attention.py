@@ -1,0 +1,375 @@
+"""Multi-head attention: Pallas flash attention for TPU + XLA reference path.
+
+This replaces the reference's materialised softmax(QK^T)V attention
+(reference easynlp/modelzoo/models/bert/modeling_bert.py BertSelfAttention
+:132 — full [B,H,S,S] probability tensor in HBM) with an online-softmax
+blocked kernel that keeps score tiles in VMEM: O(S) memory instead of
+O(S^2), fp32 accumulation on the MXU, bf16 inputs.
+
+Layouts: q [B, Sq, H, D], k/v [B, Skv, H, D]. Padding is a boolean kv mask
+[B, Skv]; causal masking is a static flag (with diagonal-aware block skipping
+so causal costs ~half of full). The public entry `attention()` dispatches:
+Pallas on TPU, the reference XLA implementation elsewhere (tests compare the
+two paths for exactness).
+
+Backward is a custom VJP — the flash-attention-2 decomposition recomputing
+probabilities from the saved logsumexp: a dK/dV kernel (grid over kv blocks,
+scan over q blocks) and a dQ kernel (grid over q blocks, scan over kv blocks).
+"""
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+# v5e: MXU is 128x128; 256-row q tiles amortise kv-loop bookkeeping while
+# staying within VMEM for head_dim <= 128.
+DEFAULT_BLOCK_Q = 256
+DEFAULT_BLOCK_K = 256
+
+
+def _cdiv(a, b):
+    return -(-a // b)
+
+
+# -----------------------------------------------------------------------------
+# Reference (XLA) path — also the CPU/fallback implementation.
+# -----------------------------------------------------------------------------
+
+def attention_reference(q, k, v, kv_mask=None, causal=False, scale=None,
+                        bias=None):
+    """q [B,Sq,H,D], k/v [B,Skv,H,D], kv_mask [B,Skv] bool, bias [B,H,Sq,Skv]."""
+    d = q.shape[-1]
+    scale = scale if scale is not None else 1.0 / math.sqrt(d)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    if bias is not None:
+        logits = logits + bias.astype(jnp.float32)
+    if kv_mask is not None:
+        logits = jnp.where(kv_mask[:, None, None, :], logits, NEG_INF)
+    if causal:
+        sq, skv = q.shape[1], k.shape[1]
+        qi = jnp.arange(sq)[:, None] + (skv - sq)
+        ki = jnp.arange(skv)[None, :]
+        logits = jnp.where((ki <= qi)[None, None], logits, NEG_INF)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32)
+    return out.astype(q.dtype)
+
+
+# -----------------------------------------------------------------------------
+# Pallas forward
+# -----------------------------------------------------------------------------
+
+def _causal_mask(s, q_start, k_start, block_q, block_k):
+    q_pos = q_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+    k_pos = k_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+    return jnp.where(k_pos <= q_pos, s, NEG_INF)
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, *,
+                scale, causal, block_k, kv_len, q_offset):
+    # q_ref [block_q, D]; k_ref/v_ref [Skv, D]; mask_ref [1, Skv] int32;
+    # o_ref [block_q, D]; lse_ref [1, block_q] f32.
+    block_q, d = q_ref.shape
+    q = q_ref[:].astype(jnp.float32) * scale
+    num_kv_blocks = _cdiv(kv_len, block_k)
+    qi = pl.program_id(2)
+
+    def body(kb, carry):
+        acc, m_prev, l_prev = carry
+        k_blk = k_ref[pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        s = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32)
+        mask = mask_ref[0, pl.ds(kb * block_k, block_k)] > 0
+        s = jnp.where(mask[None, :], s, NEG_INF)
+        if causal:
+            s = _causal_mask(s, qi * block_q + q_offset, kb * block_k,
+                             block_q, block_k)
+        m_cur = jnp.max(s, axis=-1)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s - m_new[:, None])
+        alpha = jnp.exp(m_prev - m_new)
+        l_new = l_prev * alpha + jnp.sum(p, axis=-1)
+        v_blk = v_ref[pl.ds(kb * block_k, block_k), :]
+        acc = acc * alpha[:, None] + jnp.dot(
+            p.astype(v_blk.dtype), v_blk, preferred_element_type=jnp.float32)
+        return acc, m_new, l_new
+
+    acc0 = jnp.zeros((block_q, d), jnp.float32)
+    m0 = jnp.full((block_q,), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((block_q,), jnp.float32)
+    if causal:
+        last_q_pos = qi * block_q + q_offset + block_q - 1
+        n_blocks = jnp.minimum(num_kv_blocks, (last_q_pos + block_k) // block_k)
+    else:
+        n_blocks = num_kv_blocks
+    acc, m, l = jax.lax.fori_loop(0, n_blocks, body, (acc0, m0, l0))
+    l_safe = jnp.maximum(l, 1e-30)
+    o_ref[:] = (acc / l_safe[:, None]).astype(o_ref.dtype)
+    lse_ref[0, :] = m + jnp.log(l_safe)
+
+
+def _flash_fwd(q, k, v, kv_mask, causal, scale, block_q, block_k):
+    b, sq, h, d = q.shape
+    skv = k.shape[1]
+    block_q = min(block_q, sq)
+    block_k = min(block_k, skv)
+    q_offset = skv - sq if causal else 0
+
+    qt = q.transpose(0, 2, 1, 3)   # [B,H,S,D]: contiguous per-head tiles
+    kt = k.transpose(0, 2, 1, 3)
+    vt = v.transpose(0, 2, 1, 3)
+    mask_i32 = kv_mask.astype(jnp.int32)[:, None, :]  # [B,1,Skv]
+
+    grid = (b, h, _cdiv(sq, block_q))
+    out, lse = pl.pallas_call(
+        functools.partial(_fwd_kernel, scale=scale, causal=causal,
+                          block_k=block_k, kv_len=skv, q_offset=q_offset),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((None, None, block_q, d),
+                         lambda bi, hi, qi: (bi, hi, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, skv, d),
+                         lambda bi, hi, qi: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, skv, d),
+                         lambda bi, hi, qi: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, 1, skv), lambda bi, hi, qi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((None, None, block_q, d),
+                         lambda bi, hi, qi: (bi, hi, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, 1, block_q),
+                         lambda bi, hi, qi: (bi, hi, 0, qi),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, sq, d), q.dtype),
+            jax.ShapeDtypeStruct((b, h, 1, sq), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * sq * skv * d,
+            bytes_accessed=(qt.size + kt.size + vt.size) * qt.dtype.itemsize,
+            transcendentals=b * h * sq * skv,
+        ),
+    )(qt, kt, vt, mask_i32)
+    return out.transpose(0, 2, 1, 3), lse
+
+
+# -----------------------------------------------------------------------------
+# Pallas backward
+# -----------------------------------------------------------------------------
+
+def _bwd_dkdv_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref,
+                     dk_ref, dv_ref, *, scale, causal, block_q, q_len, q_offset):
+    # k_ref/v_ref [block_k, D]; q_ref/do_ref [Sq, D]; lse/delta [1, Sq].
+    block_k, d = k_ref.shape
+    kb = pl.program_id(2)
+    k_blk = k_ref[:].astype(jnp.float32)
+    v_blk = v_ref[:].astype(jnp.float32)
+    kv_mask = mask_ref[0, :] > 0
+    num_q_blocks = _cdiv(q_len, block_q)
+
+    def body(qb, carry):
+        dk, dv = carry
+        q_blk = q_ref[pl.ds(qb * block_q, block_q), :].astype(jnp.float32)
+        do_blk = do_ref[pl.ds(qb * block_q, block_q), :].astype(jnp.float32)
+        lse = lse_ref[0, pl.ds(qb * block_q, block_q)]
+        delta = delta_ref[0, pl.ds(qb * block_q, block_q)]
+        s = jnp.dot(q_blk, k_blk.T, preferred_element_type=jnp.float32) * scale
+        s = jnp.where(kv_mask[None, :], s, NEG_INF)
+        if causal:
+            s = _causal_mask(s, qb * block_q + q_offset, kb * block_k,
+                             block_q, block_k)
+        p = jnp.exp(s - lse[:, None])
+        dv = dv + jnp.dot(p.T, do_blk, preferred_element_type=jnp.float32)
+        dp = jnp.dot(do_blk, v_blk.T, preferred_element_type=jnp.float32)
+        ds = p * (dp - delta[:, None]) * scale
+        dk = dk + jnp.dot(ds.T, q_blk, preferred_element_type=jnp.float32)
+        return dk, dv
+
+    if causal:
+        first_q = jnp.maximum(kb * block_k - q_offset, 0) // block_q
+    else:
+        first_q = 0
+    dk0 = jnp.zeros((block_k, d), jnp.float32)
+    dv0 = jnp.zeros((block_k, d), jnp.float32)
+    dk, dv = jax.lax.fori_loop(first_q, num_q_blocks, body, (dk0, dv0))
+    dk_ref[:] = dk.astype(dk_ref.dtype)
+    dv_ref[:] = dv.astype(dv_ref.dtype)
+
+
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref,
+                   dq_ref, *, scale, causal, block_k, kv_len, q_offset):
+    block_q, d = q_ref.shape
+    qi = pl.program_id(2)
+    q_blk = q_ref[:].astype(jnp.float32)
+    do_blk = do_ref[:].astype(jnp.float32)
+    lse = lse_ref[0, :]
+    delta = delta_ref[0, :]
+    num_kv_blocks = _cdiv(kv_len, block_k)
+
+    def body(kb, dq):
+        k_blk = k_ref[pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        v_blk = v_ref[pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        mask = mask_ref[0, pl.ds(kb * block_k, block_k)] > 0
+        s = jnp.dot(q_blk, k_blk.T, preferred_element_type=jnp.float32) * scale
+        s = jnp.where(mask[None, :], s, NEG_INF)
+        if causal:
+            s = _causal_mask(s, qi * block_q + q_offset, kb * block_k,
+                             block_q, block_k)
+        p = jnp.exp(s - lse[:, None])
+        dp = jnp.dot(do_blk, v_blk.T, preferred_element_type=jnp.float32)
+        ds = p * (dp - delta[:, None]) * scale
+        return dq + jnp.dot(ds, k_blk, preferred_element_type=jnp.float32)
+
+    if causal:
+        last_q_pos = qi * block_q + q_offset + block_q - 1
+        n_blocks = jnp.minimum(num_kv_blocks, (last_q_pos + block_k) // block_k)
+    else:
+        n_blocks = num_kv_blocks
+    dq = jax.lax.fori_loop(0, n_blocks, body, jnp.zeros((block_q, d), jnp.float32))
+    dq_ref[:] = dq.astype(dq_ref.dtype)
+
+
+def _flash_bwd(res, g, causal, scale, block_q, block_k):
+    q, k, v, kv_mask, out, lse = res
+    b, sq, h, d = q.shape
+    skv = k.shape[1]
+    block_q = min(block_q, sq)
+    block_k = min(block_k, skv)
+    q_offset = skv - sq if causal else 0
+
+    qt = q.transpose(0, 2, 1, 3)
+    kt = k.transpose(0, 2, 1, 3)
+    vt = v.transpose(0, 2, 1, 3)
+    dot_ = g.transpose(0, 2, 1, 3)
+    ot = out.transpose(0, 2, 1, 3)
+    mask_i32 = kv_mask.astype(jnp.int32)[:, None, :]
+    # delta = rowsum(dO * O) — cheap in XLA, fp32, shape [B,H,1,Sq]
+    delta = jnp.sum(dot_.astype(jnp.float32) * ot.astype(jnp.float32),
+                    axis=-1)[:, :, None, :]
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkdv_kernel, scale=scale, causal=causal,
+                          block_q=block_q, q_len=sq, q_offset=q_offset),
+        grid=(b, h, _cdiv(skv, block_k)),
+        in_specs=[
+            pl.BlockSpec((None, None, sq, d), lambda bi, hi, ki: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, block_k, d),
+                         lambda bi, hi, ki: (bi, hi, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, block_k, d),
+                         lambda bi, hi, ki: (bi, hi, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, 1, block_k), lambda bi, hi, ki: (bi, 0, ki),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, sq, d), lambda bi, hi, ki: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, 1, sq), lambda bi, hi, ki: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, 1, sq), lambda bi, hi, ki: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((None, None, block_k, d),
+                         lambda bi, hi, ki: (bi, hi, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, block_k, d),
+                         lambda bi, hi, ki: (bi, hi, ki, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, skv, d), q.dtype),
+            jax.ShapeDtypeStruct((b, h, skv, d), q.dtype),
+        ],
+    )(qt, kt, vt, mask_i32, dot_, lse, delta)
+
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, scale=scale, causal=causal,
+                          block_k=block_k, kv_len=skv, q_offset=q_offset),
+        grid=(b, h, _cdiv(sq, block_q)),
+        in_specs=[
+            pl.BlockSpec((None, None, block_q, d),
+                         lambda bi, hi, qi: (bi, hi, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, skv, d), lambda bi, hi, qi: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, skv, d), lambda bi, hi, qi: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, 1, skv), lambda bi, hi, qi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, block_q, d),
+                         lambda bi, hi, qi: (bi, hi, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, 1, block_q),
+                         lambda bi, hi, qi: (bi, hi, 0, qi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, 1, block_q),
+                         lambda bi, hi, qi: (bi, hi, 0, qi),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((None, None, block_q, d),
+                               lambda bi, hi, qi: (bi, hi, qi, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, sq, d), q.dtype),
+    )(qt, kt, vt, mask_i32, dot_, lse, delta)
+
+    return (dq.transpose(0, 2, 1, 3), dk.transpose(0, 2, 1, 3),
+            dv.transpose(0, 2, 1, 3), None)
+
+
+# -----------------------------------------------------------------------------
+# custom_vjp plumbing + public entry
+# -----------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _flash_attention(q, k, v, kv_mask, causal, scale, block_q, block_k):
+    out, _ = _flash_fwd(q, k, v, kv_mask, causal, scale, block_q, block_k)
+    return out
+
+
+def _flash_attention_fwd(q, k, v, kv_mask, causal, scale, block_q, block_k):
+    out, lse = _flash_fwd(q, k, v, kv_mask, causal, scale, block_q, block_k)
+    return out, (q, k, v, kv_mask, out, lse)
+
+
+def _flash_attention_bwd(causal, scale, block_q, block_k, res, g):
+    return _flash_bwd(res, g, causal, scale, block_q, block_k)
+
+
+_flash_attention.defvjp(_flash_attention_fwd, _flash_attention_bwd)
+
+
+def use_flash(platform=None):
+    if platform is None:
+        platform = jax.devices()[0].platform
+    return platform == "tpu"
+
+
+def attention(q, k, v, kv_mask=None, causal=False, scale=None, bias=None,
+              impl="auto", block_q=DEFAULT_BLOCK_Q, block_k=DEFAULT_BLOCK_K):
+    """Public MHA entry: q [B,Sq,H,D], k/v [B,Skv,H,D], kv_mask [B,Skv] bool.
+
+    impl: 'auto' (flash on TPU), 'flash', 'reference'. An explicit additive
+    `bias` forces the reference path (used by relative-position models)."""
+    d = q.shape[-1]
+    scale = scale if scale is not None else 1.0 / math.sqrt(d)
+    if kv_mask is None:
+        kv_mask = jnp.ones(k.shape[:2], dtype=bool)
+    wants_flash = (impl == "flash") or (impl == "auto" and use_flash())
+    if bias is not None or not wants_flash:
+        return attention_reference(q, k, v, kv_mask=kv_mask, causal=causal,
+                                   scale=scale, bias=bias)
+    return _flash_attention(q, k, v, kv_mask, causal, scale, block_q, block_k)

@@ -1,0 +1,94 @@
+"""Runtime initialisation.
+
+Capability parity: reference easynlp/utils/initializer.py:29-189
+(set globals → distributed init → seeds → model-path resolution), TPU-native:
+`jax.distributed.initialize` + a `jax.sharding.Mesh` replace the NCCL/Gloo
+process group, and there is no per-rank device binding — jax owns all local
+chips in a single process.
+"""
+
+import os
+import random
+
+import numpy as np
+
+from easynlp_tpu.utils.arguments import parse_args, parse_mesh_spec
+from easynlp_tpu.utils.global_vars import (
+    get_args,
+    parse_user_defined_parameters,
+    set_global_args,
+)
+from easynlp_tpu.utils.logger import init_logger, logger
+
+
+def _initialize_distributed(args):
+    import jax
+
+    if args.num_processes and args.num_processes > 1:
+        jax.distributed.initialize(
+            coordinator_address=args.coordinator_address,
+            num_processes=args.num_processes,
+            process_index=args.process_index,
+        )
+    args.n_devices = jax.device_count()
+    args.n_local_devices = jax.local_device_count()
+    args.platform = jax.devices()[0].platform
+
+
+def _set_random_seed(seed):
+    random.seed(seed)
+    np.random.seed(seed)
+
+
+def _build_mesh(args):
+    from easynlp_tpu.parallel.mesh import build_mesh, set_global_mesh
+
+    axis_sizes = parse_mesh_spec(args.mesh, args.n_devices)
+    mesh = set_global_mesh(build_mesh(axis_sizes))
+    args.mesh_axis_sizes = axis_sizes
+    logger.info("device mesh: %s over %d %s device(s)",
+                dict(mesh.shape), args.n_devices, args.platform)
+    return mesh
+
+
+def initialize_easynlp(extra_args_provider=None, args_list=None):
+    """Parse args, init distributed jax, seed, build the mesh. Returns args.
+
+    Mirrors the reference call sites: every entry path (CLI main, library use)
+    funnels through here exactly once.
+    """
+    args = parse_args(extra_args_provider=extra_args_provider, args_list=args_list)
+    set_global_args(args)
+    init_logger(args.process_index)
+    args.user_defined_parameters_dict = parse_user_defined_parameters(
+        args.user_defined_parameters)
+
+    _initialize_distributed(args)
+    _set_random_seed(args.random_seed)
+    mesh = _build_mesh(args)
+    args.global_mesh = mesh
+
+    if args.pretrained_model_name_or_path is None:
+        args.pretrained_model_name_or_path = \
+            args.user_defined_parameters_dict.get("pretrain_model_name_or_path")
+    if args.pretrained_model_name_or_path:
+        from easynlp_tpu.utils import get_pretrain_model_path
+        args.pretrained_model_name_or_path = get_pretrain_model_path(
+            args.pretrained_model_name_or_path)
+
+    logger.info("EasyNLP-TPU initialised: app=%s mode=%s dtype=%s",
+                args.app_name, args.mode, args.dtype)
+    return args
+
+
+def is_initialized():
+    try:
+        get_args()
+        return True
+    except AssertionError:
+        return False
+
+
+def get_cache_root():
+    return os.environ.get("EASYNLP_CACHE_ROOT",
+                          os.path.expanduser("~/.easynlp_tpu"))
