@@ -1,0 +1,249 @@
+"""TPU-native BERT encoder.
+
+Capability parity with the reference's vendored BERT (reference
+easynlp/modelzoo/models/bert/modeling_bert.py: BertEmbeddings :72, BertLayer
+:349, BertEncoder :432, BertPooler :529) — re-designed for XLA/TPU:
+
+- layers are stacked with `nn.scan` (one traced layer, params carry a leading
+  'layers' axis) instead of a Python list of modules → O(1) trace/compile
+  regardless of depth, natural remat boundary;
+- attention is the Pallas flash kernel (ops/attention.py) — no [B,H,S,S]
+  probability tensor in HBM;
+- QKV is one fused [E, 3·H·D] matmul feeding the MXU instead of three;
+- params are fp32 with logical sharding axes (vocab/embed/heads/mlp) resolved
+  by parallel/sharding.py; activations run in `dtype` (bf16 by default);
+- LayerNorm runs in fp32 for stability and casts back.
+
+Numerical parity targets (SURVEY.md §7.3): erf-gelu, LN eps from config,
+post-LN residual order, truncated-normal(initializer_range) init.
+"""
+
+from typing import Any, Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from easynlp_tpu.modelzoo.modeling_utils import BaseModule, truncated_normal_init
+from easynlp_tpu.ops.attention import attention
+
+ACT2FN = {
+    "gelu": lambda x: nn.gelu(x, approximate=False),
+    "gelu_new": lambda x: nn.gelu(x, approximate=True),
+    "relu": nn.relu,
+    "swish": nn.swish,
+    "silu": nn.silu,
+    "tanh": nn.tanh,
+}
+
+
+def _dense(features, config, axes, name=None, use_bias=True, dtype=jnp.float32):
+    return nn.Dense(
+        features,
+        use_bias=use_bias,
+        dtype=dtype,
+        param_dtype=jnp.float32,
+        kernel_init=nn.with_logical_partitioning(
+            truncated_normal_init(config.initializer_range), axes),
+        bias_init=nn.with_logical_partitioning(nn.initializers.zeros, (axes[-1],)),
+        name=name,
+    )
+
+
+def _layer_norm(config, name=None):
+    # fp32 LayerNorm regardless of compute dtype
+    return nn.LayerNorm(
+        epsilon=config.layer_norm_eps,
+        dtype=jnp.float32,
+        param_dtype=jnp.float32,
+        scale_init=nn.with_logical_partitioning(nn.initializers.ones, ("embed",)),
+        bias_init=nn.with_logical_partitioning(nn.initializers.zeros, ("embed",)),
+        name=name,
+    )
+
+
+class BertEmbeddings(nn.Module):
+    config: Any
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, input_ids, token_type_ids, position_ids, deterministic):
+        c = self.config
+        init = truncated_normal_init(c.initializer_range)
+        word = nn.Embed(c.vocab_size, c.hidden_size, param_dtype=jnp.float32,
+                        embedding_init=nn.with_logical_partitioning(
+                            init, ("vocab", "embed")),
+                        name="word_embeddings")(input_ids)
+        pos = nn.Embed(c.max_position_embeddings, c.hidden_size,
+                       param_dtype=jnp.float32,
+                       embedding_init=nn.with_logical_partitioning(
+                           init, ("length", "embed")),
+                       name="position_embeddings")(position_ids)
+        emb = word + pos
+        if c.type_vocab_size:
+            tok = nn.Embed(c.type_vocab_size, c.hidden_size,
+                           param_dtype=jnp.float32,
+                           embedding_init=nn.with_logical_partitioning(
+                               init, (None, "embed")),
+                           name="token_type_embeddings")(token_type_ids)
+            emb = emb + tok
+        emb = _layer_norm(c, name="LayerNorm")(emb)
+        emb = nn.Dropout(c.hidden_dropout_prob)(emb, deterministic=deterministic)
+        return emb.astype(self.dtype)
+
+
+class BertAttention(nn.Module):
+    config: Any
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden, kv_mask, deterministic):
+        c = self.config
+        h, d = c.num_attention_heads, c.hidden_size // c.num_attention_heads
+        b, s, _ = hidden.shape
+        qkv = _dense(3 * h * d, c, ("embed", "joined_kv"), dtype=self.dtype,
+                     name="qkv")(hidden)
+        qkv = qkv.reshape(b, s, 3, h, d)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        ctx = attention(q, k, v, kv_mask=kv_mask)
+        ctx = ctx.reshape(b, s, h * d)
+        out = _dense(c.hidden_size, c, ("joined_kv", "embed"), dtype=self.dtype,
+                     name="output")(ctx)
+        out = nn.Dropout(c.hidden_dropout_prob)(out, deterministic=deterministic)
+        return out
+
+
+class BertLayer(nn.Module):
+    """One post-LN transformer block; written as a scan body:
+    carry = (hidden, kv_mask)."""
+
+    config: Any
+    dtype: Any = jnp.float32
+    deterministic: bool = True
+
+    @nn.compact
+    def __call__(self, carry, _=None):
+        hidden, kv_mask = carry
+        c = self.config
+        attn_out = BertAttention(c, dtype=self.dtype, name="attention")(
+            hidden, kv_mask, self.deterministic)
+        hidden = _layer_norm(c, name="attention_ln")(
+            hidden + attn_out).astype(self.dtype)
+
+        mlp = _dense(c.intermediate_size, c, ("embed", "mlp"), dtype=self.dtype,
+                     name="intermediate")(hidden)
+        mlp = ACT2FN[c.hidden_act](mlp)
+        mlp = _dense(c.hidden_size, c, ("mlp", "embed"), dtype=self.dtype,
+                     name="output")(mlp)
+        mlp = nn.Dropout(c.hidden_dropout_prob)(
+            mlp, deterministic=self.deterministic)
+        hidden = _layer_norm(c, name="output_ln")(hidden + mlp).astype(self.dtype)
+        return (hidden, kv_mask), None
+
+
+class BertEncoder(nn.Module):
+    config: Any
+    dtype: Any = jnp.float32
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, hidden, kv_mask, deterministic):
+        c = self.config
+        layer_cls = BertLayer
+        if self.remat:
+            layer_cls = nn.remat(layer_cls, prevent_cse=False,
+                                 static_argnums=())
+        scan = nn.scan(
+            layer_cls,
+            variable_axes={"params": 0},
+            split_rngs={"params": True, "dropout": True},
+            length=c.num_hidden_layers,
+            metadata_params={nn.PARTITION_NAME: "layers"},
+        )
+        (hidden, _), _ = scan(config=c, dtype=self.dtype,
+                              deterministic=deterministic,
+                              name="layers")((hidden, kv_mask))
+        return hidden
+
+
+class BertPooler(nn.Module):
+    config: Any
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden):
+        first = hidden[:, 0]
+        out = _dense(self.config.hidden_size, self.config, ("embed", "embed"),
+                     dtype=self.dtype, name="dense")(first)
+        return nn.tanh(out)
+
+
+class BertModel(BaseModule):
+    """Returns {'last_hidden_state': [B,S,E], 'pooler_output': [B,E]}."""
+
+    add_pooling_layer: bool = True
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, input_ids, attention_mask=None, token_type_ids=None,
+                 position_ids=None, deterministic=True):
+        b, s = input_ids.shape
+        if attention_mask is None:
+            attention_mask = jnp.ones((b, s), jnp.int32)
+        if token_type_ids is None:
+            token_type_ids = jnp.zeros((b, s), jnp.int32)
+        if position_ids is None:
+            position_ids = jnp.broadcast_to(jnp.arange(s)[None, :], (b, s))
+        kv_mask = attention_mask.astype(bool)
+
+        hidden = BertEmbeddings(self.config, dtype=self.dtype,
+                                name="embeddings")(
+            input_ids, token_type_ids, position_ids, deterministic)
+        hidden = BertEncoder(self.config, dtype=self.dtype, remat=self.remat,
+                             name="encoder")(hidden, kv_mask, deterministic)
+        out = {"last_hidden_state": hidden}
+        if self.add_pooling_layer:
+            out["pooler_output"] = BertPooler(self.config, dtype=self.dtype,
+                                              name="pooler")(hidden)
+        return out
+
+
+class BertMLMHead(nn.Module):
+    """Transform + tied-decoder MLM head (reference BertLMPredictionHead)."""
+
+    config: Any
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden, shared_embedding):
+        c = self.config
+        h = _dense(c.hidden_size, c, ("embed", "embed"), dtype=self.dtype,
+                   name="transform")(hidden)
+        h = ACT2FN[c.hidden_act](h)
+        h = _layer_norm(c, name="transform_ln")(h).astype(self.dtype)
+        # decoder tied to word embeddings: [B,S,E] @ [V,E]^T
+        logits = jnp.einsum("bse,ve->bsv", h,
+                            shared_embedding.astype(self.dtype))
+        bias = self.param("bias",
+                          nn.with_logical_partitioning(
+                              nn.initializers.zeros, ("vocab",)),
+                          (c.vocab_size,), jnp.float32)
+        return logits + bias.astype(self.dtype)
+
+
+class BertForMaskedLM(BaseModule):
+    remat: bool = False
+
+    def setup(self):
+        self.bert = BertModel(self.config, dtype=self.dtype,
+                              add_pooling_layer=False, remat=self.remat)
+        self.cls = BertMLMHead(self.config, dtype=self.dtype)
+
+    def __call__(self, input_ids, attention_mask=None, token_type_ids=None,
+                 position_ids=None, deterministic=True):
+        out = self.bert(input_ids, attention_mask, token_type_ids,
+                        position_ids, deterministic)
+        shared = self.bert.variables["params"]["embeddings"][
+            "word_embeddings"]["embedding"]
+        shared = nn.unbox(shared)
+        logits = self.cls(out["last_hidden_state"], shared)
+        return {"logits": logits, **out}

@@ -37,6 +37,12 @@ def _cdiv(a, b):
     return -(-a // b)
 
 
+def _interpret():
+    """Pallas interpret mode off-TPU so the same kernel code is testable on
+    the virtual CPU mesh."""
+    return jax.default_backend() != "tpu"
+
+
 # -----------------------------------------------------------------------------
 # Reference (XLA) path — also the CPU/fallback implementation.
 # -----------------------------------------------------------------------------
@@ -162,6 +168,7 @@ def _flash_fwd(q, k, v, kv_mask, causal, scale, block_q, block_k):
             bytes_accessed=(qt.size + kt.size + vt.size) * qt.dtype.itemsize,
             transcendentals=b * h * sq * skv,
         ),
+        interpret=_interpret(),
     )(qt, kt, vt, mask_i32)
     return out.transpose(0, 2, 1, 3), lse
 
@@ -294,6 +301,7 @@ def _flash_bwd(res, g, causal, scale, block_q, block_k):
             jax.ShapeDtypeStruct((b, h, skv, d), q.dtype),
             jax.ShapeDtypeStruct((b, h, skv, d), q.dtype),
         ],
+        interpret=_interpret(),
     )(qt, kt, vt, mask_i32, dot_, lse, delta)
 
     dq = pl.pallas_call(
@@ -324,6 +332,7 @@ def _flash_bwd(res, g, causal, scale, block_q, block_k):
                                lambda bi, hi, qi: (bi, hi, qi, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h, sq, d), q.dtype),
+        interpret=_interpret(),
     )(qt, kt, vt, mask_i32, dot_, lse, delta)
 
     return (dq.transpose(0, 2, 1, 3), dk.transpose(0, 2, 1, 3),

@@ -21,6 +21,7 @@ from flax import linen as nn
 from jax.sharding import NamedSharding, PartitionSpec
 
 DEFAULT_RULES = (
+    ("layers", None),
     ("batch", ("data", "fsdp")),
     ("length", None),
     ("vocab", "tensor"),

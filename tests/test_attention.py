@@ -1,0 +1,51 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from easynlp_tpu.ops.attention import attention, attention_reference
+
+
+def _rand(shape, key):
+    return jax.random.normal(key, shape, jnp.float32)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_flash_matches_reference_fwd(causal):
+    B, S, H, D = 1, 64, 2, 16
+    keys = jax.random.split(jax.random.PRNGKey(0), 3)
+    q, k, v = (_rand((B, S, H, D), kk) for kk in keys)
+    mask = jnp.arange(S)[None, :] < 47
+    ref = attention_reference(q, k, v, kv_mask=mask, causal=causal)
+    fl = attention(q, k, v, kv_mask=mask, causal=causal, impl="flash",
+                   block_q=32, block_k=32)
+    np.testing.assert_allclose(np.asarray(fl), np.asarray(ref), atol=2e-5)
+
+
+def test_flash_matches_reference_bwd():
+    B, S, H, D = 1, 64, 2, 16
+    keys = jax.random.split(jax.random.PRNGKey(1), 3)
+    q, k, v = (_rand((B, S, H, D), kk) for kk in keys)
+    mask = jnp.arange(S)[None, :] < 50
+
+    def f(impl):
+        def loss(q, k, v):
+            o = attention(q, k, v, kv_mask=mask, causal=True, impl=impl,
+                          block_q=32, block_k=32)
+            return jnp.sum(o ** 2)
+        return jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+
+    gf = f("flash")
+    gr = f("reference")
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+
+
+def test_cross_attention_shapes():
+    B, Sq, Skv, H, D = 2, 16, 48, 2, 8
+    keys = jax.random.split(jax.random.PRNGKey(2), 3)
+    q = _rand((B, Sq, H, D), keys[0])
+    k = _rand((B, Skv, H, D), keys[1])
+    v = _rand((B, Skv, H, D), keys[2])
+    out = attention(q, k, v, impl="reference")
+    assert out.shape == (B, Sq, H, D)
