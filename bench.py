@@ -1,0 +1,77 @@
+"""Benchmark: BERT-base finetune throughput (samples/sec/chip) on the local
+chip. Prints ONE JSON line for the driver.
+
+Baseline: BASELINE.json targets >= 2x A100 samples/sec/chip for BERT-base
+finetune. A100 80GB mixed-precision BERT-base seq128 finetune is ~500
+samples/s (public MLPerf/NVIDIA numbers), so vs_baseline = value / 1000.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+A100_BASELINE_SAMPLES_PER_SEC = 500.0
+TARGET = 2.0 * A100_BASELINE_SAMPLES_PER_SEC
+
+SEQ_LEN = 128
+BATCH = 256
+WARMUP_STEPS = 3
+MEASURE_STEPS = 20
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from easynlp_tpu.core.trainer import Trainer
+    from easynlp_tpu.testing import (SyntheticClassificationDataset,
+                                     bert_base_config, make_args)
+    from easynlp_tpu.appzoo.sequence_classification.model import (
+        SequenceClassification, SequenceClassificationModule)
+
+    args = make_args(micro_batch_size=BATCH, sequence_length=SEQ_LEN,
+                     dtype="bfloat16", epoch_num=100.0, logging_steps=10**9,
+                     checkpoint_dir=None)
+    config = bert_base_config(seq_len=512)
+    module = SequenceClassificationModule(config=config, dtype=jnp.bfloat16,
+                                          num_labels=2)
+    params = SequenceClassification.init_params(module, config)
+    app = SequenceClassification(module, params, config)
+    dataset = SyntheticClassificationDataset(
+        n=BATCH * 4, seq_len=SEQ_LEN, vocab_size=config.vocab_size)
+    trainer = Trainer(app, dataset, evaluator=None, args=args)
+
+    batch = next(iter(trainer.train_loader))
+    batch.pop("_valid", None)
+    device_batch = jax.device_put(batch, trainer.batch_shard)
+
+    params_, opt_state = trainer.params, trainer.opt_state
+    for step in range(WARMUP_STEPS):
+        params_, opt_state, metrics = trainer._train_step(
+            params_, opt_state, device_batch, step)
+    # NB: on the axon-tunnel platform block_until_ready can return before the
+    # computation finishes; a scalar device->host transfer is the only
+    # reliable fence, so the loss value is fetched to synchronise.
+    float(metrics["loss"])
+
+    t0 = time.perf_counter()
+    for step in range(WARMUP_STEPS, WARMUP_STEPS + MEASURE_STEPS):
+        params_, opt_state, metrics = trainer._train_step(
+            params_, opt_state, device_batch, step)
+    float(metrics["loss"])
+    elapsed = time.perf_counter() - t0
+
+    n_chips = jax.device_count()
+    sps = MEASURE_STEPS * BATCH / elapsed / n_chips
+    print(json.dumps({
+        "metric": "bert_base_finetune_samples_per_sec_per_chip",
+        "value": round(sps, 2),
+        "unit": "samples/s/chip",
+        "vs_baseline": round(sps / TARGET, 4),
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,264 @@
+"""App dispatch + default main.
+
+Capability parity: reference easynlp/appzoo/api.py — the five registries keyed
+by app_name with variant sub-keys from user_defined_parameters
+(Dataset_Mapping :107, ModelMapping :141, Eval_Model_Mapping :180,
+Evaluator_Mapping :213, Predictor_Mapping :245) and default_main_fn (:471),
+which is the real train/evaluate/predict entry behind the CLI.
+"""
+
+import os
+
+import jax.numpy as jnp
+
+from easynlp_tpu.utils.global_vars import get_args
+from easynlp_tpu.utils.logger import logger
+
+# --------------------------------------------------------------------------
+# registries: app_name -> (variant-key -> class). "default" is the base app.
+# Variant keys mirror the reference's user_defined_parameters switches.
+# --------------------------------------------------------------------------
+
+
+def _lazy(path, name):
+    def load():
+        import importlib
+        return getattr(importlib.import_module(path), name)
+    return load
+
+
+DATASET_REGISTRY = {
+    "text_classify": {
+        "default": _lazy("easynlp_tpu.appzoo.sequence_classification.data",
+                         "ClassificationDataset"),
+    },
+    "text_match": {
+        "default": _lazy("easynlp_tpu.appzoo.text_match.data",
+                         "TextMatchDataset"),
+    },
+    "sequence_labeling": {
+        "default": _lazy("easynlp_tpu.appzoo.sequence_labeling.data",
+                         "SequenceLabelingDataset"),
+    },
+    "language_modeling": {
+        "default": _lazy("easynlp_tpu.appzoo.language_modeling.data",
+                         "LanguageModelingDataset"),
+    },
+    "vectorization": {
+        "default": _lazy("easynlp_tpu.appzoo.sequence_classification.data",
+                         "ClassificationDataset"),
+    },
+}
+
+MODEL_REGISTRY = {
+    "text_classify": {
+        "default": _lazy("easynlp_tpu.appzoo.sequence_classification.model",
+                         "SequenceClassification"),
+        "multi_label": _lazy("easynlp_tpu.appzoo.sequence_classification.model",
+                             "SequenceMultiLabelClassification"),
+    },
+    "text_match": {
+        "default": _lazy("easynlp_tpu.appzoo.text_match.model", "TextMatch"),
+        "two_tower": _lazy("easynlp_tpu.appzoo.text_match.model",
+                           "TextMatchTwoTower"),
+    },
+    "sequence_labeling": {
+        "default": _lazy("easynlp_tpu.appzoo.sequence_labeling.model",
+                         "SequenceLabeling"),
+    },
+    "language_modeling": {
+        "default": _lazy("easynlp_tpu.appzoo.language_modeling.model",
+                         "LanguageModeling"),
+    },
+    "vectorization": {
+        "default": _lazy("easynlp_tpu.appzoo.feature_vectorization.model",
+                         "FeatureVectorization"),
+    },
+}
+
+EVALUATOR_REGISTRY = {
+    "text_classify": {
+        "default": _lazy("easynlp_tpu.appzoo.sequence_classification.evaluator",
+                         "SequenceClassificationEvaluator"),
+    },
+    "text_match": {
+        "default": _lazy("easynlp_tpu.appzoo.text_match.evaluator",
+                         "TextMatchEvaluator"),
+    },
+    "sequence_labeling": {
+        "default": _lazy("easynlp_tpu.appzoo.sequence_labeling.evaluator",
+                         "SequenceLabelingEvaluator"),
+    },
+    "language_modeling": {
+        "default": _lazy("easynlp_tpu.appzoo.language_modeling.evaluator",
+                         "LanguageModelingEvaluator"),
+    },
+}
+
+PREDICTOR_REGISTRY = {
+    "text_classify": {
+        "default": _lazy("easynlp_tpu.appzoo.sequence_classification.predictor",
+                         "SequenceClassificationPredictor"),
+    },
+    "text_match": {
+        "default": _lazy("easynlp_tpu.appzoo.text_match.predictor",
+                         "TextMatchPredictor"),
+    },
+    "sequence_labeling": {
+        "default": _lazy("easynlp_tpu.appzoo.sequence_labeling.predictor",
+                         "SequenceLabelingPredictor"),
+    },
+    "vectorization": {
+        "default": _lazy("easynlp_tpu.appzoo.feature_vectorization.predictor",
+                         "FeatureVectorizationPredictor"),
+    },
+}
+
+
+def _variant_key(registry_entry, udp):
+    """Pick the registry variant from user_defined_parameters switches
+    (reference api.py keys: multi_label / two_tower / enable_distillation /
+    enable_fewshot ...)."""
+    for key in ("enable_distillation", "enable_fewshot", "multi_label",
+                "two_tower", "siamese", "enable_vit", "enable_vqgan"):
+        if udp.get(key) and key in registry_entry:
+            return key
+    return "default"
+
+
+def _resolve(registry, app_name, udp):
+    if app_name not in registry:
+        raise NotImplementedError(
+            "app %r is not yet available in this registry "
+            "(available: %s)" % (app_name, sorted(registry)))
+    entry = registry[app_name]
+    return entry[_variant_key(entry, udp)]()
+
+
+def get_application_dataset(app_name, udp=None, **kwargs):
+    cls = _resolve(DATASET_REGISTRY, app_name, udp or {})
+    return cls(**kwargs)
+
+
+def get_application_model(app_name, udp=None, **kwargs):
+    return _resolve(MODEL_REGISTRY, app_name, udp or {})
+
+
+def get_application_evaluator(app_name, valid_dataset, udp=None, **kwargs):
+    cls = _resolve(EVALUATOR_REGISTRY, app_name, udp or {})
+    return cls(valid_dataset, **kwargs)
+
+
+def get_application_predictor(app_name, udp=None, **kwargs):
+    cls = _resolve(PREDICTOR_REGISTRY, app_name, udp or {})
+    return cls(**kwargs)
+
+
+# --------------------------------------------------------------------------
+# default main (reference api.py:471-614)
+# --------------------------------------------------------------------------
+
+def default_main_fn(args=None):
+    args = args or get_args()
+    udp = args.user_defined_parameters_dict
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+
+    if args.mode == "predict":
+        return _predict_main(args, udp)
+
+    from easynlp_tpu.modelzoo.models.bert import BertTokenizer
+    tables = (args.tables or "").split(",")
+    model_cls = get_application_model(args.app_name, udp)
+    tokenizer = BertTokenizer.from_pretrained(args.pretrained_model_name_or_path
+                                              if args.mode == "train"
+                                              else args.checkpoint_dir)
+
+    dataset_kwargs = dict(
+        tokenizer=tokenizer,
+        max_seq_length=args.sequence_length,
+        input_schema=args.input_schema,
+        first_sequence=args.first_sequence,
+        second_sequence=args.second_sequence,
+        label_name=args.label_name,
+        label_enumerate_values=args.label_enumerate_values,
+        multi_label=bool(udp.get("multi_label")),
+        process_index=args.process_index,
+        num_processes=args.num_processes,
+    )
+
+    if args.mode == "train":
+        train_file = tables[0]
+        valid_file = tables[1] if len(tables) > 1 else None
+        train_dataset = get_application_dataset(
+            args.app_name, udp, data_file=train_file, **dataset_kwargs)
+        if args.label_enumerate_values is None and \
+                train_dataset.label_enumerate_values:
+            dataset_kwargs["label_enumerate_values"] = \
+                train_dataset.label_enumerate_values
+        evaluator = None
+        if valid_file:
+            valid_dataset = get_application_dataset(
+                args.app_name, udp, data_file=valid_file, **dataset_kwargs)
+            evaluator = get_application_evaluator(
+                args.app_name, valid_dataset, udp, args=args,
+                multi_label=bool(udp.get("multi_label")))
+        app = model_cls.from_pretrained(
+            args.pretrained_model_name_or_path, args=args, dtype=dtype,
+            num_labels=max(len(train_dataset.label_enumerate_values), 2),
+            label_mapping=train_dataset.label_mapping
+            if hasattr(train_dataset, "label_mapping") else None)
+        from easynlp_tpu.core.trainer import Trainer
+        trainer = Trainer(app, train_dataset, evaluator=evaluator, args=args,
+                          tokenizer=tokenizer)
+        trainer.train()
+        return trainer
+
+    if args.mode == "evaluate":
+        valid_dataset = get_application_dataset(
+            args.app_name, udp, data_file=tables[0], **dataset_kwargs)
+        app = model_cls.from_pretrained(
+            args.checkpoint_dir, args=args, dtype=dtype,
+            num_labels=max(len(valid_dataset.label_enumerate_values), 2))
+        evaluator = get_application_evaluator(
+            args.app_name, valid_dataset, udp, args=args,
+            multi_label=bool(udp.get("multi_label")))
+        results = evaluator.evaluate(app)
+        for metric, score in results:
+            logger.info("eval %s: %.6f", metric, score)
+        return results
+
+    raise ValueError("unknown mode %r" % args.mode)
+
+
+def _predict_main(args, udp):
+    import json
+
+    from easynlp_tpu.core.predictor import PredictorManager
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    model_cls = get_application_model(args.app_name, udp)
+    ckpt = args.predict_checkpoint_path or args.checkpoint_dir
+    num_labels = 2
+    label_path = os.path.join(ckpt, "label_mapping.json")
+    from easynlp_tpu.utils.io_utils import io
+    if io.exists(label_path):
+        with io.open(label_path) as f:
+            num_labels = max(len(json.load(f)), 2)
+    app = model_cls.from_pretrained(ckpt, args=args, dtype=dtype,
+                                    num_labels=num_labels)
+    predictor = get_application_predictor(
+        args.app_name, udp, model_dir=ckpt, app=app,
+        first_sequence=args.first_sequence,
+        second_sequence=args.second_sequence,
+        sequence_length=args.sequence_length,
+        batch_size=args.micro_batch_size,
+        multi_label=bool(udp.get("multi_label")))
+    manager = PredictorManager(
+        predictor=predictor,
+        input_file=(args.tables or "").split(",")[0],
+        input_schema=args.input_schema,
+        output_file=args.outputs,
+        output_schema=args.output_schema,
+        append_cols=args.append_cols,
+        args=args)
+    manager.run()
+    return manager

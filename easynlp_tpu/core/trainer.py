@@ -1,0 +1,281 @@
+"""Training driver.
+
+Capability parity: reference easynlp/core/trainer.py (Trainer :40 — device
+placement/DDP wrap :95-113, AMP :57-62, grad accumulation + resume :601-677,
+optimizer_step w/ clip + schedule :306-337, eval-on-save-best :363-395,
+checkpoint artifacts :421-544, TensorBoard :164-182) and the Megatron loop's
+capabilities (bf16, activation checkpointing, TP) folded in — on TPU they are
+all options of this single Trainer (SURVEY.md §7.1):
+
+- DDP          → batch sharded over the mesh 'data'/'fsdp' axes; XLA inserts
+                 the gradient all-reduce (no hooks, no buckets)
+- AMP          → module compute dtype bf16, params/optimizer fp32
+- Megatron TP  → logical-axis rules ('tensor' axis) on the same train step
+- ZeRO         → optimizer state inherits param shardings (fsdp axis)
+- act. ckpt    → model remat flag (jax.checkpoint inside nn.scan)
+- grad accum   → lax.scan over micro-batches inside the jitted step
+
+The train step is jitted once with donated state; the host loop only touches
+device values at logging/checkpoint boundaries so steps stay async-dispatched.
+"""
+
+import json
+import math
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from easynlp_tpu.core.optimizers import get_optimizer
+from easynlp_tpu.data.dataset import DataLoader
+from easynlp_tpu.modelzoo.modeling_utils import (
+    load_params,
+    param_count,
+    save_params,
+)
+from easynlp_tpu.parallel.mesh import batch_sharding, get_global_mesh
+from easynlp_tpu.utils.global_vars import Timers, get_args
+from easynlp_tpu.utils.io_utils import io
+from easynlp_tpu.utils.logger import logger
+from easynlp_tpu.utils.statistics import Statistics
+
+META_NAME = "meta.json"
+OPT_STATE_NAME = "opt_state.msgpack"
+
+
+class Trainer:
+    def __init__(self, model, train_dataset, evaluator=None, args=None,
+                 tokenizer=None):
+        """model: an app instance carrying (module, params, config) — see
+        appzoo/application.py. train_dataset: BaseDataset."""
+        self.args = args or get_args()
+        self.app = model
+        self.evaluator = evaluator
+        self.tokenizer = tokenizer
+        self.mesh = getattr(self.args, "global_mesh", None) or get_global_mesh()
+        self.timers = Timers()
+
+        self.accum = max(1, self.args.gradient_accumulation_steps)
+        global_batch = self.args.micro_batch_size * self.accum
+        self.train_loader = DataLoader(
+            train_dataset, batch_size=global_batch, shuffle=True,
+            seed=self.args.random_seed)
+        self.steps_per_epoch = max(1, len(self.train_loader))
+
+        tx, schedule_fn, t_total = get_optimizer(
+            optimizer_type=self.args.optimizer_type,
+            learning_rate=self.args.learning_rate,
+            warmup_proportion=self.args.warmup_proportion,
+            lr_scheduler=self.args.lr_scheduler,
+            epoch_num=self.args.epoch_num,
+            steps_per_epoch=self.steps_per_epoch,
+            gradient_accumulation_steps=1,  # accumulation is inside the step
+            weight_decay=self.args.weight_decay,
+            max_grad_norm=self.args.max_grad_norm,
+            b1=self.args.adam_beta1, b2=self.args.adam_beta2,
+            eps=self.args.adam_epsilon)
+        self.tx, self.schedule_fn, self.t_total = tx, schedule_fn, t_total
+
+        self._place_state()
+        self._build_step()
+        self.global_step = 0
+        self.start_epoch = 0
+        self.best_score = -float("inf")
+        if self.args.resume_from_checkpoint:
+            self.resume_from_ckpt(self.args.resume_from_checkpoint)
+        self.stats = Statistics(self.args)
+        logger.info(
+            "Trainer: %d params | %d steps/epoch x %s epochs (t_total %d) | "
+            "global batch %d (micro %d x accum %d) | mesh %s",
+            param_count(self.app.params), self.steps_per_epoch,
+            self.args.epoch_num, self.t_total, global_batch,
+            self.args.micro_batch_size, self.accum, dict(self.mesh.shape))
+
+    # ------------------------------------------------------------------ setup
+    def _place_state(self):
+        """Shard params over the mesh per their logical axes; optimizer state
+        inherits param shardings through jit propagation (ZeRO-equivalent when
+        the fsdp axis is active)."""
+        from easynlp_tpu.parallel.sharding import logical_to_sharding
+
+        mesh = self.mesh
+
+        def place(leaf_and_axes):
+            leaf, axes = leaf_and_axes
+            sh = logical_to_sharding(axes or (), mesh)
+            return jax.device_put(leaf, sh)
+
+        params = self.app.params
+        axes_tree = self.app.param_logical_axes
+        self.params = jax.tree.map(
+            lambda p, a: place((p, a)), params, axes_tree,
+            is_leaf=lambda x: x is None)
+        with mesh:
+            self.opt_state = jax.jit(self.tx.init)(self.params)
+        self.batch_shard = batch_sharding(mesh)
+
+    def _build_step(self):
+        module = self.app.module
+        compute_loss = self.app.loss_fn
+        accum = self.accum
+        micro = self.args.micro_batch_size
+        model_keys = self.app.model_input_keys
+
+        def forward_loss(params, batch, rng):
+            inputs = {k: batch[k] for k in model_keys if k in batch}
+            outputs = module.apply({"params": params}, **inputs,
+                                   deterministic=False,
+                                   rngs={"dropout": rng})
+            loss_dict = compute_loss(outputs, batch)
+            return loss_dict["loss"].astype(jnp.float32), loss_dict
+
+        def train_step(params, opt_state, batch, step):
+            rng = jax.random.fold_in(jax.random.PRNGKey(self.args.random_seed),
+                                     step)
+            if accum == 1:
+                grads, loss_dict = jax.grad(forward_loss, has_aux=True)(
+                    params, batch, rng)
+            else:
+                def micro_step(carry, mb_and_rng):
+                    grads_acc, _ = carry
+                    mb, r = mb_and_rng
+                    g, ld = jax.grad(forward_loss, has_aux=True)(params, mb, r)
+                    grads_acc = jax.tree.map(jnp.add, grads_acc, g)
+                    return (grads_acc, ld), None
+
+                split = {k: v.reshape((accum, micro) + v.shape[1:])
+                         for k, v in batch.items()}
+                rngs = jax.random.split(rng, accum)
+                zero = jax.tree.map(jnp.zeros_like, params)
+                _, dummy_ld = forward_loss(
+                    params, {k: v[0] for k, v in split.items()}, rngs[0])
+                dummy_ld = jax.tree.map(jnp.zeros_like, dummy_ld)
+                (grads, loss_dict), _ = jax.lax.scan(
+                    micro_step, (zero, dummy_ld), (split, rngs))
+                grads = jax.tree.map(lambda g: g / accum, grads)
+            updates, opt_state = self.tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            metrics = {"loss": loss_dict["loss"],
+                       "grad_norm": optax.global_norm(grads),
+                       "lr": self.schedule_fn(step)}
+            for k, v in loss_dict.items():
+                if k != "loss" and jnp.ndim(v) == 0:
+                    metrics[k] = v
+            return params, opt_state, metrics
+
+        self._train_step = jax.jit(train_step, donate_argnums=(0, 1))
+
+    # ------------------------------------------------------------------ train
+    def train(self):
+        args = self.args
+        total_epochs = int(math.ceil(args.epoch_num))
+        t_start = time.time()
+        last_log = t_start
+        last_log_step = self.global_step
+        for epoch in range(self.start_epoch, total_epochs):
+            self.train_loader.set_epoch(epoch)
+            for batch in self.train_loader:
+                if self.global_step >= self.t_total:
+                    break
+                batch.pop("_valid", None)
+                device_batch = jax.device_put(batch, self.batch_shard)
+                self.params, self.opt_state, metrics = self._train_step(
+                    self.params, self.opt_state, device_batch,
+                    self.global_step)
+                self.global_step += 1
+
+                if self.global_step % args.logging_steps == 0 \
+                        or self.global_step == self.t_total:
+                    metrics = jax.device_get(metrics)
+                    now = time.time()
+                    sps = ((self.global_step - last_log_step)
+                           * args.micro_batch_size * self.accum
+                           / max(now - last_log, 1e-6))
+                    last_log, last_log_step = now, self.global_step
+                    self.stats.log_train(epoch, self.global_step, self.t_total,
+                                         metrics, samples_per_sec=sps)
+                if args.save_checkpoint_steps \
+                        and self.global_step % args.save_checkpoint_steps == 0:
+                    self._eval_and_save()
+        self.after_train()
+
+    def after_train(self):
+        self._eval_and_save(final=True)
+        self.stats.close()
+
+    def _eval_and_save(self, final=False):
+        args = self.args
+        score = None
+        if self.evaluator is not None:
+            self.app.params = self.params  # predict with current weights
+            results = self.evaluator.evaluate(self.app)
+            self.stats.log_eval(self.global_step, results)
+            score = results[0][1]
+        if not args.checkpoint_dir or not args.is_master_node:
+            return
+        if score is None or score >= self.best_score:
+            if score is not None:
+                self.best_score = score
+            self.save_checkpoint()
+        if args.save_all_checkpoints and not final:
+            self.save_checkpoint(suffix="_step_%d" % self.global_step)
+
+    # ------------------------------------------------------------- checkpoint
+    def save_checkpoint(self, suffix=""):
+        """Write the reference's artifact set (trainer.py:421-544):
+        config.json, vocab/tokenizer files, label_mapping.json,
+        train_config.json, weights, and resume meta."""
+        args = self.args
+        out = args.checkpoint_dir
+        io.makedirs(out)
+        save_params(self.params, out,
+                    name="flax_params%s.msgpack" % suffix)
+        self.app.config.save_pretrained(out)
+        if self.tokenizer is not None:
+            self.tokenizer.save_pretrained(out)
+        label_map = getattr(self.app, "label_mapping", None)
+        if label_map:
+            with io.open(os.path.join(out, "label_mapping.json"), "w") as f:
+                json.dump(label_map, f, ensure_ascii=False, indent=2)
+        with io.open(os.path.join(out, "train_config.json"), "w") as f:
+            cfg = {k: v for k, v in vars(args).items()
+                   if isinstance(v, (str, int, float, bool, type(None)))}
+            json.dump(cfg, f, indent=2)
+        with io.open(os.path.join(out, META_NAME), "w") as f:
+            json.dump({"global_step": self.global_step,
+                       "epoch": self.global_step // self.steps_per_epoch,
+                       "best_score": self.best_score}, f)
+        opt_host = jax.device_get(self.opt_state)
+        from flax import serialization
+        with io.open(os.path.join(out, OPT_STATE_NAME), "wb") as f:
+            f.write(serialization.to_bytes(opt_host))
+        logger.info("checkpoint saved to %s%s", out, suffix)
+
+    def resume_from_ckpt(self, ckpt_dir):
+        """Reference resume semantics (trainer.py:128-162): restore weights,
+        optimizer state and step counter; the loader fast-forwards because
+        shuffling is a deterministic function of (seed, epoch)."""
+        meta_path = os.path.join(ckpt_dir, META_NAME)
+        if not io.exists(meta_path):
+            logger.warning("no %s in %s; fresh start", META_NAME, ckpt_dir)
+            return
+        with io.open(meta_path) as f:
+            meta = json.load(f)
+        self.global_step = int(meta["global_step"])
+        self.start_epoch = int(meta.get("epoch", 0))
+        self.best_score = float(meta.get("best_score", -float("inf")))
+        loaded = load_params(ckpt_dir, target=jax.device_get(self.params))
+        self.params = jax.tree.map(
+            lambda cur, new: jax.device_put(jnp.asarray(new), cur.sharding),
+            self.params, loaded)
+        opt_path = os.path.join(ckpt_dir, OPT_STATE_NAME)
+        if io.exists(opt_path):
+            from flax import serialization
+            with io.open(opt_path, "rb") as f:
+                self.opt_state = serialization.from_bytes(
+                    jax.device_get(self.opt_state), f.read())
+            self.opt_state = jax.device_put(self.opt_state)
+        logger.info("resumed from %s at step %d", ckpt_dir, self.global_step)

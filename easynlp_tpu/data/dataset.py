@@ -1,0 +1,148 @@
+"""Data layer.
+
+Capability parity: reference easynlp/appzoo/dataset.py (BaseDataset :37 —
+source sniffing, schema rows, contract convert_single_row_to_example/batch_fn/
+label_enumerate_values; GeneralDataset :302 over HF datasets). TPU-native
+re-design:
+
+- examples are *pre-featurised once* into fixed-shape numpy arrays at dataset
+  construction (the reference tokenises per __getitem__ on N dataloader
+  workers; a TPU chip starves on that — SURVEY.md §7.3 host-throughput note);
+- every batch has identical shapes (pad/truncate to sequence_length, drop-last
+  for train, pad-final-batch with a `_valid` mask for eval/predict) because
+  XLA recompiles on shape change;
+- multi-host sharding = row slicing by (process_index, num_processes),
+  replacing DistributedSampler.
+"""
+
+import numpy as np
+
+from easynlp_tpu.utils import parse_row_by_schema, parse_schema
+from easynlp_tpu.utils.io_utils import io
+from easynlp_tpu.utils.logger import logger
+
+
+class BaseDataset:
+    """Contract: subclasses implement `convert_single_row_to_example(row_dict)`
+    returning a dict of python/numpy values, and `batch_fn(list_of_examples)`
+    returning a dict of fixed-shape numpy arrays. Subclasses may instead
+    override `build_features(rows)` for vectorised featurisation."""
+
+    def __init__(self, data_file, input_schema=None, skip_first_line=False,
+                 process_index=0, num_processes=1, **kwargs):
+        self.data_file = data_file
+        self.input_schema = input_schema
+        self.schema = parse_schema(input_schema) if input_schema else None
+        self.kwargs = kwargs
+        rows = self.read_rows(data_file)
+        if skip_first_line and rows:
+            rows = rows[1:]
+        if num_processes > 1:
+            rows = rows[process_index::num_processes]
+        self.rows = rows
+
+    # -- source reading (local/OSS via io seam; odps reader is a backend) ----
+    def read_rows(self, data_file):
+        if str(data_file).startswith("odps://"):
+            raise NotImplementedError(
+                "ODPS tables need a registered reader backend (utils.io_utils)")
+        with io.open(data_file) as f:
+            return [line.rstrip("\n") for line in f if line.strip()]
+
+    def parse_row(self, row):
+        if self.schema:
+            return parse_row_by_schema(row, self.schema)
+        return {"text": row}
+
+    # -- contract -------------------------------------------------------------
+    def convert_single_row_to_example(self, row_dict):
+        raise NotImplementedError
+
+    def batch_fn(self, examples):
+        out = {}
+        for key in examples[0]:
+            out[key] = np.stack([np.asarray(e[key]) for e in examples])
+        return out
+
+    @property
+    def label_enumerate_values(self):
+        return []
+
+    def __len__(self):
+        return len(self.rows)
+
+    def __getitem__(self, idx):
+        return self.convert_single_row_to_example(self.parse_row(self.rows[idx]))
+
+
+class GeneralDataset(BaseDataset):
+    """Adapts a HF `datasets` arrow dataset to the app contract (reference
+    appzoo/dataset.py:302-391)."""
+
+    def __init__(self, hf_dataset, **kwargs):
+        self.hf_dataset = hf_dataset
+        self.kwargs = kwargs
+        self.schema = None
+        self.rows = list(range(len(hf_dataset)))
+
+    def parse_row(self, row_idx):
+        return dict(self.hf_dataset[int(row_idx)])
+
+
+def load_dataset(name, *args, **kwargs):
+    """Load via the HF datasets hub cache (reference appzoo/dataset.py:393)."""
+    import datasets as hf_datasets
+    return hf_datasets.load_dataset(name, *args, **kwargs)
+
+
+class DataLoader:
+    """Static-shape batching iterator.
+
+    train mode: per-epoch shuffle with a deterministic seed, drop-last.
+    eval/predict mode: in-order, final partial batch padded by repeating row 0
+    with `_valid`=0 so downstream metrics/writers can drop the padding.
+    """
+
+    def __init__(self, dataset, batch_size, shuffle=False, seed=0,
+                 drop_last=None):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = shuffle if drop_last is None else drop_last
+        self.epoch = 0
+
+    def set_epoch(self, epoch):
+        self.epoch = epoch
+
+    def __len__(self):
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
+
+    def __iter__(self):
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            rng = np.random.RandomState(self.seed + self.epoch)
+            rng.shuffle(order)
+        bs = self.batch_size
+        n_batches = len(self)
+        for b in range(n_batches):
+            idx = order[b * bs:(b + 1) * bs]
+            valid = np.ones(len(idx), np.int32)
+            if len(idx) < bs:  # pad final batch
+                pad = np.zeros(bs - len(idx), order.dtype)
+                valid = np.concatenate([valid, np.zeros(bs - len(idx), np.int32)])
+                idx = np.concatenate([idx, pad])
+            examples = [self.dataset[int(i)] for i in idx]
+            batch = self.dataset.batch_fn(examples)
+            batch["_valid"] = valid
+            yield batch
+
+
+def get_label_mapping(label_enumerate_values):
+    if isinstance(label_enumerate_values, str):
+        label_enumerate_values = label_enumerate_values.split(",")
+    return {label: i for i, label in enumerate(label_enumerate_values)}

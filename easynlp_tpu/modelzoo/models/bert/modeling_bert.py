@@ -20,6 +20,8 @@ post-LN residual order, truncated-normal(initializer_range) init.
 
 from typing import Any, Optional
 
+import jax
+from jax.ad_checkpoint import checkpoint_name
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -105,6 +107,9 @@ class BertAttention(nn.Module):
         qkv = qkv.reshape(b, s, 3, h, d)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
         ctx = attention(q, k, v, kv_mask=kv_mask)
+        # named so remat policies can choose to save it instead of re-running
+        # the flash kernel in the backward pass
+        ctx = checkpoint_name(ctx, "attn_out")
         ctx = ctx.reshape(b, s, h * d)
         out = _dense(c.hidden_size, c, ("joined_kv", "embed"), dtype=self.dtype,
                      name="output")(ctx)
@@ -140,18 +145,29 @@ class BertLayer(nn.Module):
         return (hidden, kv_mask), None
 
 
+REMAT_POLICIES = {
+    # save MXU outputs + the attention context; recompute LayerNorm/gelu/
+    # dropout in bwd — the standard TPU memory/speed point
+    "selective": lambda: jax.checkpoint_policies.save_from_both_policies(
+        jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+        jax.checkpoint_policies.save_only_these_names("attn_out")),
+    # save nothing per layer: minimum memory, ~30% step-time cost
+    "full": lambda: jax.checkpoint_policies.nothing_saveable,
+}
+
+
 class BertEncoder(nn.Module):
     config: Any
     dtype: Any = jnp.float32
-    remat: bool = False
+    remat: str = "none"
 
     @nn.compact
     def __call__(self, hidden, kv_mask, deterministic):
         c = self.config
         layer_cls = BertLayer
-        if self.remat:
+        if self.remat in REMAT_POLICIES:
             layer_cls = nn.remat(layer_cls, prevent_cse=False,
-                                 static_argnums=())
+                                 policy=REMAT_POLICIES[self.remat]())
         scan = nn.scan(
             layer_cls,
             variable_axes={"params": 0},
@@ -172,7 +188,7 @@ class BertPooler(nn.Module):
     @nn.compact
     def __call__(self, hidden):
         first = hidden[:, 0]
-        out = _dense(self.config.hidden_size, self.config, ("embed", "embed"),
+        out = _dense(self.config.hidden_size, self.config, ("embed", "embed_out"),
                      dtype=self.dtype, name="dense")(first)
         return nn.tanh(out)
 
@@ -181,7 +197,7 @@ class BertModel(BaseModule):
     """Returns {'last_hidden_state': [B,S,E], 'pooler_output': [B,E]}."""
 
     add_pooling_layer: bool = True
-    remat: bool = False
+    remat: str = "none"
 
     @nn.compact
     def __call__(self, input_ids, attention_mask=None, token_type_ids=None,
@@ -216,7 +232,7 @@ class BertMLMHead(nn.Module):
     @nn.compact
     def __call__(self, hidden, shared_embedding):
         c = self.config
-        h = _dense(c.hidden_size, c, ("embed", "embed"), dtype=self.dtype,
+        h = _dense(c.hidden_size, c, ("embed", "embed_out"), dtype=self.dtype,
                    name="transform")(hidden)
         h = ACT2FN[c.hidden_act](h)
         h = _layer_norm(c, name="transform_ln")(h).astype(self.dtype)
@@ -231,7 +247,7 @@ class BertMLMHead(nn.Module):
 
 
 class BertForMaskedLM(BaseModule):
-    remat: bool = False
+    remat: str = "none"
 
     def setup(self):
         self.bert = BertModel(self.config, dtype=self.dtype,

@@ -30,6 +30,12 @@ def load_vocab(vocab_file):
     with io.open(vocab_file) as f:
         for idx, line in enumerate(f):
             token = line.rstrip("\n")
+            if token in vocab:
+                from easynlp_tpu.utils.logger import logger
+                logger.warning(
+                    "duplicate vocab token %r at index %d (first at %d); "
+                    "ids will not round-trip through save_vocabulary",
+                    token, idx, vocab[token])
             vocab[token] = idx
     return vocab
 

@@ -26,6 +26,7 @@ DEFAULT_RULES = (
     ("length", None),
     ("vocab", "tensor"),
     ("embed", "fsdp"),
+    ("embed_out", None),
     ("heads", "tensor"),
     ("kv", None),
     ("joined_kv", "tensor"),

@@ -1,0 +1,62 @@
+"""Synthetic setups for benchmarks, dry runs and tests."""
+
+import types
+
+import numpy as np
+
+from easynlp_tpu.modelzoo.models.bert import BertConfig
+
+
+class SyntheticClassificationDataset:
+    """Random fixed-shape classification batches matching the app contract."""
+
+    def __init__(self, n, seq_len, vocab_size, num_labels=2, seed=0):
+        rng = np.random.RandomState(seed)
+        self.features = {
+            "input_ids": rng.randint(5, vocab_size, (n, seq_len)).astype(np.int32),
+            "attention_mask": np.ones((n, seq_len), np.int32),
+            "token_type_ids": np.zeros((n, seq_len), np.int32),
+            "label_ids": rng.randint(0, num_labels, (n,)).astype(np.int32),
+        }
+        self.label_mapping = {str(i): i for i in range(num_labels)}
+        self.n = n
+
+    @property
+    def label_enumerate_values(self):
+        return list(self.label_mapping)
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, idx):
+        return {k: v[idx] for k, v in self.features.items()}
+
+    def batch_fn(self, examples):
+        return {k: np.stack([e[k] for e in examples]) for k in examples[0]}
+
+
+def make_args(**overrides):
+    """A minimal args namespace accepted by Trainer/Evaluator without going
+    through the CLI."""
+    from easynlp_tpu.utils.arguments import parse_args
+    from easynlp_tpu.utils.global_vars import set_global_args
+    from easynlp_tpu.utils.initializer import enable_compile_cache
+
+    enable_compile_cache()
+    args = parse_args(args_list=[])
+    for k, v in overrides.items():
+        setattr(args, k, v)
+    set_global_args(args)
+    return args
+
+
+def bert_base_config(vocab_size=30522, seq_len=512):
+    return BertConfig(vocab_size=vocab_size, hidden_size=768,
+                      num_hidden_layers=12, num_attention_heads=12,
+                      intermediate_size=3072, max_position_embeddings=seq_len)
+
+
+def tiny_bert_config(vocab_size=1000):
+    return BertConfig(vocab_size=vocab_size, hidden_size=64,
+                      num_hidden_layers=2, num_attention_heads=4,
+                      intermediate_size=128, max_position_embeddings=64)

@@ -21,8 +21,22 @@ from easynlp_tpu.utils.global_vars import (
 from easynlp_tpu.utils.logger import init_logger, logger
 
 
+def enable_compile_cache():
+    """Persistent compile cache: XLA/Mosaic compilation is partly host-side
+    and hosts can be slow; identical programs then load in milliseconds."""
+    import jax
+
+    cache_dir = os.environ.get("EASYNLP_COMPILE_CACHE",
+                               os.path.expanduser("~/.easynlp_tpu/jax_cache"))
+    if cache_dir:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 def _initialize_distributed(args):
     import jax
+
+    enable_compile_cache()
 
     if args.num_processes and args.num_processes > 1:
         jax.distributed.initialize(

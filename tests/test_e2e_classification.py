@@ -1,0 +1,82 @@
+"""End-to-end CLI tests (reference test strategy, SURVEY.md §4: chained
+train → evaluate → predict on one checkpoint dir, artifact-existence asserts)
+— run in-process on the virtual 8-device CPU mesh with an ultra-tiny model."""
+
+import json
+import os
+import sys
+import tempfile
+
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "fixtures"))
+from make_fixtures import build_all  # noqa: E402
+
+BASE = None
+
+
+@pytest.fixture(scope="module")
+def fixtures(tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("e2e"))
+    build_all(base)
+    # shrink the model further for CPU speed
+    cfg_path = os.path.join(base, "tiny-bert", "config.json")
+    with open(cfg_path) as f:
+        cfg = json.load(f)
+    cfg.update(hidden_size=32, num_hidden_layers=2, num_attention_heads=2,
+               intermediate_size=64)
+    with open(cfg_path, "w") as f:
+        json.dump(cfg, f)
+    return base
+
+
+def _run_cli(argv):
+    from easynlp_tpu import cli
+    from easynlp_tpu.utils import global_vars
+    global_vars._GLOBAL_ARGS = None  # fresh args per invocation
+    return cli.main(argv)
+
+
+def test_0_train_then_eval_then_predict(fixtures):
+    out_dir = os.path.join(fixtures, "ckpt")
+    schema = "id:str:1,sent:str:1,label:str:1"
+    rc = _run_cli([
+        "--mode=train", "--app_name=text_classify",
+        "--tables=%s/train.tsv,%s/dev.tsv" % (fixtures, fixtures),
+        "--input_schema=" + schema, "--first_sequence=sent",
+        "--label_name=label", "--checkpoint_dir=" + out_dir,
+        "--epoch_num=1", "--micro_batch_size=16", "--sequence_length=16",
+        "--learning_rate=3e-4", "--logging_steps=8", "--dtype=float32",
+        "--user_defined_parameters=pretrain_model_name_or_path=%s/tiny-bert"
+        % fixtures,
+    ])
+    assert rc == 0
+    for artifact in ("flax_params.msgpack", "config.json", "vocab.txt",
+                     "label_mapping.json", "train_config.json", "meta.json"):
+        assert os.path.exists(os.path.join(out_dir, artifact)), artifact
+
+    rc = _run_cli([
+        "--mode=evaluate", "--app_name=text_classify",
+        "--tables=%s/dev.tsv" % fixtures,
+        "--input_schema=" + schema, "--first_sequence=sent",
+        "--label_name=label", "--checkpoint_dir=" + out_dir,
+        "--micro_batch_size=16", "--sequence_length=16", "--dtype=float32",
+    ])
+    assert rc == 0
+
+    pred_file = os.path.join(fixtures, "pred.tsv")
+    rc = _run_cli([
+        "--mode=predict", "--app_name=text_classify",
+        "--tables=%s/dev.tsv" % fixtures, "--outputs=" + pred_file,
+        "--input_schema=" + schema, "--first_sequence=sent",
+        "--output_schema=predictions,probabilities", "--append_cols=label",
+        "--checkpoint_dir=" + out_dir,
+        "--micro_batch_size=16", "--sequence_length=16", "--dtype=float32",
+    ])
+    assert rc == 0
+    with open(pred_file) as f:
+        lines = f.read().strip().split("\n")
+    assert len(lines) == 64
+    first = lines[0].split("\t")
+    assert first[0] in ("pos", "neg")
+    assert len(first) == 3
