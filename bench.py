@@ -16,7 +16,7 @@ A100_BASELINE_SAMPLES_PER_SEC = 500.0
 TARGET = 2.0 * A100_BASELINE_SAMPLES_PER_SEC
 
 SEQ_LEN = 128
-BATCH = 256
+BATCH = 128
 WARMUP_STEPS = 3
 MEASURE_STEPS = 20
 

@@ -35,6 +35,8 @@ DATASET_REGISTRY = {
     "text_match": {
         "default": _lazy("easynlp_tpu.appzoo.text_match.data",
                          "TextMatchDataset"),
+        "two_tower": _lazy("easynlp_tpu.appzoo.text_match.data",
+                           "TwoTowerDataset"),
     },
     "sequence_labeling": {
         "default": _lazy("easynlp_tpu.appzoo.sequence_labeling.data",
@@ -47,6 +49,10 @@ DATASET_REGISTRY = {
     "vectorization": {
         "default": _lazy("easynlp_tpu.appzoo.sequence_classification.data",
                          "ClassificationDataset"),
+    },
+    "data_augmentation": {
+        "default": _lazy("easynlp_tpu.appzoo.language_modeling.data",
+                         "LanguageModelingDataset"),
     },
 }
 
@@ -74,6 +80,10 @@ MODEL_REGISTRY = {
         "default": _lazy("easynlp_tpu.appzoo.feature_vectorization.model",
                          "FeatureVectorization"),
     },
+    "data_augmentation": {
+        "default": _lazy("easynlp_tpu.appzoo.language_modeling.model",
+                         "LanguageModeling"),
+    },
 }
 
 EVALUATOR_REGISTRY = {
@@ -84,6 +94,8 @@ EVALUATOR_REGISTRY = {
     "text_match": {
         "default": _lazy("easynlp_tpu.appzoo.text_match.evaluator",
                          "TextMatchEvaluator"),
+        "two_tower": _lazy("easynlp_tpu.appzoo.text_match.evaluator",
+                           "TextMatchTwoTowerEvaluator"),
     },
     "sequence_labeling": {
         "default": _lazy("easynlp_tpu.appzoo.sequence_labeling.evaluator",
@@ -103,6 +115,8 @@ PREDICTOR_REGISTRY = {
     "text_match": {
         "default": _lazy("easynlp_tpu.appzoo.text_match.predictor",
                          "TextMatchPredictor"),
+        "two_tower": _lazy("easynlp_tpu.appzoo.text_match.predictor",
+                           "TextMatchTwoTowerPredictor"),
     },
     "sequence_labeling": {
         "default": _lazy("easynlp_tpu.appzoo.sequence_labeling.predictor",
@@ -111,6 +125,10 @@ PREDICTOR_REGISTRY = {
     "vectorization": {
         "default": _lazy("easynlp_tpu.appzoo.feature_vectorization.predictor",
                          "FeatureVectorizationPredictor"),
+    },
+    "data_augmentation": {
+        "default": _lazy("easynlp_tpu.appzoo.data_augmentation.predictor",
+                         "DataAugmentationPredictor"),
     },
 }
 

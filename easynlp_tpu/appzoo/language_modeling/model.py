@@ -1,0 +1,39 @@
+"""MLM pretraining application.
+
+Capability parity: reference easynlp/appzoo/language_modeling/model.py —
+BertForMaskedLM backbone, MLM CE over masked positions (:68-88). Knowledge-
+injection branches (DKPLM/Kangaroo/CKBERT) plug in as loss additions once
+those backbones land in the zoo.
+"""
+
+import jax.numpy as jnp
+
+from easynlp_tpu.appzoo.application import Application
+from easynlp_tpu.modelzoo.models.bert import BertConfig, BertForMaskedLM
+from easynlp_tpu.modelzoo.models.bert.conversion import (
+    convert_bert_for_masked_lm,
+)
+from easynlp_tpu.utils import losses
+
+
+class LanguageModeling(Application):
+    model_input_keys = ("input_ids", "attention_mask", "token_type_ids")
+
+    @staticmethod
+    def loss_fn(outputs, batch):
+        loss = losses.cross_entropy(outputs["logits"], batch["label_ids"],
+                                    ignore_index=-100)
+        return {"loss": loss}
+
+    @classmethod
+    def load_config(cls, model_dir, **kwargs):
+        return BertConfig.from_pretrained(model_dir)
+
+    @classmethod
+    def build_module(cls, config, args=None, dtype=jnp.float32, **kwargs):
+        remat = getattr(args, "remat", "none") if args else "none"
+        return BertForMaskedLM(config=config, dtype=dtype, remat=remat)
+
+    @classmethod
+    def convert_pytorch_state_dict(cls, state_dict, config):
+        return convert_bert_for_masked_lm(state_dict, config)

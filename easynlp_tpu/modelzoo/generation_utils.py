@@ -1,0 +1,359 @@
+"""Text generation under jit.
+
+Capability parity: reference easynlp/modelzoo/generation_utils.py
+(GenerationMixin.generate :644 → greedy/sample/beam/beam-sample) and
+generation_logits_process.py (temperature, top-k/p, repetition penalty,
+min-length, no-repeat-ngram) — re-derived for XLA (SURVEY.md §7.3 "beam
+search under jit"):
+
+- everything runs in ONE `lax.while_loop` over a fixed [B, T] token buffer —
+  no dynamic shapes, no host round-trips, one compile per (B, T, K);
+- the KV cache is functional state threaded through the loop;
+- processors are pure (logits, sequences, cur_len) → logits functions —
+  the dynamic-list bans of the reference (per-sample bad-words) become
+  static vocab masks;
+- beam search is the standard flattened [B·K] formulation with live/finished
+  lanes and length-penalty bookkeeping (t5x-style), not the reference's
+  dynamic-length BeamSearchScorer.
+
+Model protocol: `prefill(params, input_ids, attention_mask, cache)` and
+`decode(params, token[B,1], cache)` both → (logits[B,V] for the last
+position, cache). Decoder-only prompts are LEFT-padded (helper below).
+"""
+
+import functools
+from typing import Any, Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NEG_INF = -1.0e7
+
+
+def left_pad(sequences, pad_token_id, length=None):
+    """List of id-lists → left-padded [B, P] int32 + attention mask."""
+    length = length or max(len(s) for s in sequences)
+    ids = np.full((len(sequences), length), pad_token_id, np.int32)
+    mask = np.zeros((len(sequences), length), np.int32)
+    for i, seq in enumerate(sequences):
+        seq = seq[-length:]
+        ids[i, length - len(seq):] = seq
+        mask[i, length - len(seq):] = 1
+    return ids, mask
+
+
+# -----------------------------------------------------------------------------
+# logits processors (pure)
+# -----------------------------------------------------------------------------
+
+def apply_temperature(logits, temperature):
+    if temperature and temperature != 1.0:
+        return logits / jnp.float32(temperature)
+    return logits
+
+
+def apply_top_k(logits, top_k):
+    if not top_k or top_k <= 0:
+        return logits
+    top_k = min(top_k, logits.shape[-1])
+    kth = jnp.sort(logits, axis=-1)[..., -top_k][..., None]
+    return jnp.where(logits < kth, NEG_INF, logits)
+
+
+def apply_top_p(logits, top_p):
+    if not top_p or top_p >= 1.0:
+        return logits
+    sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
+    probs = jax.nn.softmax(sorted_logits, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    # keep smallest set with cumulative prob >= top_p (always keeps top-1);
+    # threshold = smallest kept logit
+    drop_mask = cum - probs >= top_p
+    cutoff = jnp.where(drop_mask, jnp.inf, sorted_logits).min(
+        axis=-1, keepdims=True)
+    return jnp.where(logits < cutoff, NEG_INF, logits)
+
+
+def apply_repetition_penalty(logits, sequences, valid_mask, penalty):
+    """Reference semantics: divide positive logits of seen tokens by penalty,
+    multiply negative ones."""
+    if not penalty or penalty == 1.0:
+        return logits
+    v = logits.shape[-1]
+    seen = jnp.zeros(logits.shape, bool)
+    one_hot = jax.nn.one_hot(sequences, v, dtype=jnp.bool_)
+    seen = jnp.any(one_hot & valid_mask[..., None].astype(bool), axis=-2)
+    penalised = jnp.where(logits > 0, logits / penalty, logits * penalty)
+    return jnp.where(seen, penalised, logits)
+
+
+def apply_min_length(logits, cur_len, min_length, eos_token_id):
+    if not min_length or eos_token_id is None:
+        return logits
+    ban = cur_len < min_length
+    return jnp.where(
+        ban & (jnp.arange(logits.shape[-1]) == eos_token_id)[None, :],
+        NEG_INF, logits)
+
+
+def apply_no_repeat_ngram(logits, sequences, cur_len, ngram_size):
+    """Ban tokens completing an n-gram already present (static shapes:
+    compare the trailing n-1 tokens against every window)."""
+    if not ngram_size or ngram_size <= 0:
+        return logits
+    n = ngram_size
+    b, t = sequences.shape
+    if t < n:
+        return logits
+
+    # prefix to match: last n-1 generated tokens
+    last = jax.lax.dynamic_slice(
+        sequences, (0, 0), (b, t))  # full buffer; windows below
+    idx = jnp.arange(t - n + 1)
+    # windows[b, i, :] = sequences[b, i:i+n]
+    windows = jax.vmap(
+        lambda s: jax.vmap(
+            lambda i: jax.lax.dynamic_slice(s, (i,), (n,)))(idx))(sequences)
+    prefix = jax.lax.dynamic_slice(
+        sequences, (0, jnp.maximum(cur_len - (n - 1), 0)), (b, n - 1))
+    match = jnp.all(windows[:, :, :n - 1] == prefix[:, None, :], axis=-1)
+    # windows fully inside generated region
+    inside = (idx[None, :] + n) <= cur_len
+    banned_tokens = windows[:, :, n - 1]
+    ban_mask = jnp.zeros(logits.shape, bool)
+    upd = (match & inside)[..., None] & (
+        banned_tokens[..., None] == jnp.arange(logits.shape[-1])[None, None, :])
+    ban_mask = jnp.any(upd, axis=1)
+    return jnp.where(ban_mask, NEG_INF, logits)
+
+
+def apply_bad_words_mask(logits, bad_words_mask):
+    """bad_words_mask: bool [V] or [B, V]; True = banned. The reference's
+    per-sample copy-restricted vocab (sequence_generation/model.py:195-212)
+    compiles to exactly this mask."""
+    if bad_words_mask is None:
+        return logits
+    return jnp.where(bad_words_mask, NEG_INF, logits)
+
+
+def process_logits(logits, sequences, valid_mask, cur_len, config):
+    logits = logits.astype(jnp.float32)
+    logits = apply_repetition_penalty(
+        logits, sequences, valid_mask, config.get("repetition_penalty"))
+    logits = apply_no_repeat_ngram(
+        logits, sequences, cur_len, config.get("no_repeat_ngram_size"))
+    logits = apply_min_length(
+        logits, cur_len, config.get("min_length"), config.get("eos_token_id"))
+    logits = apply_bad_words_mask(logits, config.get("bad_words_mask"))
+    return logits
+
+
+# -----------------------------------------------------------------------------
+# greedy / sampling loop
+# -----------------------------------------------------------------------------
+
+class SampleState(NamedTuple):
+    step: Any
+    sequences: Any      # [B, T]
+    valid: Any          # [B, T] 1 where real token
+    cache: Any
+    logits: Any         # [B, V] for next position
+    finished: Any       # [B]
+    rng: Any
+
+
+def greedy_or_sample(prefill, decode, params, input_ids, attention_mask,
+                     max_length, do_sample=False, temperature=1.0, top_k=0,
+                     top_p=1.0, eos_token_id=None, pad_token_id=0, rng=None,
+                     **proc_config):
+    """input_ids LEFT-padded [B, P]; returns sequences [B, max_length]."""
+    b, p = input_ids.shape
+    t = max_length
+    assert t > p, "max_length must exceed prompt length"
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    proc = dict(proc_config, eos_token_id=eos_token_id)
+
+    sequences = jnp.full((b, t), pad_token_id, jnp.int32)
+    sequences = jax.lax.dynamic_update_slice(sequences, input_ids, (0, 0))
+    valid = jnp.zeros((b, t), jnp.int32)
+    valid = jax.lax.dynamic_update_slice(valid, attention_mask, (0, 0))
+
+    logits, cache = prefill(params, input_ids, attention_mask)
+    state = SampleState(jnp.asarray(p), sequences, valid, cache, logits,
+                        jnp.zeros((b,), bool), rng)
+
+    def cond(s):
+        return (s.step < t) & ~jnp.all(s.finished)
+
+    def body(s):
+        logits = process_logits(s.logits, s.sequences, s.valid, s.step, proc)
+        if do_sample:
+            logits = apply_temperature(logits, temperature)
+            logits = apply_top_k(logits, top_k)
+            logits = apply_top_p(logits, top_p)
+            rng, sub = jax.random.split(s.rng)
+            token = jax.random.categorical(sub, logits)
+        else:
+            rng = s.rng
+            token = jnp.argmax(logits, axis=-1)
+        token = jnp.where(s.finished, pad_token_id, token).astype(jnp.int32)
+        finished = s.finished
+        if eos_token_id is not None:
+            finished = finished | (token == eos_token_id)
+        sequences = jax.lax.dynamic_update_slice(
+            s.sequences, token[:, None], (0, s.step))
+        valid = jax.lax.dynamic_update_slice(
+            s.valid, (~s.finished).astype(jnp.int32)[:, None], (0, s.step))
+        new_logits, cache = decode(params, token[:, None], s.cache)
+        return SampleState(s.step + 1, sequences, valid, cache, new_logits,
+                           finished, rng)
+
+    final = jax.lax.while_loop(cond, body, state)
+    return final.sequences, final.valid
+
+
+# -----------------------------------------------------------------------------
+# beam search
+# -----------------------------------------------------------------------------
+
+class BeamState(NamedTuple):
+    step: Any
+    live_seqs: Any       # [B, K, T]
+    live_scores: Any     # [B, K]
+    fin_seqs: Any        # [B, K, T]
+    fin_scores: Any      # [B, K]
+    cache: Any           # flattened [B*K, ...]
+    logits: Any          # [B*K, V]
+
+
+def _flatten_beam(x, b, k):
+    return x.reshape((b * k,) + x.shape[2:])
+
+
+def _unflatten_beam(x, b, k):
+    return x.reshape((b, k) + x.shape[1:])
+
+
+def beam_search(prefill, decode, params, input_ids, attention_mask,
+                max_length, num_beams=4, length_penalty=1.0,
+                eos_token_id=None, pad_token_id=0, early_stopping=True,
+                **proc_config):
+    """Static-shape beam search; returns best sequences [B, max_length]."""
+    b, p = input_ids.shape
+    k = num_beams
+    t = max_length
+    proc = dict(proc_config, eos_token_id=eos_token_id)
+
+    # expand inputs to beams
+    ids_bk = jnp.repeat(input_ids, k, axis=0)          # [B*K, P]
+    mask_bk = jnp.repeat(attention_mask, k, axis=0)
+    logits, cache = prefill(params, ids_bk, mask_bk)   # [B*K, V]
+
+    live_seqs = jnp.full((b, k, t), pad_token_id, jnp.int32)
+    live_seqs = jax.lax.dynamic_update_slice(
+        live_seqs, _unflatten_beam(ids_bk, b, k), (0, 0, 0))
+    # only beam 0 is live initially (identical beams would duplicate)
+    live_scores = jnp.tile(
+        jnp.array([0.0] + [NEG_INF] * (k - 1), jnp.float32), (b, 1))
+    fin_seqs = jnp.full((b, k, t), pad_token_id, jnp.int32)
+    fin_scores = jnp.full((b, k), NEG_INF, jnp.float32)
+
+    def brevity(gen_len):
+        # HF semantics: score = sum_logprobs / gen_len**length_penalty
+        return jnp.power(jnp.maximum(gen_len, 1).astype(jnp.float32),
+                         length_penalty)
+
+    state = BeamState(jnp.asarray(p), live_seqs, live_scores, fin_seqs,
+                      fin_scores, cache, logits)
+
+    def cond(s):
+        worst_fin = jnp.min(s.fin_scores, axis=1)
+        # best achievable normalised score from any live beam
+        horizon = brevity(s.step - p + 1) if early_stopping else brevity(t - p)
+        improvable = jnp.any(
+            worst_fin < jnp.max(s.live_scores, axis=1) / horizon)
+        return (s.step < t) & improvable
+
+    def body(s):
+        v = s.logits.shape[-1]
+        flat_seqs = _flatten_beam(s.live_seqs, b, k)
+        valid = (flat_seqs != pad_token_id).astype(jnp.int32)
+        logp = jax.nn.log_softmax(
+            process_logits(s.logits, flat_seqs, valid, s.step, proc), axis=-1)
+        logp = _unflatten_beam(logp, b, k)               # [B, K, V]
+        cand = s.live_scores[..., None] + logp           # [B, K, V]
+        flat = cand.reshape(b, k * v)
+        top_scores, top_idx = jax.lax.top_k(flat, 2 * k)  # [B, 2K]
+        beam_idx = top_idx // v
+        token_idx = top_idx % v
+
+        # append tokens
+        seqs = jnp.take_along_axis(s.live_seqs, beam_idx[..., None], axis=1)
+        seqs = jax.vmap(
+            lambda sq, tok, st: jax.vmap(
+                lambda row, tk: jax.lax.dynamic_update_slice(
+                    row, tk[None].astype(jnp.int32), (st,)))(sq, tok),
+            in_axes=(0, 0, None))(seqs, token_idx, s.step)  # [B, 2K, T]
+
+        is_eos = (token_idx == eos_token_id) if eos_token_id is not None \
+            else jnp.zeros_like(token_idx, bool)
+
+        # update finished pool with eos candidates
+        fin_cand_scores = jnp.where(
+            is_eos, top_scores / brevity(s.step - p + 1), NEG_INF)
+        all_fin_scores = jnp.concatenate([s.fin_scores, fin_cand_scores], 1)
+        all_fin_seqs = jnp.concatenate([s.fin_seqs, seqs], 1)
+        fin_top, fin_sel = jax.lax.top_k(all_fin_scores, k)
+        fin_seqs = jnp.take_along_axis(all_fin_seqs, fin_sel[..., None], 1)
+
+        # select top-K non-eos as new live beams
+        live_cand_scores = jnp.where(is_eos, NEG_INF, top_scores)
+        live_top, live_sel = jax.lax.top_k(live_cand_scores, k)  # [B, K]
+        live_seqs = jnp.take_along_axis(seqs, live_sel[..., None], 1)
+        chosen_beam = jnp.take_along_axis(beam_idx, live_sel, 1)  # [B, K]
+        chosen_token = jnp.take_along_axis(token_idx, live_sel, 1)
+
+        # reindex cache to chosen beams: flat index = b*K + beam
+        flat_beam = (jnp.arange(b)[:, None] * k + chosen_beam).reshape(-1)
+        cache = jax.tree.map(
+            lambda x: jnp.take(x, flat_beam, axis=1)
+            if x.ndim >= 2 and x.shape[1] == b * k
+            else (jnp.take(x, flat_beam, axis=0)
+                  if x.ndim >= 1 and x.shape[0] == b * k else x),
+            s.cache)
+
+        tok = chosen_token.reshape(b * k, 1).astype(jnp.int32)
+        new_logits, cache = decode(params, tok, cache)
+        return BeamState(s.step + 1, live_seqs, live_top, fin_seqs, fin_top,
+                         cache, new_logits)
+
+    final = jax.lax.while_loop(cond, body, state)
+
+    # fall back to best live beam when nothing finished
+    none_fin = jnp.all(final.fin_scores <= NEG_INF, axis=1)
+    best_live = jnp.take_along_axis(
+        final.live_seqs, jnp.argmax(final.live_scores, 1)[:, None, None], 1)[:, 0]
+    best_fin = jnp.take_along_axis(
+        final.fin_seqs, jnp.argmax(final.fin_scores, 1)[:, None, None], 1)[:, 0]
+    return jnp.where(none_fin[:, None], best_live, best_fin)
+
+
+# -----------------------------------------------------------------------------
+# public entry
+# -----------------------------------------------------------------------------
+
+def generate(prefill, decode, params, input_ids, attention_mask,
+             max_length=64, num_beams=1, do_sample=False, **kwargs):
+    """Dispatch to greedy / sample / beam (reference generate :644)."""
+    if num_beams > 1:
+        kwargs.pop("rng", None)
+        kwargs.pop("temperature", None)
+        kwargs.pop("top_k", None)
+        kwargs.pop("top_p", None)
+        return beam_search(prefill, decode, params, input_ids, attention_mask,
+                           max_length, num_beams=num_beams, **kwargs)
+    seqs, _ = greedy_or_sample(prefill, decode, params, input_ids,
+                               attention_mask, max_length,
+                               do_sample=do_sample, **kwargs)
+    return seqs

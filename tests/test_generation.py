@@ -1,0 +1,114 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from easynlp_tpu.modelzoo.generation_utils import (
+    apply_no_repeat_ngram,
+    apply_top_k,
+    apply_top_p,
+    generate,
+    left_pad,
+)
+from easynlp_tpu.modelzoo.models.gpt2 import GPT2Config, GPT2LMHeadModel
+from easynlp_tpu.modelzoo.models.gpt2.generation import make_gpt2_generation_fns
+
+TINY = dict(vocab_size=97, n_positions=64, n_embd=32, n_layer=2, n_head=2,
+            resid_pdrop=0.0, embd_pdrop=0.0, attn_pdrop=0.0)
+
+
+def _tiny_model():
+    cfg = GPT2Config(**TINY)
+    m = GPT2LMHeadModel.from_config(cfg, dtype=jnp.float32)
+    rng = jax.random.PRNGKey(0)
+    params = m.init({"params": rng, "dropout": rng},
+                    input_ids=jnp.ones((1, 4), jnp.int32),
+                    deterministic=True)["params"]
+    from flax import linen as nn
+    return m, nn.unbox(params)
+
+
+def test_left_pad():
+    ids, mask = left_pad([[1, 2, 3], [4]], pad_token_id=0, length=4)
+    np.testing.assert_array_equal(ids, [[0, 1, 2, 3], [0, 0, 0, 4]])
+    np.testing.assert_array_equal(mask, [[0, 1, 1, 1], [0, 0, 0, 1]])
+
+
+def test_top_k_top_p():
+    logits = jnp.log(jnp.array([[0.5, 0.3, 0.15, 0.05]]))
+    topk = apply_top_k(logits, 2)
+    assert np.isfinite(np.asarray(topk)[0, :2]).all()
+    assert (np.asarray(topk)[0, 2:] < -1e6).all()
+    topp = apply_top_p(logits, 0.75)
+    kept = np.asarray(topp)[0] > -1e6
+    np.testing.assert_array_equal(kept, [True, True, False, False])
+
+
+def test_no_repeat_ngram():
+    # sequence buffer [1,2,3,1,2,?] with cur_len=5, ngram=3: prefix (1,2)
+    # matched at position 0 → token 3 banned
+    seqs = jnp.array([[1, 2, 3, 1, 2, 0, 0, 0]])
+    logits = jnp.zeros((1, 10))
+    out = apply_no_repeat_ngram(logits, seqs, jnp.asarray(5), 3)
+    out = np.asarray(out)[0]
+    assert out[3] < -1e6
+    assert (out[np.arange(10) != 3] > -1e6).all()
+
+
+def test_cached_decode_matches_full_forward():
+    """Prefill+decode logits must equal uncached full-sequence logits."""
+    m, params = _tiny_model()
+    ids = np.random.RandomState(0).randint(1, 97, (2, 10)).astype(np.int32)
+    full = m.apply({"params": params}, input_ids=jnp.asarray(ids),
+                   deterministic=True)["logits"]
+    prefill, decode = make_gpt2_generation_fns(m, max_length=16)
+    mask = np.ones((2, 10), np.int32)
+    logits_p, cache = prefill(params, jnp.asarray(ids[:, :9]),
+                              jnp.asarray(mask[:, :9]))
+    np.testing.assert_allclose(np.asarray(logits_p),
+                               np.asarray(full[:, 8]), atol=2e-4)
+    logits_d, cache = decode(params, jnp.asarray(ids[:, 9:10]), cache)
+    np.testing.assert_allclose(np.asarray(logits_d),
+                               np.asarray(full[:, 9]), atol=2e-4)
+
+
+def test_greedy_generation_runs_and_is_deterministic():
+    m, params = _tiny_model()
+    prefill, decode = make_gpt2_generation_fns(m, max_length=20)
+    pids, pmask = left_pad([[5, 6, 7], [8, 9]], pad_token_id=0, length=4)
+    seqs1 = generate(prefill, decode, params, jnp.asarray(pids),
+                     jnp.asarray(pmask), max_length=20, pad_token_id=0)
+    seqs2 = generate(prefill, decode, params, jnp.asarray(pids),
+                     jnp.asarray(pmask), max_length=20, pad_token_id=0)
+    np.testing.assert_array_equal(np.asarray(seqs1), np.asarray(seqs2))
+    assert seqs1.shape == (2, 20)
+
+
+def test_beam_generation_runs():
+    m, params = _tiny_model()
+    prefill, decode = make_gpt2_generation_fns(m, max_length=16)
+    pids, pmask = left_pad([[5, 6, 7], [8, 9]], pad_token_id=0, length=4)
+    seqs = generate(prefill, decode, params, jnp.asarray(pids),
+                    jnp.asarray(pmask), max_length=16, num_beams=3,
+                    eos_token_id=96, pad_token_id=0)
+    assert seqs.shape == (2, 16)
+
+
+def test_gpt2_parity_vs_torch():
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+    hf_cfg = transformers.GPT2Config(**TINY)
+    torch.manual_seed(0)
+    hf = transformers.GPT2LMHeadModel(hf_cfg).eval()
+    from easynlp_tpu.modelzoo.models.gpt2.conversion import (
+        convert_gpt2_state_dict)
+    cfg = GPT2Config(**TINY)
+    m = GPT2LMHeadModel.from_config(cfg, dtype=jnp.float32)
+    params = convert_gpt2_state_dict(
+        {k: v.numpy() for k, v in hf.state_dict().items()}, cfg)
+    ids = np.random.RandomState(0).randint(0, 97, (2, 12))
+    with torch.no_grad():
+        ref = hf(input_ids=torch.tensor(ids)).logits.numpy()
+    out = m.apply({"params": params}, input_ids=jnp.asarray(ids),
+                  deterministic=True)
+    np.testing.assert_allclose(np.asarray(out["logits"]), ref, atol=3e-4)
