@@ -31,6 +31,11 @@ DATASET_REGISTRY = {
     "text_classify": {
         "default": _lazy("easynlp_tpu.appzoo.sequence_classification.data",
                          "ClassificationDataset"),
+        "enable_distillation": _lazy(
+            "easynlp_tpu.distillation.distill_dataset",
+            "DistillatoryClassificationDataset"),
+        "enable_fewshot": _lazy(
+            "easynlp_tpu.fewshot_learning.fewshot_dataset", "FewshotDataset"),
     },
     "text_match": {
         "default": _lazy("easynlp_tpu.appzoo.text_match.data",
@@ -54,6 +59,19 @@ DATASET_REGISTRY = {
         "default": _lazy("easynlp_tpu.appzoo.language_modeling.data",
                          "LanguageModelingDataset"),
     },
+    "machine_reading_comprehension": {
+        "default": _lazy(
+            "easynlp_tpu.appzoo.machine_reading_comprehension.data",
+            "MRCDataset"),
+    },
+    "information_extraction": {
+        "default": _lazy("easynlp_tpu.appzoo.information_extraction.data",
+                         "InformationExtractionDataset"),
+    },
+    "geep_classify": {
+        "default": _lazy("easynlp_tpu.appzoo.sequence_classification.data",
+                         "ClassificationDataset"),
+    },
 }
 
 MODEL_REGISTRY = {
@@ -62,6 +80,12 @@ MODEL_REGISTRY = {
                          "SequenceClassification"),
         "multi_label": _lazy("easynlp_tpu.appzoo.sequence_classification.model",
                              "SequenceMultiLabelClassification"),
+        "enable_distillation": _lazy(
+            "easynlp_tpu.distillation.distill_application",
+            "DistillatorySequenceClassification"),
+        "enable_fewshot": _lazy(
+            "easynlp_tpu.fewshot_learning.fewshot_application",
+            "FewshotClassification"),
     },
     "text_match": {
         "default": _lazy("easynlp_tpu.appzoo.text_match.model", "TextMatch"),
@@ -84,6 +108,19 @@ MODEL_REGISTRY = {
         "default": _lazy("easynlp_tpu.appzoo.language_modeling.model",
                          "LanguageModeling"),
     },
+    "machine_reading_comprehension": {
+        "default": _lazy(
+            "easynlp_tpu.appzoo.machine_reading_comprehension.model",
+            "MachineReadingComprehension"),
+    },
+    "information_extraction": {
+        "default": _lazy("easynlp_tpu.appzoo.information_extraction.model",
+                         "InformationExtractionModel"),
+    },
+    "geep_classify": {
+        "default": _lazy("easynlp_tpu.appzoo.geep_classification.model",
+                         "GEEPClassification"),
+    },
 }
 
 EVALUATOR_REGISTRY = {
@@ -104,6 +141,19 @@ EVALUATOR_REGISTRY = {
     "language_modeling": {
         "default": _lazy("easynlp_tpu.appzoo.language_modeling.evaluator",
                          "LanguageModelingEvaluator"),
+    },
+    "machine_reading_comprehension": {
+        "default": _lazy(
+            "easynlp_tpu.appzoo.machine_reading_comprehension.evaluator",
+            "MRCEvaluator"),
+    },
+    "information_extraction": {
+        "default": _lazy("easynlp_tpu.appzoo.information_extraction.evaluator",
+                         "InformationExtractionEvaluator"),
+    },
+    "geep_classify": {
+        "default": _lazy("easynlp_tpu.appzoo.sequence_classification.evaluator",
+                         "SequenceClassificationEvaluator"),
     },
 }
 
@@ -129,6 +179,19 @@ PREDICTOR_REGISTRY = {
     "data_augmentation": {
         "default": _lazy("easynlp_tpu.appzoo.data_augmentation.predictor",
                          "DataAugmentationPredictor"),
+    },
+    "machine_reading_comprehension": {
+        "default": _lazy(
+            "easynlp_tpu.appzoo.machine_reading_comprehension.predictor",
+            "MRCPredictor"),
+    },
+    "information_extraction": {
+        "default": _lazy("easynlp_tpu.appzoo.information_extraction.predictor",
+                         "InformationExtractionPredictor"),
+    },
+    "geep_classify": {
+        "default": _lazy("easynlp_tpu.appzoo.sequence_classification.predictor",
+                         "SequenceClassificationPredictor"),
     },
 }
 
@@ -200,6 +263,7 @@ def default_main_fn(args=None):
         label_name=args.label_name,
         label_enumerate_values=args.label_enumerate_values,
         multi_label=bool(udp.get("multi_label")),
+        user_defined_parameters=udp,
         process_index=args.process_index,
         num_processes=args.num_processes,
     )

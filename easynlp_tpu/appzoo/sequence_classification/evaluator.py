@@ -24,7 +24,8 @@ class SequenceClassificationEvaluator(Evaluator):
             valid = batch.pop("_valid")
             out = jax.device_get(self.forward(app, batch))
             keep = valid.astype(bool)
-            logits_all.append(np.asarray(out["logits"])[keep])
+            # bf16 ml_dtypes arrays break sklearn — force fp32
+            logits_all.append(np.asarray(out["logits"]).astype(np.float32)[keep])
             labels_all.append(batch["label_ids"][keep])
             n += int(keep.sum())
         elapsed = time.time() - t0

@@ -124,6 +124,7 @@ class BertLayer(nn.Module):
     config: Any
     dtype: Any = jnp.float32
     deterministic: bool = True
+    collect_hidden: bool = False
 
     @nn.compact
     def __call__(self, carry, _=None):
@@ -142,7 +143,8 @@ class BertLayer(nn.Module):
         mlp = nn.Dropout(c.hidden_dropout_prob)(
             mlp, deterministic=self.deterministic)
         hidden = _layer_norm(c, name="output_ln")(hidden + mlp).astype(self.dtype)
-        return (hidden, kv_mask), None
+        ys = hidden if self.collect_hidden else None
+        return (hidden, kv_mask), ys
 
 
 REMAT_POLICIES = {
@@ -160,6 +162,7 @@ class BertEncoder(nn.Module):
     config: Any
     dtype: Any = jnp.float32
     remat: str = "none"
+    output_hidden_states: bool = False
 
     @nn.compact
     def __call__(self, hidden, kv_mask, deterministic):
@@ -175,10 +178,13 @@ class BertEncoder(nn.Module):
             length=c.num_hidden_layers,
             metadata_params={nn.PARTITION_NAME: "layers"},
         )
-        (hidden, _), _ = scan(config=c, dtype=self.dtype,
-                              deterministic=deterministic,
-                              name="layers")((hidden, kv_mask))
-        return hidden
+        (hidden, _), all_hidden = scan(
+            config=c, dtype=self.dtype, deterministic=deterministic,
+            collect_hidden=self.output_hidden_states,
+            name="layers")((hidden, kv_mask))
+        if self.output_hidden_states:
+            return hidden, all_hidden  # all_hidden: [L, B, S, E]
+        return hidden, None
 
 
 class BertPooler(nn.Module):
@@ -198,6 +204,7 @@ class BertModel(BaseModule):
 
     add_pooling_layer: bool = True
     remat: str = "none"
+    output_hidden_states: bool = False
 
     @nn.compact
     def __call__(self, input_ids, attention_mask=None, token_type_ids=None,
@@ -214,9 +221,13 @@ class BertModel(BaseModule):
         hidden = BertEmbeddings(self.config, dtype=self.dtype,
                                 name="embeddings")(
             input_ids, token_type_ids, position_ids, deterministic)
-        hidden = BertEncoder(self.config, dtype=self.dtype, remat=self.remat,
-                             name="encoder")(hidden, kv_mask, deterministic)
+        hidden, all_hidden = BertEncoder(
+            self.config, dtype=self.dtype, remat=self.remat,
+            output_hidden_states=self.output_hidden_states,
+            name="encoder")(hidden, kv_mask, deterministic)
         out = {"last_hidden_state": hidden}
+        if self.output_hidden_states:
+            out["hidden_states"] = all_hidden  # [L, B, S, E]
         if self.add_pooling_layer:
             out["pooler_output"] = BertPooler(self.config, dtype=self.dtype,
                                               name="pooler")(hidden)

@@ -1,0 +1,63 @@
+"""pipeline() inference factory.
+
+Capability parity: reference easynlp/pipelines/__init__.py — task registry
+(SUPPORTED_TASKS :39-110), pipeline(task_or_model) factory (:112-150). The
+remote app-model fetch (:200-249) resolves locally in this zero-egress
+environment via get_pretrain_model_path.
+"""
+
+from easynlp_tpu.pipelines.implementation import Pipeline
+
+SUPPORTED_TASKS = {
+    "text_classify": {
+        "impl": "easynlp_tpu.appzoo.sequence_classification.predictor:"
+                "SequenceClassificationPredictor",
+        "app": "text_classify",
+    },
+    "text_match": {
+        "impl": "easynlp_tpu.appzoo.text_match.predictor:TextMatchPredictor",
+        "app": "text_match",
+    },
+    "sequence_labeling": {
+        "impl": "easynlp_tpu.appzoo.sequence_labeling.predictor:"
+                "SequenceLabelingPredictor",
+        "app": "sequence_labeling",
+    },
+    "vectorization": {
+        "impl": "easynlp_tpu.appzoo.feature_vectorization.predictor:"
+                "FeatureVectorizationPredictor",
+        "app": "vectorization",
+    },
+    "data_augmentation": {
+        "impl": "easynlp_tpu.appzoo.data_augmentation.predictor:"
+                "DataAugmentationPredictor",
+        "app": "data_augmentation",
+    },
+}
+
+
+def pipeline(task_or_model_path, model_path=None, **kwargs):
+    """pipeline('text_classify', model_path=...) or pipeline(model_dir) with
+    the task inferred from the saved train_config.json."""
+    import json
+    import os
+
+    from easynlp_tpu.utils import get_pretrain_model_path
+    from easynlp_tpu.utils.io_utils import io
+
+    if task_or_model_path in SUPPORTED_TASKS:
+        task = task_or_model_path
+        if model_path is None:
+            raise ValueError("pipeline(%r) needs model_path=" % task)
+    else:
+        model_path = task_or_model_path
+        cfg = os.path.join(get_pretrain_model_path(model_path),
+                           "train_config.json")
+        if not io.exists(cfg):
+            raise ValueError(
+                "cannot infer task: %s has no train_config.json" % model_path)
+        with io.open(cfg) as f:
+            task = json.load(f).get("app_name")
+        if task not in SUPPORTED_TASKS:
+            raise KeyError("task %r not in SUPPORTED_TASKS" % task)
+    return Pipeline(task, get_pretrain_model_path(model_path), **kwargs)
