@@ -72,6 +72,9 @@ DATASET_REGISTRY = {
         "default": _lazy("easynlp_tpu.appzoo.sequence_classification.data",
                          "ClassificationDataset"),
     },
+    "clip": {
+        "default": _lazy("easynlp_tpu.appzoo.clip.data", "CLIPDataset"),
+    },
 }
 
 MODEL_REGISTRY = {
@@ -121,6 +124,9 @@ MODEL_REGISTRY = {
         "default": _lazy("easynlp_tpu.appzoo.geep_classification.model",
                          "GEEPClassification"),
     },
+    "clip": {
+        "default": _lazy("easynlp_tpu.appzoo.clip.model", "CLIPApp"),
+    },
 }
 
 EVALUATOR_REGISTRY = {
@@ -154,6 +160,9 @@ EVALUATOR_REGISTRY = {
     "geep_classify": {
         "default": _lazy("easynlp_tpu.appzoo.sequence_classification.evaluator",
                          "SequenceClassificationEvaluator"),
+    },
+    "clip": {
+        "default": _lazy("easynlp_tpu.appzoo.clip.evaluator", "CLIPEvaluator"),
     },
 }
 
@@ -192,6 +201,9 @@ PREDICTOR_REGISTRY = {
     "geep_classify": {
         "default": _lazy("easynlp_tpu.appzoo.sequence_classification.predictor",
                          "SequenceClassificationPredictor"),
+    },
+    "clip": {
+        "default": _lazy("easynlp_tpu.appzoo.clip.predictor", "CLIPPredictor"),
     },
 }
 

@@ -31,6 +31,7 @@ from easynlp_tpu.ops.attention import attention
 ACT2FN = {
     "gelu": lambda x: nn.gelu(x, approximate=False),
     "gelu_new": lambda x: nn.gelu(x, approximate=True),
+    "quick_gelu": lambda x: x * nn.sigmoid(1.702 * x),
     "relu": nn.relu,
     "swish": nn.swish,
     "silu": nn.silu,
