@@ -75,6 +75,10 @@ DATASET_REGISTRY = {
     "clip": {
         "default": _lazy("easynlp_tpu.appzoo.clip.data", "CLIPDataset"),
     },
+    "sequence_generation": {
+        "default": _lazy("easynlp_tpu.appzoo.sequence_generation.data",
+                         "SequenceGenerationDataset"),
+    },
 }
 
 MODEL_REGISTRY = {
@@ -127,6 +131,10 @@ MODEL_REGISTRY = {
     "clip": {
         "default": _lazy("easynlp_tpu.appzoo.clip.model", "CLIPApp"),
     },
+    "sequence_generation": {
+        "default": _lazy("easynlp_tpu.appzoo.sequence_generation.model",
+                         "SequenceGeneration"),
+    },
 }
 
 EVALUATOR_REGISTRY = {
@@ -163,6 +171,10 @@ EVALUATOR_REGISTRY = {
     },
     "clip": {
         "default": _lazy("easynlp_tpu.appzoo.clip.evaluator", "CLIPEvaluator"),
+    },
+    "sequence_generation": {
+        "default": _lazy("easynlp_tpu.appzoo.sequence_generation.evaluator",
+                         "SequenceGenerationEvaluator"),
     },
 }
 
@@ -204,6 +216,10 @@ PREDICTOR_REGISTRY = {
     },
     "clip": {
         "default": _lazy("easynlp_tpu.appzoo.clip.predictor", "CLIPPredictor"),
+    },
+    "sequence_generation": {
+        "default": _lazy("easynlp_tpu.appzoo.sequence_generation.predictor",
+                         "SequenceGenerationPredictor"),
     },
 }
 

@@ -1,0 +1,136 @@
+"""Sequence generation application.
+
+Capability parity: reference easynlp/appzoo/sequence_generation/model.py —
+seq2seq & LM generation over BART/T5/mT5/Pegasus/Randeng/GPT-2 backbones with
+copy-constrained beam search (:181-229 — the per-sample bad-words restriction
+compiles to a static vocab mask here).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from easynlp_tpu.appzoo.application import Application
+from easynlp_tpu.utils import losses
+
+BACKBONES = {
+    "t5": ("easynlp_tpu.modelzoo.models.t5", "T5Config",
+           "T5ForConditionalGeneration"),
+    "mt5": ("easynlp_tpu.modelzoo.models.t5", "MT5Config",
+            "T5ForConditionalGeneration"),
+    "bart": ("easynlp_tpu.modelzoo.models.bart", "BartConfig",
+             "BartForConditionalGeneration"),
+    "pegasus": ("easynlp_tpu.modelzoo.models.bart", "PegasusConfig",
+                "BartForConditionalGeneration"),
+    "randeng": ("easynlp_tpu.modelzoo.models.bart", "RandengConfig",
+                "BartForConditionalGeneration"),
+    "gpt2": ("easynlp_tpu.modelzoo.models.gpt2", "GPT2Config",
+             "GPT2LMHeadModel"),
+}
+
+
+def _load_backbone(model_type):
+    import importlib
+    mod, cfg_name, cls_name = BACKBONES[model_type]
+    m = importlib.import_module(mod)
+    return getattr(m, cfg_name), getattr(m, cls_name)
+
+
+class SequenceGeneration(Application):
+    model_input_keys = ("input_ids", "attention_mask", "decoder_input_ids",
+                        "decoder_attention_mask")
+
+    def sample_inputs(self):
+        if self.config.is_encoder_decoder:
+            return {"input_ids": jnp.ones((1, 8), jnp.int32),
+                    "decoder_input_ids": jnp.ones((1, 4), jnp.int32)}
+        return {"input_ids": jnp.ones((1, 8), jnp.int32)}
+
+    @staticmethod
+    def loss_fn(outputs, batch):
+        """Teacher-forced CE over decoder labels (-100 on pads)."""
+        return {"loss": losses.cross_entropy(
+            outputs["logits"], batch["labels"], ignore_index=-100)}
+
+    @classmethod
+    def load_config(cls, model_dir, **kwargs):
+        import json
+        import os
+
+        from easynlp_tpu.utils import get_pretrain_model_path
+        from easynlp_tpu.utils.io_utils import io
+        path = get_pretrain_model_path(model_dir)
+        with io.open(os.path.join(path, "config.json")) as f:
+            d = json.load(f)
+        cfg_cls, _ = _load_backbone(d.get("model_type", "t5"))
+        return cfg_cls.from_pretrained(path)
+
+    @classmethod
+    def build_module(cls, config, args=None, dtype=jnp.float32, **kwargs):
+        _, model_cls = _load_backbone(config.model_type)
+        remat = getattr(args, "remat", "none") if args else "none"
+        return model_cls(config=config, dtype=dtype, remat=remat)
+
+    @classmethod
+    def init_params(cls, module, config, seed=0):
+        from flax import linen as nn
+        rng = jax.random.PRNGKey(seed)
+        kwargs = {"input_ids": jnp.ones((1, 8), jnp.int32)}
+        if config.is_encoder_decoder:
+            kwargs["decoder_input_ids"] = jnp.ones((1, 4), jnp.int32)
+        variables = module.init({"params": rng, "dropout": rng},
+                                deterministic=True, **kwargs)
+        return nn.unbox(variables["params"])
+
+    @classmethod
+    def convert_pytorch_state_dict(cls, state_dict, config):
+        mt = config.model_type
+        if mt in ("t5", "mt5"):
+            from easynlp_tpu.modelzoo.models.t5.conversion import (
+                convert_t5_state_dict)
+            return convert_t5_state_dict(state_dict, config)
+        if mt in ("bart", "pegasus", "randeng"):
+            from easynlp_tpu.modelzoo.models.bart.conversion import (
+                convert_bart_state_dict)
+            return convert_bart_state_dict(state_dict, config)
+        if mt == "gpt2":
+            from easynlp_tpu.modelzoo.models.gpt2.conversion import (
+                convert_gpt2_state_dict)
+            return convert_gpt2_state_dict(state_dict, config)
+        raise NotImplementedError(mt)
+
+    # -- generation -----------------------------------------------------------
+    def generate(self, src_ids, src_mask, max_length=64, num_beams=1,
+                 do_sample=False, copy_constrained=False, **kwargs):
+        """copy_constrained: restrict the output vocabulary to tokens present
+        in the source (+ specials) — the reference's copy-restricted beam
+        search as a static vocab mask."""
+        if copy_constrained:
+            v = self.config.vocab_size
+            allowed = np.zeros((src_ids.shape[0], v), bool)
+            src_np = np.asarray(src_ids)
+            for i, row in enumerate(src_np):
+                allowed[i, row] = True
+            for tid in (self.config.eos_token_id, self.config.pad_token_id,
+                        getattr(self.config, "decoder_start_token_id", None)):
+                if tid is not None:
+                    allowed[:, tid] = True
+            if num_beams > 1:  # beam search flattens to [B*K, V]
+                allowed = np.repeat(allowed, num_beams, axis=0)
+            kwargs["bad_words_mask"] = jnp.asarray(~allowed)
+        if self.config.is_encoder_decoder:
+            from easynlp_tpu.modelzoo.seq2seq_generation import (
+                encoder_decoder_generate)
+            return encoder_decoder_generate(
+                self.module, self.params, src_ids, src_mask,
+                max_length=max_length, num_beams=num_beams,
+                do_sample=do_sample, **kwargs)
+        from easynlp_tpu.modelzoo.generation_utils import generate
+        from easynlp_tpu.modelzoo.models.gpt2.generation import (
+            make_gpt2_generation_fns)
+        prefill, decode = make_gpt2_generation_fns(self.module, max_length)
+        kwargs.setdefault("eos_token_id", self.config.eos_token_id)
+        kwargs.setdefault("pad_token_id", self.config.pad_token_id or 0)
+        return generate(prefill, decode, self.params, src_ids, src_mask,
+                        max_length=max_length, num_beams=num_beams,
+                        do_sample=do_sample, **kwargs)

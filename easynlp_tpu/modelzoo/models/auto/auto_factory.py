@@ -23,18 +23,39 @@ CONFIG_MAPPING = {
     "bert": _lazy("easynlp_tpu.modelzoo.models.bert", "BertConfig"),
     "roberta": _lazy("easynlp_tpu.modelzoo.models.bert", "RobertaConfig"),
     "gpt2": _lazy("easynlp_tpu.modelzoo.models.gpt2", "GPT2Config"),
+    "t5": _lazy("easynlp_tpu.modelzoo.models.t5", "T5Config"),
+    "mt5": _lazy("easynlp_tpu.modelzoo.models.t5", "MT5Config"),
+    "bart": _lazy("easynlp_tpu.modelzoo.models.bart", "BartConfig"),
+    "pegasus": _lazy("easynlp_tpu.modelzoo.models.bart", "PegasusConfig"),
+    "randeng": _lazy("easynlp_tpu.modelzoo.models.bart", "RandengConfig"),
+    "clip": _lazy("easynlp_tpu.modelzoo.models.clip", "CLIPConfig"),
 }
 
 MODEL_MAPPING = {
     "bert": _lazy("easynlp_tpu.modelzoo.models.bert", "BertModel"),
     "roberta": _lazy("easynlp_tpu.modelzoo.models.bert", "BertModel"),
     "gpt2": _lazy("easynlp_tpu.modelzoo.models.gpt2", "GPT2LMHeadModel"),
+    "t5": _lazy("easynlp_tpu.modelzoo.models.t5", "T5ForConditionalGeneration"),
+    "mt5": _lazy("easynlp_tpu.modelzoo.models.t5", "T5ForConditionalGeneration"),
+    "bart": _lazy("easynlp_tpu.modelzoo.models.bart",
+                  "BartForConditionalGeneration"),
+    "pegasus": _lazy("easynlp_tpu.modelzoo.models.bart",
+                     "BartForConditionalGeneration"),
+    "randeng": _lazy("easynlp_tpu.modelzoo.models.bart",
+                     "BartForConditionalGeneration"),
+    "clip": _lazy("easynlp_tpu.modelzoo.models.clip", "CLIPModel"),
 }
 
 TOKENIZER_MAPPING = {
     "bert": _lazy("easynlp_tpu.modelzoo.models.bert", "BertTokenizer"),
     "roberta": _lazy("easynlp_tpu.modelzoo.models.bert", "BertTokenizer"),
     "gpt2": _lazy("easynlp_tpu.modelzoo.models.gpt2", "GPT2Tokenizer"),
+    "t5": _lazy("easynlp_tpu.modelzoo.models.bert", "BertTokenizer"),
+    "mt5": _lazy("easynlp_tpu.modelzoo.models.bert", "BertTokenizer"),
+    "bart": _lazy("easynlp_tpu.modelzoo.models.gpt2", "GPT2Tokenizer"),
+    "pegasus": _lazy("easynlp_tpu.modelzoo.models.bert", "BertTokenizer"),
+    "randeng": _lazy("easynlp_tpu.modelzoo.models.bert", "BertTokenizer"),
+    "clip": _lazy("easynlp_tpu.modelzoo.models.bert", "BertTokenizer"),
 }
 
 

@@ -1,0 +1,65 @@
+"""Encoder-decoder prefill/decode adapters (T5/BART/Pegasus/Randeng) for generation_utils.
+
+Encoder-decoder generation: the 'prompt' fed to generation_utils is just the
+decoder start token ([B,1]); the source sentence is closed over, encoded once
+in prefill, and its encoding is repeated across beams automatically (prefill
+sees [B·K, 1] ids under beam search)."""
+
+import jax
+import jax.numpy as jnp
+
+
+def make_encoder_decoder_fns(module, max_length, src_ids, src_mask,
+                           cache_dtype=None):
+    def prefill(params, decoder_start_ids, decoder_start_mask):
+        bk = decoder_start_ids.shape[0]
+        b = src_ids.shape[0]
+        k = bk // b
+        enc = module.apply({"params": params}, src_ids, src_mask,
+                           method=module.encode)
+        enc_mask = src_mask
+        if k > 1:
+            enc = jnp.repeat(enc, k, axis=0)
+            enc_mask = jnp.repeat(src_mask, k, axis=0)
+        self_cache = module.apply({"params": params}, bk, max_length,
+                                  method=module.init_cache)
+        logits, self_cache = module.apply(
+            {"params": params}, decoder_start_ids, enc, enc_mask,
+            cache=self_cache, cache_index=jnp.zeros((), jnp.int32),
+            positions=jnp.zeros((1,), jnp.int32),
+            method=module.decode)
+        state = {"self": self_cache, "enc": enc, "enc_mask": enc_mask,
+                 "index": jnp.ones((), jnp.int32)}
+        return logits[:, -1].astype(jnp.float32), state
+
+    def decode(params, token, state):
+        logits, self_cache = module.apply(
+            {"params": params}, token, state["enc"], state["enc_mask"],
+            cache=state["self"], cache_index=state["index"],
+            positions=state["index"][None],
+            method=module.decode)
+        new_state = {"self": self_cache, "enc": state["enc"],
+                     "enc_mask": state["enc_mask"],
+                     "index": state["index"] + 1}
+        return logits[:, -1].astype(jnp.float32), new_state
+
+    return prefill, decode
+
+
+def encoder_decoder_generate(module, params, src_ids, src_mask, max_length=64,
+                num_beams=1, do_sample=False, **kwargs):
+    """Convenience wrapper: source → generated decoder ids [B, max_length]."""
+    import numpy as np
+
+    from easynlp_tpu.modelzoo.generation_utils import generate
+
+    b = src_ids.shape[0]
+    start = jnp.full((b, 1), module.config.decoder_start_token_id, jnp.int32)
+    start_mask = jnp.ones((b, 1), jnp.int32)
+    prefill, decode = make_encoder_decoder_fns(module, max_length, src_ids,
+                                             src_mask)
+    kwargs.setdefault("eos_token_id", module.config.eos_token_id)
+    kwargs.setdefault("pad_token_id", module.config.pad_token_id)
+    return generate(prefill, decode, params, start, start_mask,
+                    max_length=max_length, num_beams=num_beams,
+                    do_sample=do_sample, **kwargs)
