@@ -1,0 +1,215 @@
+"""Latent diffusion application.
+
+Capability parity: reference easynlp/appzoo/latent_diffusion/model.py —
+training forward = VAE-encode → random timestep → q_sample noising → UNet
+noise prediction, loss = l1/l2 vs noise (:127-182); predict = DDIM sampling
+with classifier-free guidance + VAE decode (:144-168). The ESRGAN
+super-resolution stage and StableDiffusion wrapper (:184-287) are follow-ups.
+"""
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from easynlp_tpu.appzoo.application import Application
+from easynlp_tpu.modelzoo.configuration_utils import PretrainedConfig
+from easynlp_tpu.modelzoo.models.bert import BertConfig, BertModel
+from easynlp_tpu.modelzoo.models.latent_diffusion.autoencoder import (
+    VAEDecoder,
+    VAEEncoder,
+)
+from easynlp_tpu.modelzoo.models.latent_diffusion.ddim import (
+    DiffusionSchedule,
+    ddim_sample,
+)
+from easynlp_tpu.modelzoo.models.latent_diffusion.unet import UNetModel
+
+
+class LDMConfig(PretrainedConfig):
+    model_type = "latent_diffusion"
+
+    def __init__(self, image_size=256, latent_channels=4, model_channels=128,
+                 channel_mult=(1, 2, 4), num_res_blocks=2,
+                 attention_levels=(1, 2), num_heads=8, context_dim=768,
+                 vae_channels=64, vae_channel_mult=(1, 2, 4),
+                 vae_num_res_blocks=1, num_train_timesteps=1000,
+                 scale_factor=0.18215, text_config=None, loss_type="l2",
+                 **kwargs):
+        self.image_size = image_size
+        self.latent_channels = latent_channels
+        self.model_channels = model_channels
+        self.channel_mult = tuple(channel_mult)
+        self.num_res_blocks = num_res_blocks
+        self.attention_levels = tuple(attention_levels)
+        self.num_heads = num_heads
+        self.context_dim = context_dim
+        self.in_channels = latent_channels
+        self.out_channels = latent_channels
+        self.vae_channels = vae_channels
+        self.vae_channel_mult = tuple(vae_channel_mult)
+        self.vae_num_res_blocks = vae_num_res_blocks
+        self.num_train_timesteps = num_train_timesteps
+        self.scale_factor = scale_factor
+        self.loss_type = loss_type
+        self.text_config_dict = text_config or {}
+        super().__init__(**kwargs)
+
+    @property
+    def text_config(self):
+        return BertConfig(**self.text_config_dict)
+
+
+class LDMModule(nn.Module):
+    """Holds all towers; exposes functional sub-methods the app jits."""
+
+    config: Any
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        c = self.config
+        self.unet = UNetModel(config=c, dtype=self.dtype)
+        self.vae_encoder = VAEEncoder(config=c, dtype=self.dtype)
+        self.vae_decoder = VAEDecoder(config=c, dtype=self.dtype)
+        self.text_encoder = BertModel(c.text_config, dtype=self.dtype,
+                                      add_pooling_layer=False)
+
+    def encode_text(self, input_ids, attention_mask=None, deterministic=True):
+        out = self.text_encoder(input_ids, attention_mask=attention_mask,
+                                deterministic=deterministic)
+        return out["last_hidden_state"]
+
+    def encode_image(self, pixels, rng=None):
+        mean, logvar = self.vae_encoder(pixels)
+        if rng is not None:
+            std = jnp.exp(0.5 * logvar)
+            mean = mean + std * jax.random.normal(rng, mean.shape)
+        return mean * self.config.scale_factor
+
+    def decode_latents(self, latents):
+        return self.vae_decoder(latents / self.config.scale_factor)
+
+    def predict_noise(self, noisy_latents, timesteps, context,
+                      deterministic=True):
+        return self.unet(noisy_latents, timesteps, context=context,
+                         deterministic=deterministic)
+
+    def __call__(self, pixel_values, input_ids, attention_mask=None,
+                 timesteps=None, deterministic=True):
+        """Full-graph forward touching every tower (used for init & export)."""
+        context = self.encode_text(input_ids, attention_mask, deterministic)
+        latents = self.encode_image(pixel_values)
+        if timesteps is None:
+            timesteps = jnp.zeros((latents.shape[0],), jnp.int32)
+        pred = self.predict_noise(latents, timesteps, context, deterministic)
+        decoded = self.decode_latents(latents)
+        return {"context": context, "latents": latents, "pred": pred,
+                "decoded": decoded}
+
+
+class LatentDiffusion(Application):
+    model_input_keys = ("pixel_values", "input_ids", "attention_mask")
+
+    def __init__(self, module, params, config, label_mapping=None):
+        super().__init__(module, params, config, label_mapping)
+        self.schedule = DiffusionSchedule(config.num_train_timesteps)
+
+    def sample_inputs(self):
+        c = self.config
+        return {"pixel_values": jnp.ones((1, c.image_size, c.image_size, 3),
+                                         jnp.float32),
+                "input_ids": jnp.ones((1, 8), jnp.int32)}
+
+    @classmethod
+    def init_params(cls, module, config, seed=0):
+        rng = jax.random.PRNGKey(seed)
+        variables = module.init(
+            {"params": rng, "dropout": rng},
+            pixel_values=jnp.ones((1, config.image_size, config.image_size, 3),
+                                  jnp.float32),
+            input_ids=jnp.ones((1, 8), jnp.int32),
+            timesteps=jnp.zeros((1,), jnp.int32),
+            deterministic=True)
+        return nn.unbox(variables["params"])
+
+    @classmethod
+    def load_config(cls, model_dir, **kwargs):
+        return LDMConfig.from_pretrained(model_dir)
+
+    @classmethod
+    def build_module(cls, config, args=None, dtype=jnp.float32, **kwargs):
+        return LDMModule(config=config, dtype=dtype)
+
+    # -- training -------------------------------------------------------------
+    def make_train_loss(self):
+        """Returns loss_fn(params, batch, rng) for the Trainer: VAE-encode →
+        q_sample → UNet eps-prediction → l1/l2."""
+        module, config, schedule = self.module, self.config, self.schedule
+
+        def loss_fn(params, batch, rng):
+            r_t, r_noise, r_vae, r_drop = jax.random.split(rng, 4)
+            context = module.apply(
+                {"params": params}, batch["input_ids"],
+                batch.get("attention_mask"), deterministic=False,
+                rngs={"dropout": r_drop}, method=module.encode_text)
+            latents = module.apply({"params": params}, batch["pixel_values"],
+                                   rng=r_vae, method=module.encode_image)
+            b = latents.shape[0]
+            t = jax.random.randint(r_t, (b,), 0, config.num_train_timesteps)
+            noise = jax.random.normal(r_noise, latents.shape, jnp.float32)
+            noisy = schedule.q_sample(latents, t, noise)
+            pred = module.apply({"params": params}, noisy, t, context,
+                                deterministic=False, rngs={"dropout": r_drop},
+                                method=module.predict_noise)
+            if config.loss_type == "l1":
+                loss = jnp.mean(jnp.abs(pred - noise))
+            else:
+                loss = jnp.mean((pred - noise) ** 2)
+            return loss, {"loss": loss}
+
+        return loss_fn
+
+    @staticmethod
+    def loss_fn(outputs, batch):
+        raise NotImplementedError(
+            "latent diffusion uses make_train_loss (needs rng/timesteps)")
+
+    # -- sampling -------------------------------------------------------------
+    def sample(self, input_ids, attention_mask=None, num_steps=50,
+               guidance_scale=7.5, rng=None, negative_input_ids=None):
+        """Text → images [B, H, W, 3] in [-1, 1] (DDIM + CFG + VAE decode)."""
+        module, config = self.module, self.config
+        params = self.params
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        b = input_ids.shape[0]
+        latent_hw = config.image_size // (2 ** (len(config.vae_channel_mult) - 1))
+        shape = (b, latent_hw, latent_hw, config.latent_channels)
+
+        context = module.apply({"params": params}, input_ids, attention_mask,
+                               method=module.encode_text)
+        if guidance_scale > 1.0:
+            if negative_input_ids is None:
+                negative_input_ids = jnp.full_like(input_ids,
+                                                   config.text_config.pad_token_id)
+                negative_input_ids = negative_input_ids.at[:, 0].set(101) \
+                    if config.text_config.vocab_size > 101 else negative_input_ids
+            uncond = module.apply({"params": params}, negative_input_ids,
+                                  None, method=module.encode_text)
+
+            def denoise(x, t):
+                eps_c = module.apply({"params": params}, x, t, context,
+                                     method=module.predict_noise)
+                eps_u = module.apply({"params": params}, x, t, uncond,
+                                     method=module.predict_noise)
+                return eps_u + guidance_scale * (eps_c - eps_u)
+        else:
+            def denoise(x, t):
+                return module.apply({"params": params}, x, t, context,
+                                    method=module.predict_noise)
+
+        latents = ddim_sample(denoise, shape, self.schedule,
+                              num_steps=num_steps, rng=rng)
+        images = module.apply({"params": params}, latents,
+                              method=module.decode_latents)
+        return jnp.clip(images, -1.0, 1.0)

@@ -1,0 +1,118 @@
+"""Diffusion schedules & samplers.
+
+Capability parity: reference easynlp/modelzoo/models/latent_diffusion/
+{ddpm,ddim,plms}.py — linear beta schedule, q_sample forward noising, DDIM
+deterministic sampler with classifier-free guidance, PLMS multistep variant.
+All samplers are single `lax.fori_loop`s over precomputed schedule tensors —
+one compile, no host round-trips per step (TPU speed-of-light requirement).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def linear_beta_schedule(num_timesteps=1000, beta_start=0.00085,
+                         beta_end=0.012):
+    """SD's scaled-linear schedule."""
+    return np.linspace(beta_start ** 0.5, beta_end ** 0.5,
+                       num_timesteps, dtype=np.float64) ** 2
+
+
+class DiffusionSchedule:
+    def __init__(self, num_timesteps=1000, beta_start=0.00085,
+                 beta_end=0.012):
+        self.num_timesteps = num_timesteps
+        betas = linear_beta_schedule(num_timesteps, beta_start, beta_end)
+        alphas = 1.0 - betas
+        self.alphas_cumprod = jnp.asarray(np.cumprod(alphas), jnp.float32)
+        self.sqrt_alphas_cumprod = jnp.sqrt(self.alphas_cumprod)
+        self.sqrt_one_minus = jnp.sqrt(1.0 - self.alphas_cumprod)
+
+    def q_sample(self, x0, t, noise):
+        """Forward noising (reference ddpm.py q_sample)."""
+        a = self.sqrt_alphas_cumprod[t][:, None, None, None]
+        s = self.sqrt_one_minus[t][:, None, None, None]
+        return a * x0 + s * noise
+
+
+def ddim_sample(denoise_fn, shape, schedule, num_steps=50, eta=0.0,
+                guidance_scale=1.0, rng=None, x_init=None):
+    """DDIM sampler as one fori_loop.
+
+    denoise_fn(x, t, guided: bool) → predicted noise eps [B,...]; when
+    guidance_scale > 1 the caller's denoise_fn must produce the CFG-combined
+    eps (uncond + s·(cond − uncond)) — kept inside the caller so text/image
+    conditioning stays app-specific.
+    """
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    step_indices = jnp.asarray(
+        np.linspace(0, schedule.num_timesteps - 1, num_steps,
+                    dtype=np.int64)[::-1].copy())
+    x = x_init if x_init is not None else jax.random.normal(
+        rng, shape, jnp.float32)
+    acp = schedule.alphas_cumprod
+
+    def body(i, carry):
+        x, rng = carry
+        t = step_indices[i]
+        t_prev = jnp.where(i + 1 < num_steps,
+                           step_indices[jnp.minimum(i + 1, num_steps - 1)], -1)
+        a_t = acp[t]
+        a_prev = jnp.where(t_prev >= 0, acp[jnp.maximum(t_prev, 0)], 1.0)
+        eps = denoise_fn(x, jnp.full((shape[0],), t, jnp.int32))
+        x0 = (x - jnp.sqrt(1 - a_t) * eps) / jnp.sqrt(a_t)
+        sigma = eta * jnp.sqrt((1 - a_prev) / (1 - a_t)
+                               * (1 - a_t / a_prev))
+        dir_xt = jnp.sqrt(jnp.maximum(1 - a_prev - sigma ** 2, 0.0)) * eps
+        rng, sub = jax.random.split(rng)
+        noise = jax.random.normal(sub, shape, jnp.float32)
+        x = jnp.sqrt(a_prev) * x0 + dir_xt + sigma * noise
+        return x, rng
+
+    x, _ = jax.lax.fori_loop(0, num_steps, body, (x, rng))
+    return x
+
+
+def plms_sample(denoise_fn, shape, schedule, num_steps=50, rng=None,
+                x_init=None):
+    """PLMS (pseudo linear multistep) sampler (reference plms.py): Adams-
+    Bashforth eps extrapolation over the last 4 eps values."""
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    step_indices = jnp.asarray(
+        np.linspace(0, schedule.num_timesteps - 1, num_steps,
+                    dtype=np.int64)[::-1].copy())
+    x = x_init if x_init is not None else jax.random.normal(
+        rng, shape, jnp.float32)
+    acp = schedule.alphas_cumprod
+    eps_hist = jnp.zeros((4,) + shape, jnp.float32)
+
+    def step_x(x, eps, t, t_prev):
+        a_t = acp[t]
+        a_prev = jnp.where(t_prev >= 0, acp[jnp.maximum(t_prev, 0)], 1.0)
+        x0 = (x - jnp.sqrt(1 - a_t) * eps) / jnp.sqrt(a_t)
+        return jnp.sqrt(a_prev) * x0 + jnp.sqrt(1 - a_prev) * eps
+
+    def body(i, carry):
+        x, hist, count = carry
+        t = step_indices[i]
+        t_prev = jnp.where(i + 1 < num_steps,
+                           step_indices[jnp.minimum(i + 1, num_steps - 1)], -1)
+        eps = denoise_fn(x, jnp.full((shape[0],), t, jnp.int32))
+        # multistep combination based on history depth
+        e1 = hist[0]
+        e2 = hist[1]
+        e3 = hist[2]
+        eps_prime = jnp.select(
+            [count == 0, count == 1, count == 2],
+            [eps,
+             (3 * eps - e1) / 2,
+             (23 * eps - 16 * e1 + 5 * e2) / 12],
+            (55 * eps - 59 * e1 + 37 * e2 - 9 * e3) / 24)
+        x = step_x(x, eps_prime, t, t_prev)
+        hist = jnp.concatenate([eps[None], hist[:3]], axis=0)
+        return x, hist, jnp.minimum(count + 1, 3)
+
+    x, _, _ = jax.lax.fori_loop(0, num_steps, body,
+                                (x, eps_hist, jnp.zeros((), jnp.int32)))
+    return x
