@@ -29,6 +29,25 @@ class BertTokenizer(PreTrainedTokenizer):
                 strip_accents=strip_accents)
         self.wordpiece_tokenizer = WordpieceTokenizer(
             vocab=self.vocab, unk_token=self.unk_token)
+        # native fast path (C++): exact-output WordPiece pipeline
+        self._fast = None
+        if do_basic_tokenize and not never_split and \
+                os.environ.get("EASYNLP_FAST_TOKENIZER", "1") != "0":
+            try:
+                from easynlp_tpu.data.fast_tokenizer import FastWordPiece
+                if str(vocab_file).endswith(".txt") and \
+                        os.path.exists(vocab_file):
+                    self._fast = FastWordPiece(
+                        vocab_file, do_lower_case=do_lower_case,
+                        unk_token=self.unk_token,
+                        strip_accents=strip_accents)
+            except Exception:
+                self._fast = None
+
+    def _encode_core(self, text):
+        if self._fast is not None:
+            return self._fast.encode(text)
+        return self.convert_tokens_to_ids(self.tokenize(text))
 
     @property
     def vocab_size(self):

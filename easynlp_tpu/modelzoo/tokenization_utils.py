@@ -158,10 +158,15 @@ class PreTrainedTokenizer:
                 ids_b = ids_b[:-1]
         return ids_a, ids_b
 
+    def _encode_core(self, text):
+        """Text → ids without special tokens; subclasses may route this to a
+        native fast path."""
+        return self.convert_tokens_to_ids(self.tokenize(text))
+
     def encode_plus(self, text, text_pair=None, max_length=128, padding="max_length",
                     truncation=True, add_special_tokens=True):
-        ids_a = self.convert_tokens_to_ids(self.tokenize(text))
-        ids_b = (self.convert_tokens_to_ids(self.tokenize(text_pair))
+        ids_a = self._encode_core(text)
+        ids_b = (self._encode_core(text_pair)
                  if text_pair is not None else None)
         if truncation:
             budget = max_length - (self.num_special_tokens_to_add(
