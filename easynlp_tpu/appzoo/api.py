@@ -79,6 +79,10 @@ DATASET_REGISTRY = {
         "default": _lazy("easynlp_tpu.appzoo.sequence_generation.data",
                          "SequenceGenerationDataset"),
     },
+    "open_domain_dialogue": {
+        "default": _lazy("easynlp_tpu.appzoo.sequence_generation.data",
+                         "SequenceGenerationDataset"),
+    },
 }
 
 MODEL_REGISTRY = {
@@ -131,9 +135,38 @@ MODEL_REGISTRY = {
     "clip": {
         "default": _lazy("easynlp_tpu.appzoo.clip.model", "CLIPApp"),
     },
+    "wukong_clip": {
+        "default": _lazy("easynlp_tpu.appzoo.wukong_clip.model", "WukongCLIP"),
+    },
+    "text2video_retrieval": {
+        "default": _lazy("easynlp_tpu.appzoo.text2video_retrieval.model",
+                         "Text2VideoRetrieval"),
+    },
+    "text2image_generation": {
+        "default": _lazy("easynlp_tpu.appzoo.text2image_generation.model",
+                         "TextImageGeneration"),
+    },
+    "image2text_generation": {
+        "default": _lazy("easynlp_tpu.appzoo.image2text_generation.model",
+                         "CLIPGPTImageTextGeneration"),
+        "enable_vit": _lazy("easynlp_tpu.appzoo.image2text_generation.model",
+                            "CLIPGPTImageTextGeneration"),
+    },
+    "video2text_generation": {
+        "default": _lazy("easynlp_tpu.appzoo.video2text_generation.model",
+                         "CLIPGPTFrameTextGeneration"),
+    },
+    "latent_diffusion": {
+        "default": _lazy("easynlp_tpu.appzoo.latent_diffusion.model",
+                         "LatentDiffusion"),
+    },
     "sequence_generation": {
         "default": _lazy("easynlp_tpu.appzoo.sequence_generation.model",
                          "SequenceGeneration"),
+    },
+    "open_domain_dialogue": {
+        "default": _lazy("easynlp_tpu.appzoo.open_domain_dialogue.model",
+                         "OpenDomainDialogue"),
     },
 }
 
@@ -173,6 +206,10 @@ EVALUATOR_REGISTRY = {
         "default": _lazy("easynlp_tpu.appzoo.clip.evaluator", "CLIPEvaluator"),
     },
     "sequence_generation": {
+        "default": _lazy("easynlp_tpu.appzoo.sequence_generation.evaluator",
+                         "SequenceGenerationEvaluator"),
+    },
+    "open_domain_dialogue": {
         "default": _lazy("easynlp_tpu.appzoo.sequence_generation.evaluator",
                          "SequenceGenerationEvaluator"),
     },
@@ -220,6 +257,14 @@ PREDICTOR_REGISTRY = {
     "sequence_generation": {
         "default": _lazy("easynlp_tpu.appzoo.sequence_generation.predictor",
                          "SequenceGenerationPredictor"),
+    },
+    "open_domain_dialogue": {
+        "default": _lazy("easynlp_tpu.appzoo.sequence_generation.predictor",
+                         "SequenceGenerationPredictor"),
+    },
+    "latent_diffusion": {
+        "default": _lazy("easynlp_tpu.appzoo.latent_diffusion.model",
+                         "LatentDiffusion"),
     },
 }
 

@@ -121,10 +121,13 @@ class GPT2Model(BaseModule):
     remat: str = "none"
 
     @nn.compact
-    def __call__(self, input_ids, attention_mask=None, position_ids=None,
-                 cache=None, deterministic=True):
+    def __call__(self, input_ids=None, attention_mask=None, position_ids=None,
+                 cache=None, deterministic=True, inputs_embeds=None):
         c = self.config
-        b, s = input_ids.shape
+        if inputs_embeds is not None:
+            b, s = inputs_embeds.shape[:2]
+        else:
+            b, s = input_ids.shape
         if attention_mask is None:
             attention_mask = jnp.ones((b, s), jnp.int32)
         if position_ids is None:
@@ -137,7 +140,8 @@ class GPT2Model(BaseModule):
         wpe = nn.Embed(c.n_positions, c.n_embd, param_dtype=jnp.float32,
                        embedding_init=nn.with_logical_partitioning(
                            init, ("length", "embed")), name="wpe")
-        hidden = wte(input_ids) + wpe(position_ids)
+        tok = wte(input_ids) if inputs_embeds is None else inputs_embeds
+        hidden = tok + wpe(position_ids)
         hidden = nn.Dropout(c.embd_pdrop)(hidden, deterministic=deterministic)
         hidden = hidden.astype(self.dtype)
 

@@ -1,0 +1,101 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from easynlp_tpu.testing import make_args
+
+VISION_TINY = dict(image_size=16, patch_size=8, hidden_size=16,
+                   num_hidden_layers=1, num_attention_heads=2,
+                   intermediate_size=32, hidden_act="quick_gelu")
+TEXT_TINY = dict(vocab_size=60, hidden_size=16, num_hidden_layers=1,
+                 num_attention_heads=2, intermediate_size=32,
+                 max_position_embeddings=32, hidden_dropout_prob=0.0,
+                 attention_probs_dropout_prob=0.0)
+GPT_TINY = dict(vocab_size=60, n_positions=128, n_embd=16, n_layer=1,
+                n_head=2, resid_pdrop=0.0, embd_pdrop=0.0, attn_pdrop=0.0)
+
+
+def test_clip4clip_video_retrieval():
+    make_args()
+    from easynlp_tpu.appzoo.text2video_retrieval.model import Text2VideoRetrieval
+    from easynlp_tpu.modelzoo.models.clip import CLIPConfig
+    cfg = CLIPConfig(text_config=TEXT_TINY, vision_config=VISION_TINY,
+                     projection_dim=8)
+    module = Text2VideoRetrieval.build_module(cfg, dtype=jnp.float32)
+    params = Text2VideoRetrieval.init_params(module, cfg)
+    app = Text2VideoRetrieval(module, params, cfg)
+    batch = {"input_ids": np.ones((2, 6), np.int32),
+             "attention_mask": np.ones((2, 6), np.int32),
+             "token_type_ids": np.zeros((2, 6), np.int32),
+             "pixel_values": np.random.RandomState(0).rand(
+                 2, 3, 16, 16, 3).astype(np.float32)}
+    out = app.forward(batch)
+    assert out["video_embeds"].shape == (2, 8)
+    assert out["logits_per_text"].shape == (2, 2)
+    loss = Text2VideoRetrieval.loss_fn(out, batch)["loss"]
+    assert np.isfinite(float(loss))
+
+
+def test_image_captioning():
+    make_args()
+    from easynlp_tpu.appzoo.image2text_generation.model import (
+        CLIPGPTImageTextGeneration, I2TConfig)
+    cfg = I2TConfig(vision_config=VISION_TINY, gpt_config=GPT_TINY)
+    module = CLIPGPTImageTextGeneration.build_module(cfg, dtype=jnp.float32)
+    params = CLIPGPTImageTextGeneration.init_params(module, cfg)
+    app = CLIPGPTImageTextGeneration(module, params, cfg)
+    batch = {"pixel_values": np.random.RandomState(0).rand(
+        2, 16, 16, 3).astype(np.float32),
+        "input_ids": np.ones((2, 6), np.int32),
+        "attention_mask": np.ones((2, 6), np.int32)}
+    out = app.forward(batch)
+    assert out["logits"].shape == (2, 6, 60)
+    loss = CLIPGPTImageTextGeneration.loss_fn(out, batch)["loss"]
+    assert np.isfinite(float(loss))
+
+
+def test_video_captioning():
+    make_args()
+    from easynlp_tpu.appzoo.video2text_generation.model import (
+        CLIPGPTFrameTextGeneration)
+    from easynlp_tpu.appzoo.image2text_generation.model import I2TConfig
+    cfg = I2TConfig(vision_config=VISION_TINY, gpt_config=GPT_TINY)
+    module = CLIPGPTFrameTextGeneration.build_module(cfg, dtype=jnp.float32)
+    params = CLIPGPTFrameTextGeneration.init_params(module, cfg)
+    app = CLIPGPTFrameTextGeneration(module, params, cfg)
+    batch = {"pixel_values": np.random.RandomState(0).rand(
+        2, 2, 16, 16, 3).astype(np.float32),
+        "input_ids": np.ones((2, 6), np.int32),
+        "attention_mask": np.ones((2, 6), np.int32)}
+    out = app.forward(batch)
+    assert out["logits"].shape == (2, 6, 60)
+
+
+def test_artist_text2image():
+    make_args()
+    from easynlp_tpu.appzoo.text2image_generation.model import (
+        TextImageGeneration)
+    from easynlp_tpu.modelzoo.models.artist import ARTISTConfig
+    cfg = ARTISTConfig(text_vocab_size=60, image_vocab_size=32,
+                       codebook_dim=8, vq_channels=8, vq_channel_mult=(1, 2),
+                       vq_num_res_blocks=1,
+                       gpt_config=dict(GPT_TINY, vocab_size=60 + 32))
+    module = TextImageGeneration.build_module(cfg, dtype=jnp.float32)
+    params = TextImageGeneration.init_params(module, cfg)
+    app = TextImageGeneration(module, params, cfg)
+    side = 8  # 2 levels → /2 downsample → 4x4 = 16 codes
+    batch = {"input_ids": np.ones((2, 6), np.int32),
+             "attention_mask": np.ones((2, 6), np.int32),
+             "pixel_values": np.random.RandomState(0).rand(
+                 2, side, side, 3).astype(np.float32)}
+    out = app.forward(batch)
+    n_codes = (side // 2) ** 2
+    assert out["sequence"].shape == (2, 6 + n_codes)
+    assert (np.asarray(out["image_codes"]) < 32).all()
+    loss_dict = TextImageGeneration.loss_fn(out, batch)
+    assert np.isfinite(float(loss_dict["loss"]))
+    # VQ decode roundtrip shape
+    codes = jnp.asarray(out["image_codes"]).reshape(2, side // 2, side // 2)
+    pixels = module.apply({"params": app.params}, codes,
+                          method=module.decode_codes)
+    assert pixels.shape == (2, side, side, 3)
