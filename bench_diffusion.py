@@ -31,9 +31,11 @@ def main():
     params = LatentDiffusion.init_params(module, cfg)
     app = LatentDiffusion(module, params, cfg)
     ids = jnp.ones((BATCH, 32), jnp.int32)
+    neg = jnp.zeros((BATCH, 32), jnp.int32)
+    mask = jnp.ones((BATCH, 32), jnp.int32)
 
-    sample = jax.jit(lambda rng: app.sample(ids, num_steps=STEPS,
-                                            guidance_scale=7.5, rng=rng))
+    sampler = jax.jit(app.make_sampler(num_steps=STEPS, guidance_scale=7.5))
+    sample = lambda rng: sampler(app.params, ids, mask, neg, rng)
     imgs = sample(jax.random.PRNGKey(0))
     float(imgs[0, 0, 0, 0])  # fence (block_until_ready unreliable on axon)
 

@@ -176,40 +176,51 @@ class LatentDiffusion(Application):
             "latent diffusion uses make_train_loss (needs rng/timesteps)")
 
     # -- sampling -------------------------------------------------------------
+    def make_sampler(self, num_steps=50, guidance_scale=7.5):
+        """Returns sampler(params, input_ids, attention_mask,
+        negative_input_ids, rng) → images. Params are an ARGUMENT — jitting a
+        closure that captures them would bake gigabytes of weights into the
+        compiled program as constants."""
+        module, config, schedule = self.module, self.config, self.schedule
+
+        def sampler(params, input_ids, attention_mask, negative_input_ids,
+                    rng):
+            b = input_ids.shape[0]
+            latent_hw = config.image_size // (
+                2 ** (len(config.vae_channel_mult) - 1))
+            shape = (b, latent_hw, latent_hw, config.latent_channels)
+            context = module.apply({"params": params}, input_ids,
+                                   attention_mask, method=module.encode_text)
+            if guidance_scale > 1.0:
+                uncond = module.apply({"params": params}, negative_input_ids,
+                                      None, method=module.encode_text)
+
+                def denoise(x, t):
+                    eps_c = module.apply({"params": params}, x, t, context,
+                                         method=module.predict_noise)
+                    eps_u = module.apply({"params": params}, x, t, uncond,
+                                         method=module.predict_noise)
+                    return eps_u + guidance_scale * (eps_c - eps_u)
+            else:
+                def denoise(x, t):
+                    return module.apply({"params": params}, x, t, context,
+                                        method=module.predict_noise)
+
+            latents = ddim_sample(denoise, shape, schedule,
+                                  num_steps=num_steps, rng=rng)
+            images = module.apply({"params": params}, latents,
+                                  method=module.decode_latents)
+            return jnp.clip(images, -1.0, 1.0)
+
+        return sampler
+
     def sample(self, input_ids, attention_mask=None, num_steps=50,
                guidance_scale=7.5, rng=None, negative_input_ids=None):
         """Text → images [B, H, W, 3] in [-1, 1] (DDIM + CFG + VAE decode)."""
-        module, config = self.module, self.config
-        params = self.params
         rng = rng if rng is not None else jax.random.PRNGKey(0)
-        b = input_ids.shape[0]
-        latent_hw = config.image_size // (2 ** (len(config.vae_channel_mult) - 1))
-        shape = (b, latent_hw, latent_hw, config.latent_channels)
-
-        context = module.apply({"params": params}, input_ids, attention_mask,
-                               method=module.encode_text)
-        if guidance_scale > 1.0:
-            if negative_input_ids is None:
-                negative_input_ids = jnp.full_like(input_ids,
-                                                   config.text_config.pad_token_id)
-                negative_input_ids = negative_input_ids.at[:, 0].set(101) \
-                    if config.text_config.vocab_size > 101 else negative_input_ids
-            uncond = module.apply({"params": params}, negative_input_ids,
-                                  None, method=module.encode_text)
-
-            def denoise(x, t):
-                eps_c = module.apply({"params": params}, x, t, context,
-                                     method=module.predict_noise)
-                eps_u = module.apply({"params": params}, x, t, uncond,
-                                     method=module.predict_noise)
-                return eps_u + guidance_scale * (eps_c - eps_u)
-        else:
-            def denoise(x, t):
-                return module.apply({"params": params}, x, t, context,
-                                    method=module.predict_noise)
-
-        latents = ddim_sample(denoise, shape, self.schedule,
-                              num_steps=num_steps, rng=rng)
-        images = module.apply({"params": params}, latents,
-                              method=module.decode_latents)
-        return jnp.clip(images, -1.0, 1.0)
+        if negative_input_ids is None:
+            negative_input_ids = jnp.full_like(
+                input_ids, self.config.text_config.pad_token_id)
+        sampler = jax.jit(self.make_sampler(num_steps, guidance_scale))
+        return sampler(self.params, input_ids, attention_mask,
+                       negative_input_ids, rng)

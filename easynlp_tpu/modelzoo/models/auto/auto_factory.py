@@ -29,6 +29,7 @@ CONFIG_MAPPING = {
     "pegasus": _lazy("easynlp_tpu.modelzoo.models.bart", "PegasusConfig"),
     "randeng": _lazy("easynlp_tpu.modelzoo.models.bart", "RandengConfig"),
     "clip": _lazy("easynlp_tpu.modelzoo.models.clip", "CLIPConfig"),
+    "glm": _lazy("easynlp_tpu.modelzoo.models.glm", "GLMConfig"),
 }
 
 MODEL_MAPPING = {
@@ -44,6 +45,8 @@ MODEL_MAPPING = {
     "randeng": _lazy("easynlp_tpu.modelzoo.models.bart",
                      "BartForConditionalGeneration"),
     "clip": _lazy("easynlp_tpu.modelzoo.models.clip", "CLIPModel"),
+    "glm": _lazy("easynlp_tpu.modelzoo.models.glm",
+                 "GLMForConditionalGeneration"),
 }
 
 TOKENIZER_MAPPING = {
@@ -56,6 +59,7 @@ TOKENIZER_MAPPING = {
     "pegasus": _lazy("easynlp_tpu.modelzoo.models.bert", "BertTokenizer"),
     "randeng": _lazy("easynlp_tpu.modelzoo.models.bert", "BertTokenizer"),
     "clip": _lazy("easynlp_tpu.modelzoo.models.bert", "BertTokenizer"),
+    "glm": _lazy("easynlp_tpu.modelzoo.models.bert", "BertTokenizer"),
 }
 
 

@@ -1,0 +1,6 @@
+from easynlp_tpu.modelzoo.models.glm.modeling_glm import (  # noqa: F401
+    GLMConfig,
+    GLMForConditionalGeneration,
+    GLMModel,
+    glm_attention_bias,
+)

@@ -1,0 +1,195 @@
+"""TPU-native GLM (General Language Model, block-infilling).
+
+Capability parity: reference easynlp/modelzoo/models/glm/modeling_glm.py
+(HF-style GLM incl. GLMForConditionalGeneration :843) and the model-parallel
+variant easynlp/modelzoo/models/mg_glm/mpu_transformer.py — on TPU the two
+are ONE implementation: the mpu Column/RowParallelLinear layers become
+logical-axis annotations ('joined_kv'/'mlp' → the 'tensor' mesh axis), the
+vocab-parallel CE lives in ops/fused_ce.py, and fp16 loss-scaling machinery
+(mg_utils/fp16.py) is unnecessary in bf16.
+
+GLM specifics: GPT-2-style pre-LN blocks; block-infilling attention — a
+bidirectional prefix (Part A) followed by autoregressive spans (Part B) —
+expressed as per-sample prefix lengths; 2D position encoding (absolute
+position + within-span position), both learned.
+"""
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from easynlp_tpu.modelzoo.configuration_utils import PretrainedConfig
+from easynlp_tpu.modelzoo.modeling_utils import BaseModule, truncated_normal_init
+from easynlp_tpu.modelzoo.models.bert.modeling_bert import ACT2FN, REMAT_POLICIES
+from easynlp_tpu.ops.attention import attention
+
+
+class GLMConfig(PretrainedConfig):
+    model_type = "glm"
+
+    def __init__(self, vocab_size=50048, hidden_size=1024, num_layers=24,
+                 num_attention_heads=16, max_sequence_length=512,
+                 max_memory_length=0, embedding_dropout_prob=0.1,
+                 attention_dropout_prob=0.1, output_dropout_prob=0.1,
+                 layernorm_epsilon=1e-5, block_position_encoding=True,
+                 initializer_range=0.02, **kwargs):
+        self.num_layers = num_layers
+        self.max_sequence_length = max_sequence_length
+        self.max_memory_length = max_memory_length
+        self.embedding_dropout_prob = embedding_dropout_prob
+        self.attention_dropout_prob = attention_dropout_prob
+        self.output_dropout_prob = output_dropout_prob
+        self.layernorm_epsilon = layernorm_epsilon
+        self.block_position_encoding = block_position_encoding
+        kwargs.setdefault("num_hidden_layers", num_layers)
+        kwargs.setdefault("hidden_dropout_prob", output_dropout_prob)
+        kwargs.setdefault("is_decoder", True)
+        super().__init__(vocab_size=vocab_size, hidden_size=hidden_size,
+                         num_attention_heads=num_attention_heads,
+                         initializer_range=initializer_range, **kwargs)
+
+
+def _dense(features, config, axes, name=None, dtype=jnp.float32):
+    return nn.Dense(features, dtype=dtype, param_dtype=jnp.float32,
+                    kernel_init=nn.with_logical_partitioning(
+                        truncated_normal_init(config.initializer_range), axes),
+                    bias_init=nn.with_logical_partitioning(
+                        nn.initializers.zeros, (axes[-1],)),
+                    name=name)
+
+
+def _ln(config, name=None):
+    return nn.LayerNorm(epsilon=config.layernorm_epsilon, dtype=jnp.float32,
+                        param_dtype=jnp.float32,
+                        scale_init=nn.with_logical_partitioning(
+                            nn.initializers.ones, ("embed",)),
+                        bias_init=nn.with_logical_partitioning(
+                            nn.initializers.zeros, ("embed",)),
+                        name=name)
+
+
+class GLMBlock(nn.Module):
+    """Pre-LN block; carry = (hidden, attn_bias)."""
+
+    config: Any
+    dtype: Any = jnp.float32
+    deterministic: bool = True
+
+    @nn.compact
+    def __call__(self, carry, _=None):
+        hidden, bias = carry
+        c = self.config
+        h = c.num_attention_heads
+        d = c.hidden_size // h
+        b, s, _e = hidden.shape
+        normed = _ln(c, name="input_layernorm")(hidden).astype(self.dtype)
+        qkv = _dense(3 * h * d, c, ("embed", "joined_kv"), dtype=self.dtype,
+                     name="qkv")(normed).reshape(b, s, 3, h, d)
+        ctx = attention(qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2], bias=bias)
+        attn_out = _dense(c.hidden_size, c, ("joined_kv", "embed"),
+                          dtype=self.dtype, name="dense")(
+            ctx.reshape(b, s, h * d))
+        attn_out = nn.Dropout(c.output_dropout_prob)(
+            attn_out, deterministic=self.deterministic)
+        hidden = hidden + attn_out
+
+        normed = _ln(c, name="post_attention_layernorm")(
+            hidden).astype(self.dtype)
+        mlp = _dense(4 * c.hidden_size, c, ("embed", "mlp"),
+                     dtype=self.dtype, name="dense_h_to_4h")(normed)
+        mlp = ACT2FN["gelu_new"](mlp)
+        mlp = _dense(c.hidden_size, c, ("mlp", "embed"), dtype=self.dtype,
+                     name="dense_4h_to_h")(mlp)
+        mlp = nn.Dropout(c.output_dropout_prob)(
+            mlp, deterministic=self.deterministic)
+        return (hidden + mlp, bias), None
+
+
+def glm_attention_bias(prefix_lengths, seq_len):
+    """Block-infilling mask: position j is visible from i iff j < prefix_len
+    (bidirectional Part A) or j <= i (causal Part B). Returns additive bias
+    [B, 1, S, S]."""
+    i = jnp.arange(seq_len)[:, None]
+    j = jnp.arange(seq_len)[None, :]
+    causal = j <= i
+    bidir = j[None] < prefix_lengths[:, None, None]
+    visible = causal[None] | bidir
+    return jnp.where(visible[:, None], 0.0, -1e30)
+
+
+class GLMModel(BaseModule):
+    remat: str = "none"
+
+    @nn.compact
+    def __call__(self, input_ids, position_ids=None, block_position_ids=None,
+                 prefix_lengths=None, attention_mask=None, deterministic=True):
+        c = self.config
+        b, s = input_ids.shape
+        init = truncated_normal_init(c.initializer_range)
+        word = nn.Embed(c.vocab_size, c.hidden_size, param_dtype=jnp.float32,
+                        embedding_init=nn.with_logical_partitioning(
+                            init, ("vocab", "embed")),
+                        name="word_embeddings")(input_ids)
+        if position_ids is None:
+            position_ids = jnp.broadcast_to(jnp.arange(s)[None], (b, s))
+        pos = nn.Embed(c.max_sequence_length + 1, c.hidden_size,
+                       param_dtype=jnp.float32,
+                       embedding_init=nn.with_logical_partitioning(
+                           init, ("length", "embed")),
+                       name="position_embeddings")(position_ids)
+        hidden = word + pos
+        if c.block_position_encoding:
+            if block_position_ids is None:
+                block_position_ids = jnp.zeros((b, s), jnp.int32)
+            bpos = nn.Embed(c.max_sequence_length + 1, c.hidden_size,
+                            param_dtype=jnp.float32,
+                            embedding_init=nn.with_logical_partitioning(
+                                init, ("length", "embed")),
+                            name="block_position_embeddings")(
+                block_position_ids)
+            hidden = hidden + bpos
+        hidden = nn.Dropout(c.embedding_dropout_prob)(
+            hidden, deterministic=deterministic).astype(self.dtype)
+
+        if prefix_lengths is None:
+            prefix_lengths = jnp.zeros((b,), jnp.int32)  # fully causal
+        bias = glm_attention_bias(prefix_lengths, s)
+        if attention_mask is not None:
+            bias = jnp.where(attention_mask[:, None, None, :].astype(bool),
+                             bias, -1e30)
+
+        block_cls = GLMBlock
+        if self.remat in REMAT_POLICIES:
+            block_cls = nn.remat(block_cls, prevent_cse=False,
+                                 policy=REMAT_POLICIES[self.remat]())
+        scan = nn.scan(block_cls, variable_axes={"params": 0},
+                       split_rngs={"params": True, "dropout": True},
+                       length=c.num_layers,
+                       metadata_params={nn.PARTITION_NAME: "layers"})
+        (hidden, _), _ = scan(config=c, dtype=self.dtype,
+                              deterministic=deterministic,
+                              name="layers")((hidden, bias))
+        hidden = _ln(c, name="final_layernorm")(hidden).astype(self.dtype)
+        return {"last_hidden_state": hidden}
+
+
+class GLMForConditionalGeneration(BaseModule):
+    """GLM with tied LM head (reference modeling_glm.py:843)."""
+
+    remat: str = "none"
+
+    def setup(self):
+        self.glm = GLMModel(self.config, dtype=self.dtype, remat=self.remat)
+
+    def __call__(self, input_ids, position_ids=None, block_position_ids=None,
+                 prefix_lengths=None, attention_mask=None, deterministic=True):
+        out = self.glm(input_ids, position_ids, block_position_ids,
+                       prefix_lengths, attention_mask, deterministic)
+        wte = nn.unbox(
+            self.glm.variables["params"]["word_embeddings"]["embedding"])
+        logits = jnp.einsum("bse,ve->bsv", out["last_hidden_state"],
+                            jnp.asarray(wte).astype(self.dtype))
+        out["logits"] = logits
+        return out

@@ -99,3 +99,34 @@ def test_artist_text2image():
     pixels = module.apply({"params": app.params}, codes,
                           method=module.decode_codes)
     assert pixels.shape == (2, side, side, 3)
+
+
+def test_glm_block_infilling():
+    make_args()
+    from easynlp_tpu.modelzoo.models.glm import (GLMConfig,
+                                                 GLMForConditionalGeneration,
+                                                 glm_attention_bias)
+    cfg = GLMConfig(vocab_size=80, hidden_size=32, num_layers=2,
+                    num_attention_heads=2, max_sequence_length=64,
+                    embedding_dropout_prob=0.0, attention_dropout_prob=0.0,
+                    output_dropout_prob=0.0)
+    m = GLMForConditionalGeneration.from_config(cfg, dtype=jnp.float32)
+    rng = jax.random.PRNGKey(0)
+    ids = jnp.ones((2, 10), jnp.int32)
+    params = m.init({"params": rng, "dropout": rng}, input_ids=ids,
+                    prefix_lengths=jnp.array([4, 6]),
+                    deterministic=True)["params"]
+    from flax import linen as nn
+    params = nn.unbox(params)
+    out = m.apply({"params": params}, input_ids=ids,
+                  prefix_lengths=jnp.array([4, 6]), deterministic=True)
+    assert out["logits"].shape == (2, 10, 80)
+
+    # bias semantics: inside prefix → bidirectional; after → causal
+    bias = np.asarray(glm_attention_bias(jnp.array([3]), 6))[0, 0]
+    assert bias[0, 2] == 0            # prefix sees prefix (forward)
+    assert bias[2, 0] == 0
+    assert bias[1, 4] < -1e29         # prefix cannot see part B
+    assert bias[4, 2] == 0            # part B sees prefix
+    assert bias[4, 5] < -1e29         # part B is causal
+    assert bias[5, 4] == 0
