@@ -130,3 +130,37 @@ def test_glm_block_infilling():
     assert bias[4, 2] == 0            # part B sees prefix
     assert bias[4, 5] < -1e29         # part B is causal
     assert bias[5, 4] == 0
+
+
+def test_dkplm_knowledge_injection():
+    make_args()
+    from easynlp_tpu.modelzoo.models.dkplm import (DKPLMConfig,
+                                                   DKPLMForPreTraining,
+                                                   dkplm_pretrain_loss)
+    cfg = DKPLMConfig(vocab_size=80, hidden_size=32, num_hidden_layers=2,
+                      num_attention_heads=2, intermediate_size=64,
+                      max_position_embeddings=32, knowledge_emb_size=8,
+                      hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0)
+    m = DKPLMForPreTraining.from_config(cfg, dtype=jnp.float32)
+    rng = jax.random.PRNGKey(0)
+    b, s = 2, 10
+    kwargs = dict(input_ids=jnp.ones((b, s), jnp.int32),
+                  insert_know_emb=jnp.ones((b, s, 8), jnp.float32),
+                  insert_know_position_mask=jnp.zeros((b, s), jnp.int32)
+                  .at[:, 3:5].set(1))
+    from flax import linen as nn
+    params = nn.unbox(m.init({"params": rng, "dropout": rng},
+                             deterministic=True, **kwargs)["params"])
+    out = m.apply({"params": params}, deterministic=True, **kwargs)
+    assert out["logits"].shape == (b, s, 80)
+    # injection must change outputs only through entity positions
+    out2 = m.apply({"params": params}, deterministic=True,
+                   **dict(kwargs, insert_know_emb=jnp.zeros((b, s, 8))))
+    assert not np.allclose(np.asarray(out["logits"]),
+                           np.asarray(out2["logits"]))
+    batch = {"label_ids": jnp.full((b, s), -100, jnp.int32).at[:, 3].set(5),
+             "insert_know_labels": jnp.full((b, s), -100, jnp.int32)
+             .at[:, 4].set(7)}
+    ld = dkplm_pretrain_loss(out, batch)
+    assert np.isfinite(float(ld["loss"]))
+    assert "decode_know_loss" in ld
