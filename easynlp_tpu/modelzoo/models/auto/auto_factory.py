@@ -30,6 +30,11 @@ CONFIG_MAPPING = {
     "randeng": _lazy("easynlp_tpu.modelzoo.models.bart", "RandengConfig"),
     "clip": _lazy("easynlp_tpu.modelzoo.models.clip", "CLIPConfig"),
     "glm": _lazy("easynlp_tpu.modelzoo.models.glm", "GLMConfig"),
+    "dkplm": _lazy("easynlp_tpu.modelzoo.models.dkplm", "DKPLMConfig"),
+    "megatron_bert": _lazy("easynlp_tpu.modelzoo.models.megatron_bert",
+                           "MegatronBertConfig"),
+    "cnn": _lazy("easynlp_tpu.modelzoo.models.cnn.modeling_cnn",
+                 "TextCNNConfig"),
 }
 
 MODEL_MAPPING = {
@@ -47,6 +52,11 @@ MODEL_MAPPING = {
     "clip": _lazy("easynlp_tpu.modelzoo.models.clip", "CLIPModel"),
     "glm": _lazy("easynlp_tpu.modelzoo.models.glm",
                  "GLMForConditionalGeneration"),
+    "dkplm": _lazy("easynlp_tpu.modelzoo.models.dkplm", "DKPLMModel"),
+    "megatron_bert": _lazy("easynlp_tpu.modelzoo.models.megatron_bert",
+                           "MegatronBertModel"),
+    "cnn": _lazy("easynlp_tpu.modelzoo.models.cnn.modeling_cnn",
+                 "TextCNNModel"),
 }
 
 TOKENIZER_MAPPING = {
@@ -60,6 +70,9 @@ TOKENIZER_MAPPING = {
     "randeng": _lazy("easynlp_tpu.modelzoo.models.bert", "BertTokenizer"),
     "clip": _lazy("easynlp_tpu.modelzoo.models.bert", "BertTokenizer"),
     "glm": _lazy("easynlp_tpu.modelzoo.models.bert", "BertTokenizer"),
+    "dkplm": _lazy("easynlp_tpu.modelzoo.models.bert", "BertTokenizer"),
+    "megatron_bert": _lazy("easynlp_tpu.modelzoo.models.bert", "BertTokenizer"),
+    "cnn": _lazy("easynlp_tpu.modelzoo.models.bert", "BertTokenizer"),
 }
 
 

@@ -67,6 +67,7 @@ def _layer_norm(config, name=None):
 class BertEmbeddings(nn.Module):
     config: Any
     dtype: Any = jnp.float32
+    use_layer_norm: bool = True  # MegatronBERT normalises in the first layer
 
     @nn.compact
     def __call__(self, input_ids, token_type_ids, position_ids, deterministic):
@@ -89,7 +90,8 @@ class BertEmbeddings(nn.Module):
                                init, (None, "embed")),
                            name="token_type_embeddings")(token_type_ids)
             emb = emb + tok
-        emb = _layer_norm(c, name="LayerNorm")(emb)
+        if self.use_layer_norm:
+            emb = _layer_norm(c, name="LayerNorm")(emb)
         emb = nn.Dropout(c.hidden_dropout_prob)(emb, deterministic=deterministic)
         return emb.astype(self.dtype)
 
@@ -126,24 +128,38 @@ class BertLayer(nn.Module):
     dtype: Any = jnp.float32
     deterministic: bool = True
     collect_hidden: bool = False
+    pre_layer_norm: bool = False  # MegatronBERT layout
 
     @nn.compact
     def __call__(self, carry, _=None):
         hidden, kv_mask = carry
         c = self.config
-        attn_out = BertAttention(c, dtype=self.dtype, name="attention")(
-            hidden, kv_mask, self.deterministic)
-        hidden = _layer_norm(c, name="attention_ln")(
-            hidden + attn_out).astype(self.dtype)
+        if self.pre_layer_norm:
+            normed = _layer_norm(c, name="attention_ln")(
+                hidden).astype(self.dtype)
+            attn_out = BertAttention(c, dtype=self.dtype, name="attention")(
+                normed, kv_mask, self.deterministic)
+            hidden = hidden + attn_out
+            normed = _layer_norm(c, name="output_ln")(hidden).astype(self.dtype)
+        else:
+            attn_out = BertAttention(c, dtype=self.dtype, name="attention")(
+                hidden, kv_mask, self.deterministic)
+            hidden = _layer_norm(c, name="attention_ln")(
+                hidden + attn_out).astype(self.dtype)
+            normed = hidden
 
         mlp = _dense(c.intermediate_size, c, ("embed", "mlp"), dtype=self.dtype,
-                     name="intermediate")(hidden)
+                     name="intermediate")(normed)
         mlp = ACT2FN[c.hidden_act](mlp)
         mlp = _dense(c.hidden_size, c, ("mlp", "embed"), dtype=self.dtype,
                      name="output")(mlp)
         mlp = nn.Dropout(c.hidden_dropout_prob)(
             mlp, deterministic=self.deterministic)
-        hidden = _layer_norm(c, name="output_ln")(hidden + mlp).astype(self.dtype)
+        if self.pre_layer_norm:
+            hidden = hidden + mlp
+        else:
+            hidden = _layer_norm(c, name="output_ln")(
+                hidden + mlp).astype(self.dtype)
         ys = hidden if self.collect_hidden else None
         return (hidden, kv_mask), ys
 
@@ -164,6 +180,7 @@ class BertEncoder(nn.Module):
     dtype: Any = jnp.float32
     remat: str = "none"
     output_hidden_states: bool = False
+    pre_layer_norm: bool = False
 
     @nn.compact
     def __call__(self, hidden, kv_mask, deterministic):
@@ -182,7 +199,10 @@ class BertEncoder(nn.Module):
         (hidden, _), all_hidden = scan(
             config=c, dtype=self.dtype, deterministic=deterministic,
             collect_hidden=self.output_hidden_states,
+            pre_layer_norm=self.pre_layer_norm,
             name="layers")((hidden, kv_mask))
+        if self.pre_layer_norm:
+            hidden = _layer_norm(c, name="final_ln")(hidden).astype(self.dtype)
         if self.output_hidden_states:
             return hidden, all_hidden  # all_hidden: [L, B, S, E]
         return hidden, None
@@ -206,6 +226,7 @@ class BertModel(BaseModule):
     add_pooling_layer: bool = True
     remat: str = "none"
     output_hidden_states: bool = False
+    pre_layer_norm: bool = False
 
     @nn.compact
     def __call__(self, input_ids, attention_mask=None, token_type_ids=None,
@@ -220,11 +241,13 @@ class BertModel(BaseModule):
         kv_mask = attention_mask.astype(bool)
 
         hidden = BertEmbeddings(self.config, dtype=self.dtype,
+                                use_layer_norm=not self.pre_layer_norm,
                                 name="embeddings")(
             input_ids, token_type_ids, position_ids, deterministic)
         hidden, all_hidden = BertEncoder(
             self.config, dtype=self.dtype, remat=self.remat,
             output_hidden_states=self.output_hidden_states,
+            pre_layer_norm=self.pre_layer_norm,
             name="encoder")(hidden, kv_mask, deterministic)
         out = {"last_hidden_state": hidden}
         if self.output_hidden_states:

@@ -57,3 +57,34 @@ def test_bert_parity_vs_torch():
         ref.last_hidden_state.numpy(), atol=2e-4)
     np.testing.assert_allclose(
         np.asarray(out["pooler_output"]), ref.pooler_output.numpy(), atol=2e-4)
+
+
+def test_bert_pytorch_export_roundtrip():
+    """native → pytorch_model.bin → native must be identity."""
+    import tempfile
+    import os
+    from easynlp_tpu.modelzoo.models.bert.conversion import convert_bert_backbone
+    from easynlp_tpu.utils.exporter import export_bert_backbone_to_pytorch
+
+    cfg = BertConfig(**TINY)
+    m = BertModel.from_config(cfg)
+    ids = jnp.ones((1, 8), jnp.int32)
+    rng = jax.random.PRNGKey(0)
+    params = m.init_params({"params": rng, "dropout": rng}, {"input_ids": ids})
+    from flax import linen as nn
+    params = nn.unbox(params)
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "pytorch_model.bin")
+        export_bert_backbone_to_pytorch(params, cfg, path)
+        import torch
+        state = {k: v.numpy() for k, v in
+                 torch.load(path, weights_only=True).items()}
+        back = convert_bert_backbone(state, cfg)
+    import jax as _jax
+    flat_a = _jax.tree_util.tree_leaves_with_path(params)
+    from flax.traverse_util import flatten_dict
+    fa, fb = flatten_dict(params), flatten_dict(back)
+    assert set(fa) == set(fb)
+    for k in fa:
+        np.testing.assert_allclose(np.asarray(fa[k]), np.asarray(fb[k]),
+                                   atol=1e-6, err_msg=str(k))

@@ -164,3 +164,51 @@ def test_dkplm_knowledge_injection():
     ld = dkplm_pretrain_loss(out, batch)
     assert np.isfinite(float(ld["loss"]))
     assert "decode_know_loss" in ld
+
+
+def test_megatron_bert_parity():
+    import pytest
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+    hf_cfg = transformers.MegatronBertConfig(
+        vocab_size=120, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=2, intermediate_size=64,
+        max_position_embeddings=64, hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0)
+    torch.manual_seed(0)
+    hf = transformers.MegatronBertModel(hf_cfg).eval()
+    from easynlp_tpu.modelzoo.models.megatron_bert import (
+        MegatronBertConfig, MegatronBertModel, convert_megatron_bert)
+    cfg = MegatronBertConfig(
+        vocab_size=120, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=2, intermediate_size=64,
+        max_position_embeddings=64, hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0)
+    m = MegatronBertModel.from_config(cfg, dtype=jnp.float32)
+    params = convert_megatron_bert(
+        {k: v.numpy() for k, v in hf.state_dict().items()}, cfg)
+    ids = np.random.RandomState(0).randint(0, 120, (2, 10))
+    import torch as _t
+    with _t.no_grad():
+        ref = hf(input_ids=_t.tensor(ids)).last_hidden_state.numpy()
+    out = m.apply({"params": params}, input_ids=jnp.asarray(ids),
+                  deterministic=True)
+    np.testing.assert_allclose(np.asarray(out["last_hidden_state"]), ref,
+                               atol=3e-4)
+
+
+def test_textcnn():
+    make_args()
+    from easynlp_tpu.modelzoo.models.cnn.modeling_cnn import (TextCNNConfig,
+                                                              TextCNNModel)
+    cfg = TextCNNConfig(vocab_size=80, embedding_size=16,
+                        kernel_sizes=(2, 3), num_filters=8,
+                        hidden_dropout_prob=0.0)
+    m = TextCNNModel.from_config(cfg, dtype=jnp.float32)
+    rng = jax.random.PRNGKey(0)
+    ids = jnp.ones((2, 12), jnp.int32)
+    from flax import linen as nn
+    params = nn.unbox(m.init({"params": rng, "dropout": rng}, input_ids=ids,
+                             deterministic=True)["params"])
+    out = m.apply({"params": params}, input_ids=ids, deterministic=True)
+    assert out["pooler_output"].shape == (2, 16)
