@@ -35,6 +35,7 @@ CONFIG_MAPPING = {
                            "MegatronBertConfig"),
     "cnn": _lazy("easynlp_tpu.modelzoo.models.cnn.modeling_cnn",
                  "TextCNNConfig"),
+    "bloom": _lazy("easynlp_tpu.modelzoo.models.bloom", "BloomConfig"),
 }
 
 MODEL_MAPPING = {
@@ -57,6 +58,7 @@ MODEL_MAPPING = {
                            "MegatronBertModel"),
     "cnn": _lazy("easynlp_tpu.modelzoo.models.cnn.modeling_cnn",
                  "TextCNNModel"),
+    "bloom": _lazy("easynlp_tpu.modelzoo.models.bloom", "BloomForCausalLM"),
 }
 
 TOKENIZER_MAPPING = {
@@ -73,6 +75,7 @@ TOKENIZER_MAPPING = {
     "dkplm": _lazy("easynlp_tpu.modelzoo.models.bert", "BertTokenizer"),
     "megatron_bert": _lazy("easynlp_tpu.modelzoo.models.bert", "BertTokenizer"),
     "cnn": _lazy("easynlp_tpu.modelzoo.models.bert", "BertTokenizer"),
+    "bloom": _lazy("easynlp_tpu.modelzoo.models.gpt2", "GPT2Tokenizer"),
 }
 
 

@@ -212,3 +212,35 @@ def test_textcnn():
                              deterministic=True)["params"])
     out = m.apply({"params": params}, input_ids=ids, deterministic=True)
     assert out["pooler_output"].shape == (2, 16)
+
+
+def test_bloom_parity():
+    import pytest
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+    hf_cfg = transformers.BloomConfig(vocab_size=130, hidden_size=32,
+                                      n_layer=2, n_head=4, hidden_dropout=0.0,
+                                      attention_dropout=0.0)
+    torch.manual_seed(0)
+    hf = transformers.BloomForCausalLM(hf_cfg).eval()
+    from easynlp_tpu.modelzoo.models.bloom import (BloomConfig,
+                                                   BloomForCausalLM,
+                                                   convert_bloom_state_dict)
+    cfg = BloomConfig(vocab_size=130, hidden_size=32, n_layer=2, n_head=4,
+                      hidden_dropout=0.0, attention_dropout=0.0)
+    m = BloomForCausalLM.from_config(cfg, dtype=jnp.float32)
+    params = convert_bloom_state_dict(
+        {k: v.numpy() for k, v in hf.state_dict().items()}, cfg)
+    ids = np.random.RandomState(0).randint(3, 130, (2, 10))
+    mask = np.ones((2, 10), np.int64)
+    mask[1, :3] = 0
+    import torch as _t
+    with _t.no_grad():
+        ref = hf(input_ids=_t.tensor(ids),
+                 attention_mask=_t.tensor(mask)).logits.numpy()
+    out = m.apply({"params": params}, input_ids=jnp.asarray(ids),
+                  attention_mask=jnp.asarray(mask, jnp.int32),
+                  deterministic=True)
+    got = np.asarray(out["logits"])
+    valid = mask.astype(bool)
+    assert np.abs(got - ref)[valid].max() < 3e-4
