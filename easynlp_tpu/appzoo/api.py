@@ -42,6 +42,8 @@ DATASET_REGISTRY = {
                          "TextMatchDataset"),
         "two_tower": _lazy("easynlp_tpu.appzoo.text_match.data",
                            "TwoTowerDataset"),
+        "siamese": _lazy("easynlp_tpu.appzoo.text_match.data",
+                         "TwoTowerDataset"),
     },
     "sequence_labeling": {
         "default": _lazy("easynlp_tpu.appzoo.sequence_labeling.data",
@@ -102,6 +104,8 @@ MODEL_REGISTRY = {
         "default": _lazy("easynlp_tpu.appzoo.text_match.model", "TextMatch"),
         "two_tower": _lazy("easynlp_tpu.appzoo.text_match.model",
                            "TextMatchTwoTower"),
+        "siamese": _lazy("easynlp_tpu.appzoo.text_match.model",
+                         "TextMatchTwoTower"),
     },
     "sequence_labeling": {
         "default": _lazy("easynlp_tpu.appzoo.sequence_labeling.model",
@@ -219,6 +223,9 @@ PREDICTOR_REGISTRY = {
     "text_classify": {
         "default": _lazy("easynlp_tpu.appzoo.sequence_classification.predictor",
                          "SequenceClassificationPredictor"),
+        "enable_fewshot": _lazy(
+            "easynlp_tpu.fewshot_learning.fewshot_predictor",
+            "FewshotPredictor"),
     },
     "text_match": {
         "default": _lazy("easynlp_tpu.appzoo.text_match.predictor",
@@ -345,7 +352,8 @@ def default_main_fn(args=None):
         train_file = tables[0]
         valid_file = tables[1] if len(tables) > 1 else None
         train_dataset = get_application_dataset(
-            args.app_name, udp, data_file=train_file, **dataset_kwargs)
+            args.app_name, udp, data_file=train_file, is_training=True,
+            **dataset_kwargs)
         if args.label_enumerate_values is None and \
                 train_dataset.label_enumerate_values:
             dataset_kwargs["label_enumerate_values"] = \

@@ -12,7 +12,9 @@ class TextMatchDataset(ClassificationDataset):
 
 
 class TwoTowerDataset(ClassificationDataset):
-    """Encodes first/second sequence separately (suffix *_b keys)."""
+    """Encodes first/second sequence separately (suffix *_b keys). Also
+    serves the siamese variant (reference api.py:325-339): same featurisation,
+    shared-tower model."""
 
     def _build_features(self):
         texts_a, texts_b, labels = [], [], []

@@ -10,11 +10,13 @@ from easynlp_tpu.utils.io_utils import io
 
 class DistillatoryClassificationDataset(ClassificationDataset):
     def __init__(self, data_file, tokenizer, logits_saved_path=None,
-                 logits_name=None, **kwargs):
+                 logits_name=None, is_training=False, **kwargs):
         udp = kwargs.pop("user_defined_parameters", {}) or {}
         logits_saved_path = logits_saved_path or udp.get("logits_saved_path")
         super().__init__(data_file, tokenizer, **kwargs)
-        if logits_saved_path:
+        # teacher logits are aligned with the TRAIN table only (reference
+        # distill_dataset.py joins at training time)
+        if logits_saved_path and is_training:
             self._join_teacher_logits(logits_saved_path)
 
     def _join_teacher_logits(self, path):
