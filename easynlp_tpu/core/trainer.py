@@ -175,11 +175,21 @@ class Trainer:
         t_start = time.time()
         last_log = t_start
         last_log_step = self.global_step
+        profiling = False
         for epoch in range(self.start_epoch, total_epochs):
             self.train_loader.set_epoch(epoch)
             for batch in self.train_loader:
                 if self.global_step >= self.t_total:
                     break
+                # profiler window (reference Timers; here a real device trace)
+                if args.profile_dir and self.global_step == 2 and not profiling:
+                    jax.profiler.start_trace(args.profile_dir)
+                    profiling = True
+                if profiling and self.global_step == 2 + args.profile_steps:
+                    jax.profiler.stop_trace()
+                    profiling = False
+                    logger.info("profiler trace written to %s",
+                                args.profile_dir)
                 batch.pop("_valid", None)
                 device_batch = jax.device_put(batch, self.batch_shard)
                 self.params, self.opt_state, metrics = self._train_step(
@@ -200,6 +210,8 @@ class Trainer:
                 if args.save_checkpoint_steps \
                         and self.global_step % args.save_checkpoint_steps == 0:
                     self._eval_and_save()
+        if profiling:
+            jax.profiler.stop_trace()
         self.after_train()
 
     def after_train(self):

@@ -109,6 +109,11 @@ def _add_easynlp_args(parser: argparse.ArgumentParser) -> None:
                        help="Pallas flash attention (auto: on TPU only)")
     group.add_argument("--num_host_prefetch", default=2, type=int,
                        help="Device prefetch depth for the input pipeline")
+    group.add_argument("--profile_dir", default=None, type=str,
+                       help="Capture a jax profiler trace of training steps "
+                            "into this directory (view with xprof/tensorboard)")
+    group.add_argument("--profile_steps", default=10, type=int,
+                       help="How many steps to trace when --profile_dir is set")
 
     group = parser.add_argument_group("distributed", "multi-host arguments")
     group.add_argument("--coordinator_address", default=None, type=str)
