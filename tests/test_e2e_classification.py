@@ -80,3 +80,31 @@ def test_0_train_then_eval_then_predict(fixtures):
     first = lines[0].split("\t")
     assert first[0] in ("pos", "neg")
     assert len(first) == 3
+
+
+def test_1_pipeline_from_checkpoint(fixtures):
+    """pipeline() infers the task from train_config.json and serves raw text
+    (reference pipelines/__init__.py)."""
+    out_dir = os.path.join(fixtures, "ckpt")
+    if not os.path.exists(os.path.join(out_dir, "train_config.json")):
+        pytest.skip("train test must run first")
+    from easynlp_tpu.pipelines import pipeline
+    clf = pipeline(out_dir, first_sequence="sent", sequence_length=16,
+                   batch_size=8)
+    single = clf("a good happy day")
+    assert single["predictions"] in ("pos", "neg")
+    batch = clf(["a good happy day", "an awful sad story"])
+    assert len(batch) == 2
+    assert all(r["predictions"] in ("pos", "neg") for r in batch)
+
+
+def test_2_general_dataset_hf_adapter():
+    """GeneralDataset over an in-memory HF datasets arrow table
+    (reference appzoo/dataset.py:302-391)."""
+    import datasets as hf_datasets
+    from easynlp_tpu.data.dataset import GeneralDataset
+    table = hf_datasets.Dataset.from_dict(
+        {"text": ["a", "b", "c"], "label": [0, 1, 0]})
+    ds = GeneralDataset(table)
+    assert len(ds) == 3
+    assert ds.parse_row(1) == {"text": "b", "label": 1}
