@@ -36,6 +36,9 @@ CONFIG_MAPPING = {
     "cnn": _lazy("easynlp_tpu.modelzoo.models.cnn.modeling_cnn",
                  "TextCNNConfig"),
     "bloom": _lazy("easynlp_tpu.modelzoo.models.bloom", "BloomConfig"),
+    "kbert": _lazy("easynlp_tpu.modelzoo.models.kbert", "KBertConfig"),
+    "kangaroo": _lazy("easynlp_tpu.modelzoo.models.kangaroo",
+                      "KangarooConfig"),
 }
 
 MODEL_MAPPING = {
@@ -59,6 +62,8 @@ MODEL_MAPPING = {
     "cnn": _lazy("easynlp_tpu.modelzoo.models.cnn.modeling_cnn",
                  "TextCNNModel"),
     "bloom": _lazy("easynlp_tpu.modelzoo.models.bloom", "BloomForCausalLM"),
+    "kbert": _lazy("easynlp_tpu.modelzoo.models.kbert", "KBertModel"),
+    "kangaroo": _lazy("easynlp_tpu.modelzoo.models.kangaroo", "KangarooModel"),
 }
 
 TOKENIZER_MAPPING = {
@@ -76,6 +81,8 @@ TOKENIZER_MAPPING = {
     "megatron_bert": _lazy("easynlp_tpu.modelzoo.models.bert", "BertTokenizer"),
     "cnn": _lazy("easynlp_tpu.modelzoo.models.bert", "BertTokenizer"),
     "bloom": _lazy("easynlp_tpu.modelzoo.models.gpt2", "GPT2Tokenizer"),
+    "kbert": _lazy("easynlp_tpu.modelzoo.models.bert", "BertTokenizer"),
+    "kangaroo": _lazy("easynlp_tpu.modelzoo.models.bert", "BertTokenizer"),
 }
 
 

@@ -244,3 +244,35 @@ def test_bloom_parity():
     got = np.asarray(out["logits"])
     valid = mask.astype(bool)
     assert np.abs(got - ref)[valid].max() < 3e-4
+
+
+def test_kbert_visible_matrix():
+    make_args()
+    from easynlp_tpu.modelzoo.models.kbert import KBertConfig, KBertModel
+    from flax import linen as nn
+    cfg = KBertConfig(vocab_size=80, hidden_size=32, num_hidden_layers=2,
+                      num_attention_heads=2, intermediate_size=64,
+                      max_position_embeddings=32, hidden_dropout_prob=0.0,
+                      attention_probs_dropout_prob=0.0)
+    m = KBertModel.from_config(cfg, dtype=jnp.float32)
+    rng = jax.random.PRNGKey(0)
+    b, s = 2, 8
+    ids = jnp.arange(1, 1 + b * s).reshape(b, s) % 70
+    vm = np.ones((b, s, s), np.int32)
+    vm[:, :4, 4:] = 0  # first 4 tokens cannot see the knowledge branch
+    vm[:, 4:, :4] = 0
+    params = nn.unbox(m.init({"params": rng, "dropout": rng}, input_ids=ids,
+                             visible_matrix=jnp.asarray(vm),
+                             deterministic=True)["params"])
+    out = m.apply({"params": params}, input_ids=ids,
+                  visible_matrix=jnp.asarray(vm), deterministic=True)
+    # changing the HIDDEN branch's tokens must not affect the visible block
+    ids2 = ids.at[:, 5].set(7)
+    out2 = m.apply({"params": params}, input_ids=ids2,
+                   visible_matrix=jnp.asarray(vm), deterministic=True)
+    np.testing.assert_allclose(
+        np.asarray(out["last_hidden_state"][:, :4]),
+        np.asarray(out2["last_hidden_state"][:, :4]), atol=1e-6)
+    # ...but does affect its own block
+    assert not np.allclose(np.asarray(out["last_hidden_state"][:, 4:]),
+                           np.asarray(out2["last_hidden_state"][:, 4:]))
