@@ -107,6 +107,7 @@ class BertAttention(nn.Module):
         b, s, _ = hidden.shape
         qkv = _dense(3 * h * d, c, ("embed", "joined_kv"), dtype=self.dtype,
                      name="qkv")(hidden)
+        qkv = checkpoint_name(qkv, "qkv_out")
         qkv = qkv.reshape(b, s, 3, h, d)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
         ctx = attention(q, k, v, kv_mask=kv_mask)
@@ -116,6 +117,7 @@ class BertAttention(nn.Module):
         ctx = ctx.reshape(b, s, h * d)
         out = _dense(c.hidden_size, c, ("joined_kv", "embed"), dtype=self.dtype,
                      name="output")(ctx)
+        out = checkpoint_name(out, "attn_proj_out")
         out = nn.Dropout(c.hidden_dropout_prob)(out, deterministic=deterministic)
         return out
 
@@ -150,9 +152,11 @@ class BertLayer(nn.Module):
 
         mlp = _dense(c.intermediate_size, c, ("embed", "mlp"), dtype=self.dtype,
                      name="intermediate")(normed)
+        mlp = checkpoint_name(mlp, "mlp_wi_out")
         mlp = ACT2FN[c.hidden_act](mlp)
         mlp = _dense(c.hidden_size, c, ("mlp", "embed"), dtype=self.dtype,
                      name="output")(mlp)
+        mlp = checkpoint_name(mlp, "mlp_wo_out")
         mlp = nn.Dropout(c.hidden_dropout_prob)(
             mlp, deterministic=self.deterministic)
         if self.pre_layer_norm:
@@ -172,6 +176,11 @@ REMAT_POLICIES = {
         jax.checkpoint_policies.save_only_these_names("attn_out")),
     # save nothing per layer: minimum memory, ~30% step-time cost
     "full": lambda: jax.checkpoint_policies.nothing_saveable,
+    # save only the tagged bf16 activations (qkv/attn/mlp outputs) — smaller
+    # residuals than 'selective' (which keeps fp32 dot outputs), recompute is
+    # just LN/gelu/dropout
+    "names": lambda: jax.checkpoint_policies.save_only_these_names(
+        "attn_out", "qkv_out", "attn_proj_out", "mlp_wi_out", "mlp_wo_out"),
 }
 
 

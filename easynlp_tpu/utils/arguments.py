@@ -100,7 +100,7 @@ def _add_easynlp_args(parser: argparse.ArgumentParser) -> None:
     group.add_argument("--mesh", default=None, type=str,
                        help="Device mesh spec 'dp=4,fsdp=1,tp=2'. Default: all devices on dp.")
     group.add_argument("--remat", default="none", type=str,
-                       choices=["none", "full", "selective"],
+                       choices=["none", "full", "selective", "names"],
                        help="Activation rematerialisation policy (replaces --checkpoint-activations)")
     group.add_argument("--shard_optimizer_states", action="store_true",
                        help="ZeRO-equivalent: shard optimizer state over the dp axis")
