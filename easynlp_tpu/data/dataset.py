@@ -46,6 +46,18 @@ class BaseDataset:
         if str(data_file).startswith("odps://"):
             raise NotImplementedError(
                 "ODPS tables need a registered reader backend (utils.io_utils)")
+        # native mmap reader for plain local files (the common_io seam)
+        if "://" not in str(data_file):
+            try:
+                from easynlp_tpu.data.native_reader import (NativeTSVReader,
+                                                            available)
+                if available():
+                    reader = NativeTSVReader(data_file)
+                    rows = [r for r in reader.rows() if r.strip()]
+                    reader.close()
+                    return rows
+            except Exception:
+                pass  # fall back to the Python path
         with io.open(data_file) as f:
             return [line.rstrip("\n") for line in f if line.strip()]
 
@@ -114,6 +126,10 @@ class DataLoader:
 
     def set_epoch(self, epoch):
         self.epoch = epoch
+        # propagate to datasets with epoch-dependent featurisation
+        # (e.g. MLM dynamic masking)
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(epoch)
 
     def __len__(self):
         n = len(self.dataset)
