@@ -114,6 +114,9 @@ MODEL_REGISTRY = {
     "language_modeling": {
         "default": _lazy("easynlp_tpu.appzoo.language_modeling.model",
                          "LanguageModeling"),
+        "contrast_learning_flag": _lazy(
+            "easynlp_tpu.appzoo.language_modeling.model",
+            "CKBertLanguageModeling"),
     },
     "vectorization": {
         "default": _lazy("easynlp_tpu.appzoo.feature_vectorization.model",
@@ -281,7 +284,8 @@ def _variant_key(registry_entry, udp):
     (reference api.py keys: multi_label / two_tower / enable_distillation /
     enable_fewshot ...)."""
     for key in ("enable_distillation", "enable_fewshot", "multi_label",
-                "two_tower", "siamese", "enable_vit", "enable_vqgan"):
+                "two_tower", "siamese", "enable_vit", "enable_vqgan",
+                "contrast_learning_flag"):
         if udp.get(key) and key in registry_entry:
             return key
     return "default"

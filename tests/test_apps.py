@@ -105,3 +105,27 @@ def test_mlm_forward_and_loss(tiny):
     assert out["logits"].shape[-1] == app.config.vocab_size
     loss = LanguageModeling.loss_fn(out, batch)["loss"]
     assert np.isfinite(float(loss))
+
+
+def test_ckbert_contrastive_mlm(tiny):
+    base, model_dir, tok = tiny
+    from easynlp_tpu.appzoo.language_modeling.model import CKBertLanguageModeling
+    app = CKBertLanguageModeling.from_pretrained(model_dir)
+    b, s = 4, 12
+    batch = {"input_ids": np.full((b, s), 5, np.int32),
+             "attention_mask": np.ones((b, s), np.int32),
+             "token_type_ids": np.zeros((b, s), np.int32),
+             "label_ids": np.full((b, s), -100, np.int32)}
+    batch["label_ids"][:, 2] = 6
+    # training view (two dropout passes) via module.apply with rngs
+    import jax as _jax
+    out = app.module.apply(
+        {"params": app.params}, input_ids=jnp.asarray(batch["input_ids"]),
+        attention_mask=jnp.asarray(batch["attention_mask"]),
+        deterministic=False, rngs={"dropout": _jax.random.PRNGKey(0)})
+    assert "cls_view2" in out
+    ld = CKBertLanguageModeling.loss_fn(out, batch)
+    assert "contrastive_loss" in ld and np.isfinite(float(ld["loss"]))
+    # the two views differ (independent dropout)
+    assert not np.allclose(np.asarray(out["cls_view1"]),
+                           np.asarray(out["cls_view2"]))
