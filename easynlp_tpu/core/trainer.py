@@ -176,9 +176,19 @@ class Trainer:
         last_log = t_start
         last_log_step = self.global_step
         profiling = False
+        from easynlp_tpu.data.prefetch import device_prefetch
+
+        def strip_valid(b):
+            b.pop("_valid", None)
+            return b
+
         for epoch in range(self.start_epoch, total_epochs):
             self.train_loader.set_epoch(epoch)
-            for batch in self.train_loader:
+            batches = device_prefetch(iter(self.train_loader),
+                                      sharding=self.batch_shard,
+                                      depth=max(1, args.num_host_prefetch),
+                                      transform=strip_valid)
+            for device_batch in batches:
                 if self.global_step >= self.t_total:
                     break
                 # profiler window (reference Timers; here a real device trace)
@@ -190,8 +200,6 @@ class Trainer:
                     profiling = False
                     logger.info("profiler trace written to %s",
                                 args.profile_dir)
-                batch.pop("_valid", None)
-                device_batch = jax.device_put(batch, self.batch_shard)
                 self.params, self.opt_state, metrics = self._train_step(
                     self.params, self.opt_state, device_batch,
                     self.global_step)
