@@ -156,10 +156,26 @@ class Trainer:
                 (grads, loss_dict), _ = jax.lax.scan(
                     micro_step, (zero, dummy_ld), (split, rngs))
                 grads = jax.tree.map(lambda g: g / accum, grads)
-            updates, opt_state = self.tx.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
+            # NaN/Inf guard (reference DynamicLossScaler._has_inf_or_nan →
+            # skip-step, train_utils.py:347,381-385): a non-finite loss or
+            # grad leaves params/opt state untouched for this step.
+            gnorm = optax.global_norm(grads)
+            finite = jnp.isfinite(loss_dict["loss"]) & jnp.isfinite(gnorm)
+            safe_grads = jax.tree.map(
+                lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads)
+            updates, new_opt_state = self.tx.update(safe_grads, opt_state,
+                                                    params)
+            new_params = optax.apply_updates(params, updates)
+            params = jax.tree.map(
+                lambda new, old: jnp.where(finite, new, old),
+                new_params, params)
+            opt_state = jax.tree.map(
+                lambda new, old: jnp.where(finite, new, old)
+                if hasattr(new, "shape") else new,
+                new_opt_state, opt_state)
             metrics = {"loss": loss_dict["loss"],
-                       "grad_norm": optax.global_norm(grads),
+                       "grad_norm": gnorm,
+                       "nonfinite_skip": (~finite).astype(jnp.float32),
                        "lr": self.schedule_fn(step)}
             for k, v in loss_dict.items():
                 if k != "loss" and jnp.ndim(v) == 0:

@@ -108,3 +108,49 @@ def test_2_general_dataset_hf_adapter():
     ds = GeneralDataset(table)
     assert len(ds) == 3
     assert ds.parse_row(1) == {"text": "b", "label": 1}
+
+
+def test_3_nan_step_skip():
+    """A poisoned batch must not corrupt params (reference NaN-skip)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from easynlp_tpu.core.trainer import Trainer
+    from easynlp_tpu.testing import (SyntheticClassificationDataset,
+                                     make_args, tiny_bert_config)
+    from easynlp_tpu.appzoo.sequence_classification.model import (
+        SequenceClassification, SequenceClassificationModule)
+
+    args = make_args(micro_batch_size=8, sequence_length=8, dtype="float32",
+                     epoch_num=1.0, logging_steps=10**9, checkpoint_dir=None)
+    cfg = tiny_bert_config()
+    module = SequenceClassificationModule(config=cfg, dtype=jnp.float32,
+                                          num_labels=2)
+    params = SequenceClassification.init_params(module, cfg)
+    app = SequenceClassification(module, params, cfg)
+
+    class PoisonedApp:
+        module = app.module
+        model_input_keys = app.model_input_keys
+        params = app.params
+        config = app.config
+        label_mapping = {}
+        param_logical_axes = app.param_logical_axes
+
+        @staticmethod
+        def loss_fn(outputs, batch):
+            loss = jnp.float32(jnp.nan) * outputs["logits"].sum()
+            return {"loss": loss}
+
+    ds = SyntheticClassificationDataset(n=16, seq_len=8,
+                                        vocab_size=cfg.vocab_size)
+    tr = Trainer(PoisonedApp(), ds, evaluator=None, args=args)
+    batch = next(iter(tr.train_loader))
+    batch.pop("_valid", None)
+    before = jax.device_get(tr.params)
+    p, o, m = tr._train_step(tr.params, tr.opt_state,
+                             jax.device_put(batch, tr.batch_shard), 0)
+    assert float(m["nonfinite_skip"]) == 1.0
+    after = jax.device_get(p)
+    for a, b in zip(jax.tree.leaves(before), jax.tree.leaves(after)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
