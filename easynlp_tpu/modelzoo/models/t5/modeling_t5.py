@@ -92,20 +92,32 @@ class T5Attention(nn.Module):
     config: Any
     dtype: Any = jnp.float32
     deterministic: bool = True
+    kv_only: bool = False  # precompute mode: return projected (k, v) only
 
     @nn.compact
-    def __call__(self, hidden, kv_hidden, kv_mask, bias=None, cache=None,
-                 cache_index=None):
+    def __call__(self, hidden, kv_hidden, kv_mask=None, bias=None, cache=None,
+                 cache_index=None, static_kv=None):
         c = self.config
         h, d = c.num_heads, c.d_kv
+        if self.kv_only:
+            skv = kv_hidden.shape[1]
+            bk = kv_hidden.shape[0]
+            k = _t5_dense(h * d, ("embed", "joined_kv"), dtype=self.dtype,
+                          name="k")(kv_hidden).reshape(bk, skv, h, d)
+            v = _t5_dense(h * d, ("embed", "joined_kv"), dtype=self.dtype,
+                          name="v")(kv_hidden).reshape(bk, skv, h, d)
+            return (k, v), None
         b, s, _ = hidden.shape
         q = _t5_dense(h * d, ("embed", "joined_kv"), dtype=self.dtype,
                       name="q")(hidden).reshape(b, s, h, d)
-        skv = kv_hidden.shape[1]
-        k = _t5_dense(h * d, ("embed", "joined_kv"), dtype=self.dtype,
-                      name="k")(kv_hidden).reshape(b, skv, h, d)
-        v = _t5_dense(h * d, ("embed", "joined_kv"), dtype=self.dtype,
-                      name="v")(kv_hidden).reshape(b, skv, h, d)
+        if static_kv is not None:
+            k, v = static_kv
+        else:
+            skv = kv_hidden.shape[1]
+            k = _t5_dense(h * d, ("embed", "joined_kv"), dtype=self.dtype,
+                          name="k")(kv_hidden).reshape(b, skv, h, d)
+            v = _t5_dense(h * d, ("embed", "joined_kv"), dtype=self.dtype,
+                          name="v")(kv_hidden).reshape(b, skv, h, d)
         new_cache = None
         if cache is not None:
             k_cache, v_cache = cache
@@ -155,11 +167,16 @@ class T5Block(nn.Module):
     dtype: Any = jnp.float32
     is_decoder: bool = False
     deterministic: bool = True
+    kv_precompute: bool = False  # emit per-layer cross-attention (k, v) only
 
     @nn.compact
     def __call__(self, carry, layer_cache=None):
         (hidden, self_mask, enc_hidden, enc_mask, bias, cache_index) = carry
         c = self.config
+        if self.kv_precompute:
+            kv, _ = T5Attention(c, dtype=self.dtype, kv_only=True,
+                                name="cross_attn")(None, enc_hidden)
+            return carry, kv
         self_cache = cross_kv = None
         if layer_cache is not None:
             self_cache = (layer_cache[0], layer_cache[1])
@@ -174,18 +191,14 @@ class T5Block(nn.Module):
                               cache=self_cache, cache_index=cache_index)
         hidden = hidden + attn_out
 
-        new_cross = None
-        if self.is_decoder and enc_hidden is not None:
+        if self.is_decoder and (enc_hidden is not None
+                                or cross_kv is not None):
             normed = T5LayerNorm(eps=c.layer_norm_epsilon,
                                  name="ln_cross")(hidden)
-            if cross_kv is not None:
-                # cross kv precomputed at prefill: reuse via cache with s=0
-                # trick — here simply recompute from enc_hidden is avoided by
-                # passing enc_hidden=None and using cached kv directly.
-                pass
             cross_out, _ = T5Attention(
                 c, dtype=self.dtype, deterministic=self.deterministic,
-                name="cross_attn")(normed, enc_hidden, enc_mask)
+                name="cross_attn")(normed, enc_hidden, enc_mask,
+                                   static_kv=cross_kv)
             hidden = hidden + cross_out
 
         normed = T5LayerNorm(eps=c.layer_norm_epsilon, name="ln_ff")(hidden)
@@ -210,8 +223,19 @@ class T5Stack(nn.Module):
     @nn.compact
     def __call__(self, hidden, self_mask, qpos, kpos, enc_hidden=None,
                  enc_mask=None, cache=None, cache_index=None,
-                 deterministic=True):
+                 deterministic=True, compute_cross_kv_only=False):
         c = self.config
+        if compute_cross_kv_only:
+            scan_kv = nn.scan(
+                T5Block, variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                length=c.num_decoder_layers,
+                metadata_params={nn.PARTITION_NAME: "layers"})
+            _, cross_kv = scan_kv(
+                config=c, dtype=self.dtype, is_decoder=True,
+                deterministic=deterministic, kv_precompute=True,
+                name="layers")((None, None, enc_hidden, None, None, None))
+            return cross_kv, None
         bias = T5RelativeBias(c, bidirectional=not self.is_decoder,
                               name="rel_bias")(qpos, kpos)
         if self.is_decoder and cache is None:
@@ -285,10 +309,13 @@ class T5ForConditionalGeneration(BaseModule):
             self_mask = (jnp.broadcast_to(jnp.arange(t) < cache_index + s,
                                           (b, t))
                          if decoder_mask is None else decoder_mask)
+        # cache may be (self_k, self_v) or (self_k, self_v, cross_k, cross_v)
         dec, new_cache = self.decoder(
             hidden, self_mask.astype(bool), qpos, kpos,
             enc_hidden=enc_hidden, enc_mask=enc_mask.astype(bool),
             cache=cache, cache_index=cache_index, deterministic=deterministic)
+        if cache is not None and len(cache) > 2:
+            new_cache = (new_cache[0], new_cache[1], cache[2], cache[3])
         if c.tie_word_embeddings:
             dec = dec * (c.d_model ** -0.5)
             logits = jnp.einsum("bse,ve->bsv", dec,
@@ -304,6 +331,14 @@ class T5ForConditionalGeneration(BaseModule):
         shape = (c.num_decoder_layers, batch_size, max_length, c.num_heads,
                  c.d_kv)
         return (jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+
+    def precompute_cross_kv(self, enc_hidden):
+        """Per-layer cross-attention (k, v) [L, B, Senc, H, D] computed once
+        at prefill; decode then skips the per-step k/v projections."""
+        cross_kv, _ = self.decoder(None, None, None, None,
+                                   enc_hidden=enc_hidden,
+                                   compute_cross_kv_only=True)
+        return cross_kv
 
     def __call__(self, input_ids, attention_mask=None, decoder_input_ids=None,
                  decoder_attention_mask=None, deterministic=True):

@@ -23,6 +23,10 @@ def make_encoder_decoder_fns(module, max_length, src_ids, src_mask,
             enc_mask = jnp.repeat(src_mask, k, axis=0)
         self_cache = module.apply({"params": params}, bk, max_length,
                                   method=module.init_cache)
+        if hasattr(module, "precompute_cross_kv"):
+            cross_k, cross_v = module.apply({"params": params}, enc,
+                                            method=module.precompute_cross_kv)
+            self_cache = (self_cache[0], self_cache[1], cross_k, cross_v)
         logits, self_cache = module.apply(
             {"params": params}, decoder_start_ids, enc, enc_mask,
             cache=self_cache, cache_index=jnp.zeros((), jnp.int32),
