@@ -56,21 +56,32 @@ class BartAttention(nn.Module):
     dtype: Any = jnp.float32
     causal: bool = False
     deterministic: bool = True
+    kv_only: bool = False
 
     @nn.compact
-    def __call__(self, hidden, kv_hidden, kv_mask, cache=None,
-                 cache_index=None):
+    def __call__(self, hidden, kv_hidden, kv_mask=None, cache=None,
+                 cache_index=None, static_kv=None):
         c = self.config
         h = self.num_heads
         d = c.d_model // h
+        if self.kv_only:
+            bk, skv = kv_hidden.shape[:2]
+            k = _dense(h * d, ("embed", "joined_kv"), dtype=self.dtype,
+                       name="k_proj")(kv_hidden).reshape(bk, skv, h, d)
+            v = _dense(h * d, ("embed", "joined_kv"), dtype=self.dtype,
+                       name="v_proj")(kv_hidden).reshape(bk, skv, h, d)
+            return (k, v), None
         b, s, _ = hidden.shape
         q = _dense(h * d, ("embed", "joined_kv"), dtype=self.dtype,
                    name="q_proj")(hidden).reshape(b, s, h, d)
-        skv = kv_hidden.shape[1]
-        k = _dense(h * d, ("embed", "joined_kv"), dtype=self.dtype,
-                   name="k_proj")(kv_hidden).reshape(b, skv, h, d)
-        v = _dense(h * d, ("embed", "joined_kv"), dtype=self.dtype,
-                   name="v_proj")(kv_hidden).reshape(b, skv, h, d)
+        if static_kv is not None:
+            k, v = static_kv
+        else:
+            skv = kv_hidden.shape[1]
+            k = _dense(h * d, ("embed", "joined_kv"), dtype=self.dtype,
+                       name="k_proj")(kv_hidden).reshape(b, skv, h, d)
+            v = _dense(h * d, ("embed", "joined_kv"), dtype=self.dtype,
+                       name="v_proj")(kv_hidden).reshape(b, skv, h, d)
         new_cache = None
         causal = self.causal
         if cache is not None:
@@ -99,20 +110,31 @@ class BartLayer(nn.Module):
     dtype: Any = jnp.float32
     is_decoder: bool = False
     deterministic: bool = True
+    kv_precompute: bool = False
 
     @nn.compact
     def __call__(self, carry, layer_cache=None):
         hidden, self_mask, enc_hidden, enc_mask, cache_index = carry
         c = self.config
+        if self.kv_precompute:
+            kv, _ = BartAttention(c, self.num_heads, dtype=self.dtype,
+                                  kv_only=True, name="encoder_attn")(
+                None, enc_hidden)
+            return carry, kv
         pre = c.normalize_before
 
         residual = hidden
         x = _ln(name="self_attn_layer_norm")(hidden).astype(self.dtype) \
             if pre else hidden
+        self_cache = cross_kv = None
+        if layer_cache is not None:
+            self_cache = (layer_cache[0], layer_cache[1])
+            if self.is_decoder and len(layer_cache) > 2:
+                cross_kv = (layer_cache[2], layer_cache[3])
         attn_out, new_cache = BartAttention(
             c, self.num_heads, dtype=self.dtype, causal=self.is_decoder,
             deterministic=self.deterministic, name="self_attn")(
-            x, x, self_mask, cache=layer_cache, cache_index=cache_index)
+            x, x, self_mask, cache=self_cache, cache_index=cache_index)
         hidden = residual + attn_out
         if not pre:
             hidden = _ln(name="self_attn_layer_norm")(
@@ -125,7 +147,7 @@ class BartLayer(nn.Module):
             cross_out, _ = BartAttention(
                 c, self.num_heads, dtype=self.dtype, causal=False,
                 deterministic=self.deterministic, name="encoder_attn")(
-                x, enc_hidden, enc_mask)
+                x, enc_hidden, enc_mask, static_kv=cross_kv)
             hidden = residual + cross_out
             if not pre:
                 hidden = _ln(name="encoder_attn_layer_norm")(
@@ -157,8 +179,20 @@ class BartStack(nn.Module):
     @nn.compact
     def __call__(self, input_ids, self_mask, positions, enc_hidden=None,
                  enc_mask=None, cache=None, cache_index=None,
-                 deterministic=True):
+                 deterministic=True, compute_cross_kv_only=False):
         c = self.config
+        if compute_cross_kv_only:
+            scan_kv = nn.scan(
+                BartLayer, variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                length=c.decoder_layers,
+                metadata_params={nn.PARTITION_NAME: "layers"})
+            _, cross_kv = scan_kv(
+                config=c, num_heads=c.decoder_attention_heads,
+                ffn_dim=c.decoder_ffn_dim, dtype=self.dtype, is_decoder=True,
+                deterministic=deterministic, kv_precompute=True,
+                name="layers")((None, None, enc_hidden, None, None))
+            return cross_kv, None
         embed = nn.Embed(c.vocab_size, c.d_model, param_dtype=jnp.float32,
                          embedding_init=nn.with_logical_partitioning(
                              truncated_normal_init(0.02), ("vocab", "embed")),
@@ -247,6 +281,8 @@ class BartForConditionalGeneration(BaseModule):
             decoder_input_ids, self_mask, pos, enc_hidden=enc_hidden,
             enc_mask=enc_mask.astype(bool), cache=cache,
             cache_index=cache_index, deterministic=deterministic)
+        if cache is not None and len(cache) > 2:
+            new_cache = (new_cache[0], new_cache[1], cache[2], cache[3])
         # tied LM head via the DECODER token embedding (BART ties all three)
         embedding = self.decoder.variables["params"]["embed_tokens"]["embedding"]
         embedding = nn.unbox(embedding)
@@ -262,6 +298,12 @@ class BartForConditionalGeneration(BaseModule):
         dtype = dtype or self.dtype
         shape = (c.decoder_layers, batch_size, max_length, h, d)
         return (jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+
+    def precompute_cross_kv(self, enc_hidden):
+        cross_kv, _ = self.decoder(None, None, None,
+                                   enc_hidden=enc_hidden,
+                                   compute_cross_kv_only=True)
+        return cross_kv
 
     def __call__(self, input_ids, attention_mask=None, decoder_input_ids=None,
                  decoder_attention_mask=None, deterministic=True):

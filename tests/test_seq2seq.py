@@ -130,3 +130,32 @@ def test_t5_train_step(tmp_path):
     g = jax.grad(loss)(params)
     gnorm = optax.global_norm(g)
     assert np.isfinite(float(gnorm)) and float(gnorm) > 0
+
+
+def test_bart_generation_parity():
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+    hf_cfg = transformers.BartConfig(**BART_TINY, forced_bos_token_id=None,
+                                     forced_eos_token_id=None)
+    torch.manual_seed(0)
+    hf = transformers.BartForConditionalGeneration(hf_cfg).eval()
+    from easynlp_tpu.modelzoo.models.bart import (BartConfig,
+                                                  BartForConditionalGeneration)
+    from easynlp_tpu.modelzoo.models.bart.conversion import (
+        convert_bart_state_dict)
+    from easynlp_tpu.modelzoo.seq2seq_generation import (
+        encoder_decoder_generate)
+    cfg = BartConfig(**BART_TINY)
+    m = BartForConditionalGeneration.from_config(cfg, dtype=jnp.float32)
+    params = convert_bart_state_dict(
+        {k: v.numpy() for k, v in hf.state_dict().items()}, cfg)
+    ids = np.random.RandomState(3).randint(3, 120, (2, 7))
+    mask = np.ones((2, 7), np.int32)
+    ours = np.asarray(encoder_decoder_generate(
+        m, params, jnp.asarray(ids), jnp.asarray(mask), max_length=12))
+    hf_out = hf.generate(torch.tensor(ids), max_length=12,
+                         do_sample=False, decoder_start_token_id=2,
+                         forced_bos_token_id=None).numpy()
+    for i in range(2):
+        n = min(len(hf_out[i]), ours.shape[1])
+        np.testing.assert_array_equal(ours[i][:n], hf_out[i][:n])
