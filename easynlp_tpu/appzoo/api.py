@@ -187,6 +187,8 @@ EVALUATOR_REGISTRY = {
                          "TextMatchEvaluator"),
         "two_tower": _lazy("easynlp_tpu.appzoo.text_match.evaluator",
                            "TextMatchTwoTowerEvaluator"),
+        "siamese": _lazy("easynlp_tpu.appzoo.text_match.evaluator",
+                         "TextMatchTwoTowerEvaluator"),
     },
     "sequence_labeling": {
         "default": _lazy("easynlp_tpu.appzoo.sequence_labeling.evaluator",
@@ -235,6 +237,8 @@ PREDICTOR_REGISTRY = {
                          "TextMatchPredictor"),
         "two_tower": _lazy("easynlp_tpu.appzoo.text_match.predictor",
                            "TextMatchTwoTowerPredictor"),
+        "siamese": _lazy("easynlp_tpu.appzoo.text_match.predictor",
+                         "TextMatchTwoTowerPredictor"),
     },
     "sequence_labeling": {
         "default": _lazy("easynlp_tpu.appzoo.sequence_labeling.predictor",

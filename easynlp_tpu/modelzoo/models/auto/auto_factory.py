@@ -39,6 +39,10 @@ CONFIG_MAPPING = {
     "kbert": _lazy("easynlp_tpu.modelzoo.models.kbert", "KBertConfig"),
     "kangaroo": _lazy("easynlp_tpu.modelzoo.models.kangaroo",
                       "KangarooConfig"),
+    # the reference's generic seq2seq 'transformer' family (used by
+    # open-domain dialogue) maps onto the BART stack
+    "transformer": _lazy("easynlp_tpu.modelzoo.models.bart", "BartConfig"),
+    "ckbert": _lazy("easynlp_tpu.modelzoo.models.ckbert", "CKBertConfig"),
 }
 
 MODEL_MAPPING = {
@@ -64,6 +68,10 @@ MODEL_MAPPING = {
     "bloom": _lazy("easynlp_tpu.modelzoo.models.bloom", "BloomForCausalLM"),
     "kbert": _lazy("easynlp_tpu.modelzoo.models.kbert", "KBertModel"),
     "kangaroo": _lazy("easynlp_tpu.modelzoo.models.kangaroo", "KangarooModel"),
+    "transformer": _lazy("easynlp_tpu.modelzoo.models.bart",
+                         "BartForConditionalGeneration"),
+    "ckbert": _lazy("easynlp_tpu.modelzoo.models.ckbert",
+                    "CKBertForPreTraining"),
 }
 
 TOKENIZER_MAPPING = {
@@ -83,6 +91,8 @@ TOKENIZER_MAPPING = {
     "bloom": _lazy("easynlp_tpu.modelzoo.models.gpt2", "GPT2Tokenizer"),
     "kbert": _lazy("easynlp_tpu.modelzoo.models.bert", "BertTokenizer"),
     "kangaroo": _lazy("easynlp_tpu.modelzoo.models.bert", "BertTokenizer"),
+    "transformer": _lazy("easynlp_tpu.modelzoo.models.bert", "BertTokenizer"),
+    "ckbert": _lazy("easynlp_tpu.modelzoo.models.bert", "BertTokenizer"),
 }
 
 
