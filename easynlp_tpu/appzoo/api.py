@@ -81,6 +81,10 @@ DATASET_REGISTRY = {
         "default": _lazy("easynlp_tpu.appzoo.sequence_generation.data",
                          "SequenceGenerationDataset"),
     },
+    "latent_diffusion": {
+        "default": _lazy("easynlp_tpu.appzoo.latent_diffusion.data",
+                         "LDMDataset"),
+    },
     "open_domain_dialogue": {
         "default": _lazy("easynlp_tpu.appzoo.sequence_generation.data",
                          "SequenceGenerationDataset"),
@@ -351,6 +355,7 @@ def default_main_fn(args=None):
         label_name=args.label_name,
         label_enumerate_values=args.label_enumerate_values,
         multi_label=bool(udp.get("multi_label")),
+        image_size=int(udp.get("image_size", 224)),
         user_defined_parameters=udp,
         process_index=args.process_index,
         num_processes=args.num_processes,

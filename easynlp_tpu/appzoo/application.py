@@ -91,8 +91,8 @@ class Application:
         config = cls.load_config(model_dir, **kwargs)
         module = cls.build_module(config, args=args, dtype=dtype, **kwargs)
         self = cls.__new__(cls)
-        Application.__init__(self, module, cls.init_params(module, config, seed),
-                             config, label_mapping=label_mapping)
+        cls.__init__(self, module, cls.init_params(module, config, seed),
+                     config, label_mapping=label_mapping)
         flavour = available_checkpoint(model_dir)
         if flavour == "flax":
             loaded = load_params(model_dir)

@@ -119,18 +119,27 @@ class Trainer:
 
     def _build_step(self):
         module = self.app.module
-        compute_loss = self.app.loss_fn
         accum = self.accum
         micro = self.args.micro_batch_size
         model_keys = self.app.model_input_keys
 
-        def forward_loss(params, batch, rng):
-            inputs = {k: batch[k] for k in model_keys if k in batch}
-            outputs = module.apply({"params": params}, **inputs,
-                                   deterministic=False,
-                                   rngs={"dropout": rng})
-            loss_dict = compute_loss(outputs, batch)
-            return loss_dict["loss"].astype(jnp.float32), loss_dict
+        if hasattr(self.app, "make_train_loss"):
+            # rng-driven losses (e.g. diffusion: random timesteps/noise)
+            custom_loss = self.app.make_train_loss()
+
+            def forward_loss(params, batch, rng):
+                loss, loss_dict = custom_loss(params, batch, rng)
+                return loss.astype(jnp.float32), loss_dict
+        else:
+            compute_loss = self.app.loss_fn
+
+            def forward_loss(params, batch, rng):
+                inputs = {k: batch[k] for k in model_keys if k in batch}
+                outputs = module.apply({"params": params}, **inputs,
+                                       deterministic=False,
+                                       rngs={"dropout": rng})
+                loss_dict = compute_loss(outputs, batch)
+                return loss_dict["loss"].astype(jnp.float32), loss_dict
 
         def train_step(params, opt_state, batch, step):
             rng = jax.random.fold_in(jax.random.PRNGKey(self.args.random_seed),

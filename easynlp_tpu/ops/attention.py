@@ -50,12 +50,14 @@ def _interpret():
 def _pick_block_h(num_heads, sq, skv, d, block_q, block_k, itemsize=2):
     """Heads per grid step, sized so K/V tiles + fp32 score/accumulator tiles
     fit comfortably in the ~16MB VMEM (conservative 6MB budget; Mosaic keeps
-    double-buffered copies of the windowed operands)."""
+    double-buffered copies of the windowed operands). The last dim is padded
+    to the 128-lane width, so small head dims cost a full 128 lanes."""
+    d_pad = max(d, 128)
     per_head = (
-        2 * skv * d * itemsize        # K + V tiles
-        + 2 * sq * d * itemsize       # Q (or dO) windows
-        + 2 * block_q * block_k * 4   # score + prob tiles, fp32
-        + 2 * block_q * d * 4         # q fp32 + accumulator
+        2 * skv * d_pad * itemsize        # K + V tiles (lane-padded)
+        + 2 * sq * d_pad * itemsize       # Q (or dO) windows
+        + 2 * block_q * block_k * 4       # score + prob tiles, fp32
+        + 2 * block_q * d_pad * 4         # q fp32 + accumulator
     )
     h = max(1, (6 * 1024 * 1024) // max(per_head, 1))
     h = min(h, num_heads)
@@ -122,6 +124,10 @@ def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, *,
         k_blk = k_ref[:, pl.ds(kb * block_k, block_k), :]
         s = _bdot(q, k_blk, transpose_b=True) * scale  # [hblk, bq, bk] f32
         mask = mask_ref[0, pl.ds(kb * block_k, block_k)] > 0
+        # guard the padded tail when kv_len is not block-divisible
+        k_pos1 = kb * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (block_k, 1), 0)[:, 0]
+        mask = mask & (k_pos1 < kv_len)
         s = jnp.where(mask[None, None, :], s, NEG_INF)
         if causal:
             s = _causal_mask3(s, qi * block_q + q_offset, kb * block_k,
@@ -209,7 +215,7 @@ def _flash_fwd(q, k, v, kv_mask, causal, scale, block_q, block_k, block_h):
 
 def _bwd_dkdv_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref,
                      dk_ref, dv_ref, *, scale, causal, block_q, q_len,
-                     q_offset):
+                     q_offset, kv_len_total):
     # k/v_ref [hblk, block_k, D]; q/do_ref [hblk, Sq, D];
     # lse/delta [hblk, 1, Sq]; mask [1, block_k].
     hblk, block_k, d = k_ref.shape
@@ -217,6 +223,9 @@ def _bwd_dkdv_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref,
     k_blk = k_ref[:]
     v_blk = v_ref[:]
     kv_mask = mask_ref[0, :] > 0
+    k_pos1 = kb * block_k + jax.lax.broadcasted_iota(
+        jnp.int32, (block_k, 1), 0)[:, 0]
+    kv_mask = kv_mask & (k_pos1 < kv_len_total)
     num_q_blocks = _cdiv(q_len, block_q)
 
     def body(qb, carry):
@@ -231,12 +240,17 @@ def _bwd_dkdv_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref,
             s = _causal_mask3(s, qb * block_q + q_offset, kb * block_k,
                               block_q, block_k)
         p = jnp.exp(s - lse[..., None])
+        # zero contributions from q rows in the padded tail
+        q_pos1 = qb * block_q + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, 1), 0)[:, 0]
+        q_valid = (q_pos1 < q_len).astype(jnp.float32)
+        p = p * q_valid[None, :, None]
         # dv += p^T do ; dk += ds^T q  (batched over heads, bf16 into MXU)
         dv = dv + jax.lax.dot_general(
             p.astype(do_blk.dtype), do_blk, (((1,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)
         dp = _bdot(do_blk, v_blk, transpose_b=True)
-        ds = p * (dp - delta[..., None]) * scale
+        ds = p * (dp - delta[..., None]) * scale * q_valid[None, :, None]
         dk = dk + jax.lax.dot_general(
             ds.astype(q_blk.dtype), q_blk, (((1,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)
@@ -267,6 +281,9 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref,
         k_blk = k_ref[:, pl.ds(kb * block_k, block_k), :]
         v_blk = v_ref[:, pl.ds(kb * block_k, block_k), :]
         mask = mask_ref[0, pl.ds(kb * block_k, block_k)] > 0
+        k_pos1 = kb * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (block_k, 1), 0)[:, 0]
+        mask = mask & (k_pos1 < kv_len)
         s = _bdot(q_blk, k_blk, transpose_b=True) * scale
         s = jnp.where(mask[None, None, :], s, NEG_INF)
         if causal:
@@ -308,7 +325,8 @@ def _flash_bwd(res, g, causal, scale, block_q, block_k, block_h):
 
     dk, dv = pl.pallas_call(
         functools.partial(_bwd_dkdv_kernel, scale=scale, causal=causal,
-                          block_q=block_q, q_len=sq, q_offset=q_offset),
+                          block_q=block_q, q_len=sq, q_offset=q_offset,
+                          kv_len_total=skv),
         grid=(b, h // block_h, _cdiv(skv, block_k)),
         in_specs=[
             pl.BlockSpec((None, block_h, sq, d),
@@ -438,5 +456,26 @@ def attention(q, k, v, kv_mask=None, causal=False, scale=None, bias=None,
     if bias is not None or not wants_flash:
         return attention_reference(q, k, v, kv_mask=kv_mask, causal=causal,
                                    scale=scale, bias=bias)
+    # pad sequence dims to block multiples: in-kernel dynamic slices CLAMP
+    # out-of-range starts (silently reading wrong rows), so the kernels must
+    # only ever see block-divisible arrays; padding is masked out.
+    sq, skv = q.shape[1], k.shape[1]
+    bq = min(block_q, sq)
+    bk = min(block_k, skv)
+    pad_q = (-sq) % bq
+    pad_k = (-skv) % bk
+    if pad_q or pad_k:
+        if causal and pad_q != pad_k:
+            # padding would shift the causal diagonal (q_offset = skv - sq);
+            # this odd shape combo is rare — use the exact XLA path
+            return attention_reference(q, k, v, kv_mask=kv_mask, causal=True,
+                                       scale=scale)
+        q = jnp.pad(q, ((0, 0), (0, pad_q), (0, 0), (0, 0)))
+        k = jnp.pad(k, ((0, 0), (0, pad_k), (0, 0), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, pad_k), (0, 0), (0, 0)))
+        kv_mask = jnp.pad(kv_mask, ((0, 0), (0, pad_k)))
+        out = _flash_attention(q, k, v, kv_mask, causal, scale, block_q,
+                               block_k, block_h)
+        return out[:, :sq]
     return _flash_attention(q, k, v, kv_mask, causal, scale, block_q, block_k,
                             block_h)

@@ -49,3 +49,34 @@ def test_cross_attention_shapes():
     v = _rand((B, Skv, H, D), keys[2])
     out = attention(q, k, v, impl="reference")
     assert out.shape == (B, Sq, H, D)
+
+
+def test_flash_non_divisible_length():
+    """Sequence lengths not divisible by the block size must not read the
+    padded tail (regression: NaN grads at S=3136 in the LDM UNet)."""
+    B, S, H, D = 1, 70, 2, 16  # 70 % 32 != 0
+    keys = jax.random.split(jax.random.PRNGKey(3), 3)
+    q, k, v = (_rand((B, S, H, D), kk) for kk in keys)
+    mask = jnp.ones((B, S), bool)
+
+    def loss(q, impl):
+        o = attention(q, k, v, kv_mask=mask, impl=impl, block_q=32, block_k=32)
+        return jnp.sum(o ** 2)
+
+    gf = jax.grad(lambda x: loss(x, "flash"))(q)
+    gr = jax.grad(lambda x: loss(x, "reference"))(q)
+    assert np.isfinite(np.asarray(gf)).all()
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gr), atol=5e-4)
+
+
+def test_flash_non_divisible_causal():
+    B, S, H, D = 1, 70, 2, 16
+    keys = jax.random.split(jax.random.PRNGKey(4), 3)
+    q, k, v = (_rand((B, S, H, D), kk) for kk in keys)
+    mask = jnp.arange(S)[None, :] < 66
+    fl = attention(q, k, v, kv_mask=mask, causal=True, impl="flash",
+                   block_q=32, block_k=32)
+    ref = attention_reference(q, k, v, kv_mask=mask, causal=True)
+    valid = np.asarray(mask)[0]
+    np.testing.assert_allclose(np.asarray(fl)[0][valid],
+                               np.asarray(ref)[0][valid], atol=2e-5)
