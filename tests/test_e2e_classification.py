@@ -154,3 +154,49 @@ def test_3_nan_step_skip():
     after = jax.device_get(p)
     for a, b in zip(jax.tree.leaves(before), jax.tree.leaves(after)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_4_checkpoint_resume(tmp_path):
+    """Resume restores step counter, params, and optimizer state."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from easynlp_tpu.core.trainer import Trainer
+    from easynlp_tpu.testing import (SyntheticClassificationDataset,
+                                     make_args, tiny_bert_config)
+    from easynlp_tpu.appzoo.sequence_classification.model import (
+        SequenceClassification, SequenceClassificationModule)
+
+    out = str(tmp_path / "ck")
+    args = make_args(micro_batch_size=8, sequence_length=8, dtype="float32",
+                     epoch_num=1.0, logging_steps=10**9, checkpoint_dir=out,
+                     learning_rate=1e-3)
+    cfg = tiny_bert_config()
+    module = SequenceClassificationModule(config=cfg, dtype=jnp.float32,
+                                          num_labels=2)
+    params = SequenceClassification.init_params(module, cfg)
+    app = SequenceClassification(module, params, cfg,
+                                 label_mapping={"0": 0, "1": 1})
+    ds = SyntheticClassificationDataset(n=32, seq_len=8,
+                                        vocab_size=cfg.vocab_size)
+    tr = Trainer(app, ds, evaluator=None, args=args)
+    tr.train()
+    assert tr.global_step == tr.t_total
+    saved = jax.device_get(tr.params)
+
+    # fresh trainer resuming from the checkpoint
+    args2 = make_args(micro_batch_size=8, sequence_length=8, dtype="float32",
+                      epoch_num=1.0, logging_steps=10**9, checkpoint_dir=out,
+                      learning_rate=1e-3, resume_from_checkpoint=out)
+    app2 = SequenceClassification(
+        module, SequenceClassification.init_params(module, cfg), cfg,
+        label_mapping={"0": 0, "1": 1})
+    tr2 = Trainer(app2, ds, evaluator=None, args=args2)
+    assert tr2.global_step == tr.t_total         # step restored
+    restored = jax.device_get(tr2.params)
+    for a, b in zip(jax.tree.leaves(saved), jax.tree.leaves(restored)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+    # optimizer second moments non-zero after resume (state restored)
+    leaves = [x for x in jax.tree.leaves(jax.device_get(tr2.opt_state))
+              if hasattr(x, "shape") and getattr(x, "size", 0) > 1]
+    assert any(float(np.abs(np.asarray(x)).max()) > 0 for x in leaves)
