@@ -83,6 +83,7 @@ class Trainer:
         self._build_step()
         self.global_step = 0
         self.start_epoch = 0
+        self._resume_skip_batches = 0
         self.best_score = -float("inf")
         if self.args.resume_from_checkpoint:
             self.resume_from_ckpt(self.args.resume_from_checkpoint)
@@ -113,9 +114,40 @@ class Trainer:
         self.params = jax.tree.map(
             lambda p, a: place((p, a)), params, axes_tree,
             is_leaf=lambda x: x is None)
-        with mesh:
-            self.opt_state = jax.jit(self.tx.init)(self.params)
+        # tx.init only reads input *shapes*, so XLA DCEs the params argument
+        # and an unconstrained jit would land the whole optimizer state on the
+        # default device. Pin out_shardings explicitly: moment leaves inherit
+        # their parameter's sharding (ZeRO over the fsdp axis), everything
+        # else (counts, schedule scalars) is replicated.
+        self.opt_state = jax.jit(
+            self.tx.init,
+            out_shardings=self._opt_state_shardings(self.params))(self.params)
         self.batch_shard = batch_sharding(mesh)
+
+    def _opt_state_shardings(self, params):
+        """Sharding pytree for tx.init(params): leaves whose tree-path suffix
+        and shape match a parameter get that parameter's sharding (optimizer
+        moments mirror the param tree); other leaves are replicated."""
+        from jax.sharding import NamedSharding, PartitionSpec
+        from jax.tree_util import tree_flatten_with_path
+
+        replicated = NamedSharding(self.mesh, PartitionSpec())
+        param_leaves, _ = tree_flatten_with_path(params)
+        by_suffix = {tuple(str(k) for k in path): (leaf.shape, leaf.sharding)
+                     for path, leaf in param_leaves}
+        abstract = jax.eval_shape(self.tx.init, params)
+        flat, treedef = tree_flatten_with_path(abstract)
+
+        def leaf_sharding(path, leaf):
+            keys = tuple(str(k) for k in path)
+            for i in range(len(keys)):
+                hit = by_suffix.get(keys[i:])
+                if hit is not None and hit[0] == leaf.shape:
+                    return hit[1]
+            return replicated
+
+        return jax.tree.unflatten(
+            treedef, [leaf_sharding(p, l) for p, l in flat])
 
     def _build_step(self):
         module = self.app.module
@@ -209,7 +241,17 @@ class Trainer:
 
         for epoch in range(self.start_epoch, total_epochs):
             self.train_loader.set_epoch(epoch)
-            batches = device_prefetch(iter(self.train_loader),
+            batch_iter = iter(self.train_loader)
+            if epoch == self.start_epoch and self._resume_skip_batches:
+                # Mid-epoch resume: shuffling is deterministic in (seed, epoch)
+                # so skipping the already-trained head replays the exact data
+                # order (reference trainer.py:611-614 replays the step counter).
+                import itertools
+                logger.info("resume: skipping %d already-trained batches of "
+                            "epoch %d", self._resume_skip_batches, epoch)
+                batch_iter = itertools.islice(
+                    batch_iter, self._resume_skip_batches, None)
+            batches = device_prefetch(batch_iter,
                                       sharding=self.batch_shard,
                                       depth=max(1, args.num_host_prefetch),
                                       transform=strip_valid)
@@ -266,18 +308,23 @@ class Trainer:
                 self.best_score = score
             self.save_checkpoint()
         if args.save_all_checkpoints and not final:
-            self.save_checkpoint(suffix="_step_%d" % self.global_step)
+            # Full artifact set in its own directory so every checkpoint's
+            # (params, optimizer state, step) triple stays consistent.
+            self.save_checkpoint(subdir="step_%d" % self.global_step)
 
     # ------------------------------------------------------------- checkpoint
-    def save_checkpoint(self, suffix=""):
+    def save_checkpoint(self, subdir=None):
         """Write the reference's artifact set (trainer.py:421-544):
         config.json, vocab/tokenizer files, label_mapping.json,
-        train_config.json, weights, and resume meta."""
+        train_config.json, weights, and resume meta. With subdir, the whole
+        set goes into checkpoint_dir/subdir (per-step checkpoints), so each
+        checkpoint is independently resumable."""
         args = self.args
         out = args.checkpoint_dir
+        if subdir:
+            out = os.path.join(out, subdir)
         io.makedirs(out)
-        save_params(self.params, out,
-                    name="flax_params%s.msgpack" % suffix)
+        save_params(self.params, out)
         self.app.config.save_pretrained(out)
         if self.tokenizer is not None:
             self.tokenizer.save_pretrained(out)
@@ -297,7 +344,7 @@ class Trainer:
         from flax import serialization
         with io.open(os.path.join(out, OPT_STATE_NAME), "wb") as f:
             f.write(serialization.to_bytes(opt_host))
-        logger.info("checkpoint saved to %s%s", out, suffix)
+        logger.info("checkpoint saved to %s", out)
 
     def resume_from_ckpt(self, ckpt_dir):
         """Reference resume semantics (trainer.py:128-162): restore weights,
@@ -311,6 +358,7 @@ class Trainer:
             meta = json.load(f)
         self.global_step = int(meta["global_step"])
         self.start_epoch = int(meta.get("epoch", 0))
+        self._resume_skip_batches = self.global_step % self.steps_per_epoch
         self.best_score = float(meta.get("best_score", -float("inf")))
         loaded = load_params(ckpt_dir, target=jax.device_get(self.params))
         self.params = jax.tree.map(
@@ -319,8 +367,15 @@ class Trainer:
         opt_path = os.path.join(ckpt_dir, OPT_STATE_NAME)
         if io.exists(opt_path):
             from flax import serialization
+            # Preserve the ZeRO/fsdp shardings _place_state established: restore
+            # each leaf onto the sharding of the leaf it replaces (mirrors the
+            # params path above).
+            ref_state = self.opt_state
             with io.open(opt_path, "rb") as f:
-                self.opt_state = serialization.from_bytes(
-                    jax.device_get(self.opt_state), f.read())
-            self.opt_state = jax.device_put(self.opt_state)
+                restored = serialization.from_bytes(
+                    jax.device_get(ref_state), f.read())
+            self.opt_state = jax.tree.map(
+                lambda new, ref: jax.device_put(jnp.asarray(new), ref.sharding)
+                if hasattr(ref, "sharding") else new,
+                restored, ref_state)
         logger.info("resumed from %s at step %d", ckpt_dir, self.global_step)

@@ -40,8 +40,40 @@ def _load_lib():
                               ctypes.c_int64,
                               ctypes.POINTER(ctypes.c_int32),
                               ctypes.c_int64]
+    if hasattr(lib, "wp_set_classes"):
+        lib.wp_set_classes.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                       ctypes.c_int64]
     _LIB = lib
     return lib
+
+
+_CLASS_TABLE = None
+_CLASS_TABLE_LIMIT = 0x30000  # planes 0-2 cover every practical Zs/Cc/Cf/P*
+
+
+def _char_class_table():
+    """Per-codepoint class flags (1=whitespace, 2=control, 4=punct) derived
+    from unicodedata, so the native pipeline splits exactly like the
+    pure-Python one (reference _is_whitespace/_is_control/_is_punctuation:
+    Zs / Cc,Cf / ASCII-nonalnum + P*)."""
+    global _CLASS_TABLE
+    if _CLASS_TABLE is not None:
+        return _CLASS_TABLE
+    table = bytearray(_CLASS_TABLE_LIMIT)
+    for cp in range(_CLASS_TABLE_LIMIT):
+        ch = chr(cp)
+        cat = unicodedata.category(ch)
+        flags = 0
+        if ch in " \t\n\r" or cat == "Zs":
+            flags |= 1
+        elif cat in ("Cc", "Cf"):
+            flags |= 2
+        if (33 <= cp <= 47 or 58 <= cp <= 64 or 91 <= cp <= 96
+                or 123 <= cp <= 126 or cat.startswith("P")):
+            flags |= 4
+        table[cp] = flags
+    _CLASS_TABLE = bytes(table)
+    return _CLASS_TABLE
 
 
 def available():
@@ -62,6 +94,9 @@ class FastWordPiece:
             data = f.read()
         self._handle = lib.wp_create(data, len(data), int(do_lower_case),
                                      unk_token.encode())
+        if hasattr(lib, "wp_set_classes"):
+            tbl = _char_class_table()
+            lib.wp_set_classes(self._handle, tbl, len(tbl))
         self.do_lower_case = do_lower_case
         self.strip_accents = strip_accents
         self.max_ids = max_ids
@@ -72,11 +107,14 @@ class FastWordPiece:
             self._lib.wp_destroy(self._handle)
 
     def _normalize(self, text):
-        # accent stripping is the one unicode-table-heavy step; pre-apply in
-        # Python (only when non-ASCII present) for byte parity
-        if (self.do_lower_case and self.strip_accents is not False) \
-                or self.strip_accents:
-            if not text.isascii():
+        # Lowercasing + accent stripping are the unicode-table-heavy steps;
+        # pre-apply in Python (only when non-ASCII present) for byte parity —
+        # the native side only lowercases ASCII A-Z.
+        if not text.isascii():
+            if self.do_lower_case:
+                text = text.lower()
+            if (self.do_lower_case and self.strip_accents is not False) \
+                    or self.strip_accents:
                 text = unicodedata.normalize("NFD", text)
                 text = "".join(ch for ch in text
                                if unicodedata.category(ch) != "Mn")

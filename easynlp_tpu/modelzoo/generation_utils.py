@@ -238,8 +238,21 @@ def _unflatten_beam(x, b, k):
 def beam_search(prefill, decode, params, input_ids, attention_mask,
                 max_length, num_beams=4, length_penalty=1.0,
                 eos_token_id=None, pad_token_id=0, early_stopping=True,
-                **proc_config):
-    """Static-shape beam search; returns best sequences [B, max_length]."""
+                reindex_cache=None, **proc_config):
+    """Static-shape beam search; returns best sequences [B, max_length].
+
+    reindex_cache(cache, flat_beam) must gather every per-beam cache leaf
+    along its batch axis (flat_beam: int32 [B*K] of flat source lanes).
+    Adapters attach it to their prefill fn (`prefill.reindex_cache`); shape
+    guessing is not supported — a cache leaf whose non-batch dim happens to
+    equal B*K would be silently corrupted by any heuristic."""
+    if reindex_cache is None:
+        reindex_cache = getattr(prefill, "reindex_cache", None)
+    if reindex_cache is None:
+        raise ValueError(
+            "beam_search needs reindex_cache(cache, flat_beam): pass it "
+            "explicitly or attach it to the prefill fn (see "
+            "modelzoo/seq2seq_generation.py and models/gpt2/generation.py)")
     b, p = input_ids.shape
     k = num_beams
     t = max_length
@@ -316,12 +329,7 @@ def beam_search(prefill, decode, params, input_ids, attention_mask,
 
         # reindex cache to chosen beams: flat index = b*K + beam
         flat_beam = (jnp.arange(b)[:, None] * k + chosen_beam).reshape(-1)
-        cache = jax.tree.map(
-            lambda x: jnp.take(x, flat_beam, axis=1)
-            if x.ndim >= 2 and x.shape[1] == b * k
-            else (jnp.take(x, flat_beam, axis=0)
-                  if x.ndim >= 1 and x.shape[0] == b * k else x),
-            s.cache)
+        cache = reindex_cache(s.cache, flat_beam)
 
         tok = chosen_token.reshape(b * k, 1).astype(jnp.int32)
         new_logits, cache = decode(params, tok, cache)

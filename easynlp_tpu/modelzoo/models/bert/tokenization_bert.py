@@ -46,7 +46,11 @@ class BertTokenizer(PreTrainedTokenizer):
 
     def _encode_core(self, text):
         if self._fast is not None:
-            return self._fast.encode(text)
+            # the native path has no never_split handling: any text embedding
+            # a special token must take the pure-Python path, which protects
+            # them via BasicTokenizer(never_split=all_special_tokens)
+            if not any(t in text for t in self.all_special_tokens):
+                return self._fast.encode(text)
         return self.convert_tokens_to_ids(self.tokenize(text))
 
     @property

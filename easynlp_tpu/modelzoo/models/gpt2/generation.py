@@ -29,4 +29,16 @@ def make_gpt2_generation_fns(module, max_length, cache_dtype=None):
                            deterministic=True)
         return out["logits"][:, -1].astype(jnp.float32), out["cache"]
 
+    def reindex_cache(cache, flat_beam):
+        """Beam gather with explicit batch axes: k/v are layer-stacked
+        [L, B*K, T, H, D] → axis 1; mask is [B*K, T] → axis 0; index is a
+        shared scalar."""
+        return {
+            "k": jnp.take(cache["k"], flat_beam, axis=1),
+            "v": jnp.take(cache["v"], flat_beam, axis=1),
+            "mask": jnp.take(cache["mask"], flat_beam, axis=0),
+            "index": cache["index"],
+        }
+
+    prefill.reindex_cache = reindex_cache
     return prefill, decode

@@ -47,6 +47,19 @@ def make_encoder_decoder_fns(module, max_length, src_ids, src_mask,
                      "index": state["index"] + 1}
         return logits[:, -1].astype(jnp.float32), new_state
 
+    def reindex_cache(state, flat_beam):
+        """Beam gather with explicit batch axes: self-attn KV (and precomputed
+        cross KV) are layer-stacked [L, B*K, ...] → axis 1; enc/enc_mask are
+        [B*K, ...] → axis 0; the step index is shared."""
+        return {
+            "self": tuple(jnp.take(x, flat_beam, axis=1)
+                          for x in state["self"]),
+            "enc": jnp.take(state["enc"], flat_beam, axis=0),
+            "enc_mask": jnp.take(state["enc_mask"], flat_beam, axis=0),
+            "index": state["index"],
+        }
+
+    prefill.reindex_cache = reindex_cache
     return prefill, decode
 
 

@@ -25,7 +25,15 @@ struct Tokenizer {
     int32_t unk_id = 0;
     bool do_lower_case = true;
     int32_t max_chars_per_word = 100;
+    // Optional per-codepoint class table supplied by the Python wrapper
+    // (built from unicodedata so whitespace/control/punct match the
+    // pure-Python pipeline exactly). Bit flags below.
+    std::vector<uint8_t> classes;
 };
+
+constexpr uint8_t kClassWhitespace = 1;
+constexpr uint8_t kClassControl = 2;
+constexpr uint8_t kClassPunct = 4;
 
 // --- UTF-8 ------------------------------------------------------------------
 
@@ -89,6 +97,20 @@ void basic_tokenize(const Tokenizer& tok, const std::string& text,
                     std::vector<std::string>* words) {
     std::string current;
     size_t i = 0;
+    const bool have_table = !tok.classes.empty();
+    const size_t table_n = tok.classes.size();
+    auto cls_ws = [&](uint32_t cp) {
+        return (have_table && cp < table_n)
+            ? (tok.classes[cp] & kClassWhitespace) != 0 : is_whitespace(cp);
+    };
+    auto cls_ctrl = [&](uint32_t cp) {
+        return (have_table && cp < table_n)
+            ? (tok.classes[cp] & kClassControl) != 0 : is_control(cp);
+    };
+    auto cls_punct = [&](uint32_t cp) {
+        return (have_table && cp < table_n)
+            ? (tok.classes[cp] & kClassPunct) != 0 : is_punct(cp);
+    };
     auto flush = [&]() {
         if (!current.empty()) {
             words->push_back(current);
@@ -99,13 +121,13 @@ void basic_tokenize(const Tokenizer& tok, const std::string& text,
         int len = utf8_len(static_cast<unsigned char>(text[i]));
         if (i + len > text.size()) len = 1;
         uint32_t cp = utf8_decode(text.data() + i, len);
-        if (cp == 0 || cp == 0xFFFD || is_control(cp)) {
+        if (cp == 0 || cp == 0xFFFD || cls_ctrl(cp)) {
             i += len;
             continue;
         }
-        if (is_whitespace(cp)) {
+        if (cls_ws(cp)) {
             flush();
-        } else if (is_cjk(cp) || is_punct(cp)) {
+        } else if (is_cjk(cp) || cls_punct(cp)) {
             flush();
             words->emplace_back(text.substr(i, len));
         } else {
@@ -187,6 +209,14 @@ void* wp_create(const char* vocab_data, int64_t n_bytes, int do_lower_case,
 
 void wp_destroy(void* handle) {
     delete static_cast<Tokenizer*>(handle);
+}
+
+// Install a per-codepoint class table (flags: 1=whitespace, 2=control,
+// 4=punct) covering codepoints [0, n). Codepoints >= n use the built-in
+// range heuristics.
+void wp_set_classes(void* handle, const uint8_t* data, int64_t n) {
+    auto* tok = static_cast<Tokenizer*>(handle);
+    tok->classes.assign(data, data + n);
 }
 
 // Tokenize one string → token ids. Returns count written (<= max_ids).

@@ -200,3 +200,73 @@ def test_4_checkpoint_resume(tmp_path):
     leaves = [x for x in jax.tree.leaves(jax.device_get(tr2.opt_state))
               if hasattr(x, "shape") and getattr(x, "size", 0) > 1]
     assert any(float(np.abs(np.asarray(x)).max()) > 0 for x in leaves)
+    # restored optimizer state keeps the shardings _place_state established
+    for new, ref in zip(jax.tree.leaves(tr2.opt_state),
+                        jax.tree.leaves(tr.opt_state)):
+        if hasattr(ref, "sharding"):
+            assert new.sharding.is_equivalent_to(ref.sharding, new.ndim)
+
+
+def test_5_midepoch_resume(tmp_path):
+    """A mid-epoch checkpoint resumes at the right batch: the head of the
+    epoch is skipped, only the tail is trained (reference trainer.py:611-614
+    fast-forwards by replaying the step counter)."""
+    import jax.numpy as jnp
+    from easynlp_tpu.core.trainer import Trainer
+    from easynlp_tpu.testing import (SyntheticClassificationDataset,
+                                     make_args, tiny_bert_config)
+    from easynlp_tpu.appzoo.sequence_classification.model import (
+        SequenceClassification, SequenceClassificationModule)
+
+    out = str(tmp_path / "ck")
+    cfg = tiny_bert_config()
+    module = SequenceClassificationModule(config=cfg, dtype=jnp.float32,
+                                          num_labels=2)
+
+    def make_app():
+        return SequenceClassification(
+            module, SequenceClassification.init_params(module, cfg), cfg,
+            label_mapping={"0": 0, "1": 1})
+
+    ds = SyntheticClassificationDataset(n=32, seq_len=8,
+                                        vocab_size=cfg.vocab_size)
+    # 4 steps/epoch x 2 epochs; stop and checkpoint mid-epoch at step 6
+    args = make_args(micro_batch_size=8, sequence_length=8, dtype="float32",
+                     epoch_num=2.0, logging_steps=10**9, checkpoint_dir=out)
+    tr = Trainer(make_app(), ds, evaluator=None, args=args)
+    assert tr.steps_per_epoch == 4 and tr.t_total == 8
+    it = iter(tr.train_loader)
+    tr.train_loader.set_epoch(0)
+    import jax as _jax
+    for _ in range(6):
+        epoch = tr.global_step // tr.steps_per_epoch
+        if tr.global_step % tr.steps_per_epoch == 0:
+            tr.train_loader.set_epoch(epoch)
+            it = iter(tr.train_loader)
+        b = next(it)
+        b.pop("_valid", None)
+        tr.params, tr.opt_state, _ = tr._train_step(
+            tr.params, tr.opt_state, _jax.device_put(b, tr.batch_shard),
+            tr.global_step)
+        tr.global_step += 1
+    tr.save_checkpoint()
+
+    args2 = make_args(micro_batch_size=8, sequence_length=8, dtype="float32",
+                      epoch_num=2.0, logging_steps=10**9, checkpoint_dir=out,
+                      resume_from_checkpoint=out)
+    tr2 = Trainer(make_app(), ds, evaluator=None, args=args2)
+    assert tr2.global_step == 6
+    assert tr2.start_epoch == 1
+    assert tr2._resume_skip_batches == 2   # 2 head batches already trained
+
+    stepped = []
+    real_step = tr2._train_step
+
+    def counting_step(params, opt_state, batch, step):
+        stepped.append(int(step))
+        return real_step(params, opt_state, batch, step)
+
+    tr2._train_step = counting_step
+    tr2.train()
+    assert stepped == [6, 7]               # only the epoch tail is trained
+    assert tr2.global_step == tr2.t_total

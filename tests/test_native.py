@@ -21,7 +21,32 @@ CORPUS = [
     "symbols @#$%^&*() [brackets] {braces}",
     "",
     "supercalifragilisticexpialidocious unknownwordhere",
+    # non-ASCII uppercase: full str.lower() semantics, not just A-Z
+    "ГЛАСНОСТЬ и Перестройка",          # Cyrillic
+    "ΕΛΛΗΝΙΚΑ ΚΕΦΑΛΑΙΑ",                # Greek (incl. final sigma on lower)
+    "ＦＵＬＬＷＩＤＴＨ ＴＥＸＴ",       # fullwidth Latin uppercase
+    # unicode punctuation outside the old hand-rolled ranges
+    "¡Hola! ¿Qué tal? «quoted» — dash…",
+    "a¶b ‰ c⁅d⁆",   # pilcrow, per-mille, brackets
 ]
+
+
+@pytest.mark.skipif(not fast_available(), reason="libwordpiece.so not built")
+def test_fast_tokenizer_special_tokens_route_to_python(tmp_path):
+    """Text embedding special tokens must tokenize like the pure-Python path
+    (which protects them via never_split); the native path has no such
+    handling and must be bypassed."""
+    from make_fixtures import make_pretrained
+    from easynlp_tpu.modelzoo.models.bert import BertTokenizer
+    model_dir = make_pretrained(str(tmp_path / "tiny"))
+    vocab = os.path.join(model_dir, "vocab.txt")
+    fast = BertTokenizer(vocab)
+    assert fast._fast is not None
+    slow = BertTokenizer(vocab)
+    slow._fast = None
+    for text in ("hello [SEP] world", "[CLS] leading", "[MASK]",
+                 "x [UNK] y [PAD]"):
+        assert fast._encode_core(text) == slow._encode_core(text), text
 
 
 @pytest.mark.skipif(not fast_available(), reason="libwordpiece.so not built")

@@ -159,3 +159,38 @@ def test_bart_generation_parity():
     for i in range(2):
         n = min(len(hf_out[i]), ours.shape[1])
         np.testing.assert_array_equal(ours[i][:n], hf_out[i][:n])
+
+
+def test_bart_beam_cache_reindex_collision_shape():
+    """Beam search at B=2, K=4, S_enc=8 — S_enc == B*K, the exact shape where
+    shape-sniffed cache reindexing gathered the encoder states along the
+    sequence axis and silently corrupted generations (ADVICE round 1). Must be
+    token-exact vs HF beam search."""
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+    hf_cfg = transformers.BartConfig(**BART_TINY, forced_bos_token_id=None,
+                                     forced_eos_token_id=None)
+    torch.manual_seed(0)
+    hf = transformers.BartForConditionalGeneration(hf_cfg).eval()
+    from easynlp_tpu.modelzoo.models.bart import (BartConfig,
+                                                  BartForConditionalGeneration)
+    from easynlp_tpu.modelzoo.models.bart.conversion import (
+        convert_bart_state_dict)
+    from easynlp_tpu.modelzoo.seq2seq_generation import (
+        encoder_decoder_generate)
+    cfg = BartConfig(**BART_TINY)
+    m = BartForConditionalGeneration.from_config(cfg, dtype=jnp.float32)
+    params = convert_bart_state_dict(
+        {k: v.numpy() for k, v in hf.state_dict().items()}, cfg)
+    ids = np.random.RandomState(5).randint(3, 120, (2, 8))
+    mask = np.ones((2, 8), np.int32)
+    ours = np.asarray(encoder_decoder_generate(
+        m, params, jnp.asarray(ids), jnp.asarray(mask), max_length=12,
+        num_beams=4, length_penalty=1.0))
+    hf_out = hf.generate(torch.tensor(ids), max_length=12, num_beams=4,
+                         do_sample=False, decoder_start_token_id=2,
+                         length_penalty=1.0, early_stopping=True,
+                         forced_bos_token_id=None).numpy()
+    for i in range(2):
+        n = min(len(hf_out[i]), ours.shape[1])
+        np.testing.assert_array_equal(ours[i][:n], hf_out[i][:n])
