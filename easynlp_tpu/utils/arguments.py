@@ -94,6 +94,10 @@ def _add_easynlp_args(parser: argparse.ArgumentParser) -> None:
     group.add_argument("--skip_first_step", action="store_true")
 
     group = parser.add_argument_group("tpu", "TPU-native runtime arguments")
+    group.add_argument("--prng_impl", default="rbg", type=str,
+                       choices=["rbg", "threefry2x32"],
+                       help="Dropout PRNG: hardware rbg (fast on TPU) or "
+                            "threefry2x32 (bit-exact legacy streams)")
     group.add_argument("--dtype", default="bfloat16", type=str,
                        choices=["float32", "bfloat16"],
                        help="Compute dtype (params stay fp32)")
