@@ -327,6 +327,19 @@ def get_application_predictor(app_name, udp=None, **kwargs):
     return cls(**kwargs)
 
 
+def _tokenizer_for(path):
+    """Model-type-routed tokenizer (reference tokenization_auto.py): GPT-2 BPE
+    for gpt2/bart, SentencePiece for t5/mt5/pegasus/glm, WordPiece otherwise.
+    Falls back to BertTokenizer for bare vocab.txt directories without a
+    config.json."""
+    from easynlp_tpu.modelzoo.models.auto.auto_factory import AutoTokenizer
+    try:
+        return AutoTokenizer.from_pretrained(path)
+    except (FileNotFoundError, KeyError, ValueError):
+        from easynlp_tpu.modelzoo.models.bert import BertTokenizer
+        return BertTokenizer.from_pretrained(path)
+
+
 # --------------------------------------------------------------------------
 # default main (reference api.py:471-614)
 # --------------------------------------------------------------------------
@@ -339,12 +352,11 @@ def default_main_fn(args=None):
     if args.mode == "predict":
         return _predict_main(args, udp)
 
-    from easynlp_tpu.modelzoo.models.bert import BertTokenizer
     tables = (args.tables or "").split(",")
     model_cls = get_application_model(args.app_name, udp)
-    tokenizer = BertTokenizer.from_pretrained(args.pretrained_model_name_or_path
-                                              if args.mode == "train"
-                                              else args.checkpoint_dir)
+    tokenizer = _tokenizer_for(args.pretrained_model_name_or_path
+                               if args.mode == "train"
+                               else args.checkpoint_dir)
 
     dataset_kwargs = dict(
         tokenizer=tokenizer,

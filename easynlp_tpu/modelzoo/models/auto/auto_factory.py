@@ -78,13 +78,15 @@ TOKENIZER_MAPPING = {
     "bert": _lazy("easynlp_tpu.modelzoo.models.bert", "BertTokenizer"),
     "roberta": _lazy("easynlp_tpu.modelzoo.models.bert", "BertTokenizer"),
     "gpt2": _lazy("easynlp_tpu.modelzoo.models.gpt2", "GPT2Tokenizer"),
-    "t5": _lazy("easynlp_tpu.modelzoo.models.bert", "BertTokenizer"),
-    "mt5": _lazy("easynlp_tpu.modelzoo.models.bert", "BertTokenizer"),
+    "t5": _lazy("easynlp_tpu.modelzoo.models.t5", "T5Tokenizer"),
+    "mt5": _lazy("easynlp_tpu.modelzoo.models.t5", "MT5Tokenizer"),
     "bart": _lazy("easynlp_tpu.modelzoo.models.gpt2", "GPT2Tokenizer"),
-    "pegasus": _lazy("easynlp_tpu.modelzoo.models.bert", "BertTokenizer"),
+    "pegasus": _lazy("easynlp_tpu.modelzoo.models.pegasus", "PegasusTokenizer"),
+    # randeng is Chinese WordPiece + jieba pre-segmentation (reference
+    # models/randeng/tokenization_randeng.py) — BertTokenizer-compatible vocab
     "randeng": _lazy("easynlp_tpu.modelzoo.models.bert", "BertTokenizer"),
     "clip": _lazy("easynlp_tpu.modelzoo.models.bert", "BertTokenizer"),
-    "glm": _lazy("easynlp_tpu.modelzoo.models.bert", "BertTokenizer"),
+    "glm": _lazy("easynlp_tpu.modelzoo.models.glm", "GLMTokenizer"),
     "dkplm": _lazy("easynlp_tpu.modelzoo.models.bert", "BertTokenizer"),
     "megatron_bert": _lazy("easynlp_tpu.modelzoo.models.bert", "BertTokenizer"),
     "cnn": _lazy("easynlp_tpu.modelzoo.models.bert", "BertTokenizer"),
