@@ -26,8 +26,8 @@ CONFIG_MAPPING = {
     "t5": _lazy("easynlp_tpu.modelzoo.models.t5", "T5Config"),
     "mt5": _lazy("easynlp_tpu.modelzoo.models.t5", "MT5Config"),
     "bart": _lazy("easynlp_tpu.modelzoo.models.bart", "BartConfig"),
-    "pegasus": _lazy("easynlp_tpu.modelzoo.models.bart", "PegasusConfig"),
-    "randeng": _lazy("easynlp_tpu.modelzoo.models.bart", "RandengConfig"),
+    "pegasus": _lazy("easynlp_tpu.modelzoo.models.pegasus", "PegasusConfig"),
+    "randeng": _lazy("easynlp_tpu.modelzoo.models.randeng", "RandengConfig"),
     "clip": _lazy("easynlp_tpu.modelzoo.models.clip", "CLIPConfig"),
     "glm": _lazy("easynlp_tpu.modelzoo.models.glm", "GLMConfig"),
     "dkplm": _lazy("easynlp_tpu.modelzoo.models.dkplm", "DKPLMConfig"),
@@ -39,9 +39,8 @@ CONFIG_MAPPING = {
     "kbert": _lazy("easynlp_tpu.modelzoo.models.kbert", "KBertConfig"),
     "kangaroo": _lazy("easynlp_tpu.modelzoo.models.kangaroo",
                       "KangarooConfig"),
-    # the reference's generic seq2seq 'transformer' family (used by
-    # open-domain dialogue) maps onto the BART stack
-    "transformer": _lazy("easynlp_tpu.modelzoo.models.bart", "BartConfig"),
+    "transformer": _lazy("easynlp_tpu.modelzoo.models.transformer",
+                         "TransformerConfig"),
     "ckbert": _lazy("easynlp_tpu.modelzoo.models.ckbert", "CKBertConfig"),
 }
 
@@ -53,10 +52,10 @@ MODEL_MAPPING = {
     "mt5": _lazy("easynlp_tpu.modelzoo.models.t5", "T5ForConditionalGeneration"),
     "bart": _lazy("easynlp_tpu.modelzoo.models.bart",
                   "BartForConditionalGeneration"),
-    "pegasus": _lazy("easynlp_tpu.modelzoo.models.bart",
-                     "BartForConditionalGeneration"),
-    "randeng": _lazy("easynlp_tpu.modelzoo.models.bart",
-                     "BartForConditionalGeneration"),
+    "pegasus": _lazy("easynlp_tpu.modelzoo.models.pegasus",
+                     "PegasusForConditionalGeneration"),
+    "randeng": _lazy("easynlp_tpu.modelzoo.models.randeng",
+                     "RandengForConditionalGeneration"),
     "clip": _lazy("easynlp_tpu.modelzoo.models.clip", "CLIPModel"),
     "glm": _lazy("easynlp_tpu.modelzoo.models.glm",
                  "GLMForConditionalGeneration"),
@@ -68,23 +67,23 @@ MODEL_MAPPING = {
     "bloom": _lazy("easynlp_tpu.modelzoo.models.bloom", "BloomForCausalLM"),
     "kbert": _lazy("easynlp_tpu.modelzoo.models.kbert", "KBertModel"),
     "kangaroo": _lazy("easynlp_tpu.modelzoo.models.kangaroo", "KangarooModel"),
-    "transformer": _lazy("easynlp_tpu.modelzoo.models.bart",
-                         "BartForConditionalGeneration"),
+    "transformer": _lazy("easynlp_tpu.modelzoo.models.transformer",
+                         "TransformerGeneratorModel"),
     "ckbert": _lazy("easynlp_tpu.modelzoo.models.ckbert",
                     "CKBertForPreTraining"),
 }
 
 TOKENIZER_MAPPING = {
     "bert": _lazy("easynlp_tpu.modelzoo.models.bert", "BertTokenizer"),
-    "roberta": _lazy("easynlp_tpu.modelzoo.models.bert", "BertTokenizer"),
+    "roberta": _lazy("easynlp_tpu.modelzoo.models.bert.tokenization_roberta",
+                     "RobertaTokenizer"),
     "gpt2": _lazy("easynlp_tpu.modelzoo.models.gpt2", "GPT2Tokenizer"),
     "t5": _lazy("easynlp_tpu.modelzoo.models.t5", "T5Tokenizer"),
     "mt5": _lazy("easynlp_tpu.modelzoo.models.t5", "MT5Tokenizer"),
     "bart": _lazy("easynlp_tpu.modelzoo.models.gpt2", "GPT2Tokenizer"),
     "pegasus": _lazy("easynlp_tpu.modelzoo.models.pegasus", "PegasusTokenizer"),
-    # randeng is Chinese WordPiece + jieba pre-segmentation (reference
-    # models/randeng/tokenization_randeng.py) — BertTokenizer-compatible vocab
-    "randeng": _lazy("easynlp_tpu.modelzoo.models.bert", "BertTokenizer"),
+    "randeng": _lazy("easynlp_tpu.modelzoo.models.randeng",
+                     "RandengTokenizer"),
     "clip": _lazy("easynlp_tpu.modelzoo.models.bert", "BertTokenizer"),
     "glm": _lazy("easynlp_tpu.modelzoo.models.glm", "GLMTokenizer"),
     "dkplm": _lazy("easynlp_tpu.modelzoo.models.bert", "BertTokenizer"),
@@ -93,7 +92,8 @@ TOKENIZER_MAPPING = {
     "bloom": _lazy("easynlp_tpu.modelzoo.models.gpt2", "GPT2Tokenizer"),
     "kbert": _lazy("easynlp_tpu.modelzoo.models.bert", "BertTokenizer"),
     "kangaroo": _lazy("easynlp_tpu.modelzoo.models.bert", "BertTokenizer"),
-    "transformer": _lazy("easynlp_tpu.modelzoo.models.bert", "BertTokenizer"),
+    "transformer": _lazy("easynlp_tpu.modelzoo.models.transformer",
+                         "TransformerTokenizer"),
     "ckbert": _lazy("easynlp_tpu.modelzoo.models.bert", "BertTokenizer"),
 }
 
@@ -162,6 +162,22 @@ class AutoModel:
                 from easynlp_tpu.modelzoo.models.gpt2.conversion import (
                     convert_gpt2_state_dict)
                 params = convert_gpt2_state_dict(state, config)
+            elif mt in ("bart", "transformer"):
+                from easynlp_tpu.modelzoo.models.bart.conversion import (
+                    convert_bart_state_dict)
+                params = convert_bart_state_dict(state, config)
+            elif mt in ("pegasus", "randeng"):
+                from easynlp_tpu.modelzoo.models.pegasus import (
+                    convert_pegasus_state_dict)
+                params = convert_pegasus_state_dict(state, config)
+            elif mt in ("t5", "mt5"):
+                from easynlp_tpu.modelzoo.models.t5.conversion import (
+                    convert_t5_state_dict)
+                params = convert_t5_state_dict(state, config)
+            elif mt == "clip":
+                from easynlp_tpu.modelzoo.models.clip.conversion import (
+                    convert_chinese_clip)
+                params = convert_chinese_clip(state, config)
             else:
                 raise NotImplementedError("no converter for %r" % mt)
         else:

@@ -42,11 +42,15 @@ def _ln(name=None):
 
 
 def sinusoidal_positions(n_pos, dim):
+    """Pegasus/Marian layout (reference models/pegasus/modeling_pegasus.py
+    PegasusSinusoidalPositionalEmbedding, also randeng): the first dim/2
+    columns are sin, the last dim/2 are cos — NOT interleaved."""
     pos = np.arange(n_pos)[:, None]
     div = np.exp(np.arange(0, dim, 2) * -(np.log(10000.0) / dim))
     table = np.zeros((n_pos, dim), np.float32)
-    table[:, 0::2] = np.sin(pos * div)
-    table[:, 1::2] = np.cos(pos * div)
+    half = (dim + 1) // 2
+    table[:, :half] = np.sin(pos * div)
+    table[:, half:] = np.cos(pos * div)[:, : dim - half]
     return jnp.asarray(table)
 
 

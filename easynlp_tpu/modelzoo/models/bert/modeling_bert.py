@@ -246,7 +246,15 @@ class BertModel(BaseModule):
         if token_type_ids is None:
             token_type_ids = jnp.zeros((b, s), jnp.int32)
         if position_ids is None:
-            position_ids = jnp.broadcast_to(jnp.arange(s)[None, :], (b, s))
+            if getattr(self.config, "position_ids_from_padding_idx", False):
+                # RoBERTa semantics (reference modeling_roberta.py
+                # create_position_ids_from_input_ids): non-pad positions count
+                # from padding_idx + 1; pad positions stay at padding_idx.
+                pad = self.config.pad_token_id
+                not_pad = (input_ids != pad).astype(jnp.int32)
+                position_ids = jnp.cumsum(not_pad, axis=1) * not_pad + pad
+            else:
+                position_ids = jnp.broadcast_to(jnp.arange(s)[None, :], (b, s))
         kv_mask = attention_mask.astype(bool)
 
         hidden = BertEmbeddings(self.config, dtype=self.dtype,
