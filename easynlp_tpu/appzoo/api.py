@@ -36,6 +36,9 @@ DATASET_REGISTRY = {
             "DistillatoryClassificationDataset"),
         "enable_fewshot": _lazy(
             "easynlp_tpu.fewshot_learning.fewshot_dataset", "FewshotDataset"),
+        "enable_metakd": _lazy(
+            "easynlp_tpu.distillation.distill_metakd_dataset",
+            "MetaKDClassificationDataset"),
     },
     "text_match": {
         "default": _lazy("easynlp_tpu.appzoo.text_match.data",
@@ -89,6 +92,26 @@ DATASET_REGISTRY = {
         "default": _lazy("easynlp_tpu.appzoo.sequence_generation.data",
                          "SequenceGenerationDataset"),
     },
+    "wukong_clip": {
+        "default": _lazy("easynlp_tpu.appzoo.wukong_clip.data",
+                         "WukongCLIPDataset"),
+    },
+    "text2video_retrieval": {
+        "default": _lazy("easynlp_tpu.appzoo.text2video_retrieval.data",
+                         "Text2VideoRetrievalDataset"),
+    },
+    "text2image_generation": {
+        "default": _lazy("easynlp_tpu.appzoo.text2image_generation.data",
+                         "TextImageDataset"),
+    },
+    "image2text_generation": {
+        "default": _lazy("easynlp_tpu.appzoo.image2text_generation.data",
+                         "ImageTextDataset"),
+    },
+    "video2text_generation": {
+        "default": _lazy("easynlp_tpu.appzoo.video2text_generation.data",
+                         "FrameTextDataset"),
+    },
 }
 
 MODEL_REGISTRY = {
@@ -103,6 +126,9 @@ MODEL_REGISTRY = {
         "enable_fewshot": _lazy(
             "easynlp_tpu.fewshot_learning.fewshot_application",
             "FewshotClassification"),
+        "enable_metakd": _lazy(
+            "easynlp_tpu.distillation.distill_metakd_application",
+            "MetaTeacherClassification"),
     },
     "text_match": {
         "default": _lazy("easynlp_tpu.appzoo.text_match.model", "TextMatch"),
@@ -226,6 +252,30 @@ EVALUATOR_REGISTRY = {
         "default": _lazy("easynlp_tpu.appzoo.sequence_generation.evaluator",
                          "SequenceGenerationEvaluator"),
     },
+    "wukong_clip": {
+        "default": _lazy("easynlp_tpu.appzoo.wukong_clip.evaluator",
+                         "WukongCLIPEvaluator"),
+    },
+    "text2video_retrieval": {
+        "default": _lazy("easynlp_tpu.appzoo.text2video_retrieval.evaluator",
+                         "Text2VideoRetrievalEvaluator"),
+    },
+    "text2image_generation": {
+        "default": _lazy("easynlp_tpu.appzoo.text2image_generation.evaluator",
+                         "TextImageGenerationEvaluator"),
+    },
+    "image2text_generation": {
+        "default": _lazy("easynlp_tpu.appzoo.image2text_generation.evaluator",
+                         "ImageTextGenerationEvaluator"),
+    },
+    "video2text_generation": {
+        "default": _lazy("easynlp_tpu.appzoo.video2text_generation.evaluator",
+                         "FrameTextGenerationEvaluator"),
+    },
+    "latent_diffusion": {
+        "default": _lazy("easynlp_tpu.appzoo.text2image_generation.evaluator",
+                         "LossEvaluator"),
+    },
 }
 
 PREDICTOR_REGISTRY = {
@@ -284,6 +334,26 @@ PREDICTOR_REGISTRY = {
         "default": _lazy("easynlp_tpu.appzoo.latent_diffusion.model",
                          "LatentDiffusion"),
     },
+    "wukong_clip": {
+        "default": _lazy("easynlp_tpu.appzoo.wukong_clip.predictor",
+                         "WukongCLIPPredictor"),
+    },
+    "text2video_retrieval": {
+        "default": _lazy("easynlp_tpu.appzoo.text2video_retrieval.predictor",
+                         "Text2VideoRetrievalPredictor"),
+    },
+    "text2image_generation": {
+        "default": _lazy("easynlp_tpu.appzoo.text2image_generation.predictor",
+                         "TextImageGenerationPredictor"),
+    },
+    "image2text_generation": {
+        "default": _lazy("easynlp_tpu.appzoo.image2text_generation.predictor",
+                         "ImageTextGenerationPredictor"),
+    },
+    "video2text_generation": {
+        "default": _lazy("easynlp_tpu.appzoo.video2text_generation.predictor",
+                         "FrameTextGenerationPredictor"),
+    },
 }
 
 
@@ -291,9 +361,9 @@ def _variant_key(registry_entry, udp):
     """Pick the registry variant from user_defined_parameters switches
     (reference api.py keys: multi_label / two_tower / enable_distillation /
     enable_fewshot ...)."""
-    for key in ("enable_distillation", "enable_fewshot", "multi_label",
-                "two_tower", "siamese", "enable_vit", "enable_vqgan",
-                "contrast_learning_flag"):
+    for key in ("enable_metakd", "enable_distillation", "enable_fewshot",
+                "multi_label", "two_tower", "siamese", "enable_vit",
+                "enable_vqgan", "contrast_learning_flag"):
         if udp.get(key) and key in registry_entry:
             return key
     return "default"
@@ -396,8 +466,14 @@ def default_main_fn(args=None):
             label_mapping=train_dataset.label_mapping
             if hasattr(train_dataset, "label_mapping") else None)
         from easynlp_tpu.core.trainer import Trainer
-        trainer = Trainer(app, train_dataset, evaluator=evaluator, args=args,
-                          tokenizer=tokenizer)
+        trainer_cls, trainer_kwargs = Trainer, {}
+        if udp.get("enable_metakd"):
+            from easynlp_tpu.core.distiller import MetaTeacherTrainer
+            trainer_cls = MetaTeacherTrainer
+            trainer_kwargs = {"user_defined_parameters": udp}
+        trainer = trainer_cls(app, train_dataset, evaluator=evaluator,
+                              args=args, tokenizer=tokenizer,
+                              **trainer_kwargs)
         trainer.train()
         return trainer
 
@@ -439,6 +515,7 @@ def _predict_main(args, udp):
         second_sequence=args.second_sequence,
         sequence_length=args.sequence_length,
         batch_size=args.micro_batch_size,
+        user_defined_parameters=udp,
         multi_label=bool(udp.get("multi_label")))
     manager = PredictorManager(
         predictor=predictor,

@@ -1,0 +1,8 @@
+"""Image→text evaluator (reference easynlp/appzoo/image2text_generation/
+evaluator.py:30-77 — validation loss)."""
+
+from easynlp_tpu.appzoo.text2image_generation.evaluator import LossEvaluator
+
+
+class ImageTextGenerationEvaluator(LossEvaluator):
+    pass

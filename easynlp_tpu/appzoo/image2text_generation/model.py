@@ -71,6 +71,48 @@ class CLIPGPTImageTextModule(BaseModule):
         # all patch tokens (incl. CLS) projected to GPT space
         return self.visual_proj(out["last_hidden_state"])
 
+    def _lm_logits(self, hidden):
+        tok_emb = self.wte.embedding
+        logits = jnp.einsum("bse,ve->bsv", hidden,
+                            jnp.asarray(tok_emb).astype(self.dtype))
+        return logits + self.lm_bias.astype(self.dtype)
+
+    def init_lm_cache(self, batch_size, max_length, dtype=None):
+        gc = self.config.gpt_config
+        h, d = gc.n_head, gc.n_embd // gc.n_head
+        dtype = dtype or self.dtype
+        return {
+            "k": jnp.zeros((gc.n_layer, batch_size, max_length, h, d), dtype),
+            "v": jnp.zeros((gc.n_layer, batch_size, max_length, h, d), dtype),
+            "index": jnp.zeros((), jnp.int32),
+            "mask": jnp.zeros((batch_size, max_length), jnp.int32),
+        }
+
+    def caption_prefill(self, pixel_values, input_ids, attention_mask,
+                        cache):
+        """Prefill: [visual prefix; prompt tokens] through the GPT with a
+        static KV cache (reference image2text_generation/model.py's generate
+        — autoregressive captioning after the image prefix)."""
+        prefix = self.encode_image(pixel_values, True).astype(self.dtype)
+        b, p, _ = prefix.shape
+        text = self.wte(input_ids).astype(self.dtype)
+        embeds = jnp.concatenate([prefix, text], axis=1)
+        full_mask = jnp.concatenate(
+            [jnp.ones((b, p), jnp.int32), attention_mask.astype(jnp.int32)],
+            axis=1)
+        out = self.gpt(inputs_embeds=embeds, attention_mask=full_mask,
+                       cache=cache, deterministic=True)
+        return {"logits": self._lm_logits(out["last_hidden_state"]),
+                "cache": out["cache"]}
+
+    def caption_decode(self, input_ids, position_ids, cache):
+        emb = self.wte(input_ids).astype(self.dtype)
+        out = self.gpt(inputs_embeds=emb, position_ids=position_ids,
+                       attention_mask=jnp.ones_like(input_ids), cache=cache,
+                       deterministic=True)
+        return {"logits": self._lm_logits(out["last_hidden_state"]),
+                "cache": out["cache"]}
+
     def __call__(self, pixel_values, input_ids, attention_mask=None,
                  deterministic=True):
         prefix = self.encode_image(pixel_values, deterministic)  # [B, P, E]
@@ -91,6 +133,50 @@ class CLIPGPTImageTextModule(BaseModule):
                 "prefix_len": p}
 
 
+def make_caption_generation_fns(module, pixel_values, prefix_len, cache_len,
+                                module_cls=None):
+    """(prefill, decode) closures for prefix-conditioned captioning. The
+    visual prefix occupies cache slots [0, prefix_len); the engine's token
+    buffer tracks only text tokens."""
+    module_cls = module_cls or type(module)
+
+    def prefill(params, input_ids, attention_mask):
+        b, p = input_ids.shape
+        pv = pixel_values
+        if pv.shape[0] != b:  # beam search expands the batch by K
+            pv = jnp.repeat(pv, b // pv.shape[0], axis=0)
+        cache = module.init_lm_cache(b, cache_len)
+        full_mask = jnp.concatenate(
+            [jnp.ones((b, prefix_len), jnp.int32),
+             attention_mask.astype(jnp.int32)], axis=1)
+        cache["mask"] = jax.lax.dynamic_update_slice(
+            cache["mask"], full_mask, (0, 0))
+        out = module.apply({"params": params}, pv, input_ids, attention_mask,
+                           cache, method=module_cls.caption_prefill)
+        return out["logits"][:, -1].astype(jnp.float32), out["cache"]
+
+    def decode(params, token, cache):
+        b = token.shape[0]
+        positions = jnp.sum(cache["mask"], axis=-1, keepdims=True)
+        cache = dict(cache)
+        cache["mask"] = jax.lax.dynamic_update_slice(
+            cache["mask"], jnp.ones((b, 1), jnp.int32), (0, cache["index"]))
+        out = module.apply({"params": params}, token, positions, cache,
+                           method=module_cls.caption_decode)
+        return out["logits"][:, -1].astype(jnp.float32), out["cache"]
+
+    def reindex_cache(cache, flat_beam):
+        return {
+            "k": jnp.take(cache["k"], flat_beam, axis=1),
+            "v": jnp.take(cache["v"], flat_beam, axis=1),
+            "mask": jnp.take(cache["mask"], flat_beam, axis=0),
+            "index": cache["index"],
+        }
+
+    prefill.reindex_cache = reindex_cache
+    return prefill, decode
+
+
 class CLIPGPTImageTextGeneration(Application):
     model_input_keys = ("pixel_values", "input_ids", "attention_mask")
 
@@ -108,6 +194,30 @@ class CLIPGPTImageTextGeneration(Application):
                            batch["input_ids"][:, 1:], -100)
         return {"loss": losses.cross_entropy(logits, labels,
                                              ignore_index=-100)}
+
+    def generate(self, pixel_values, max_length=32, bos_token_id=101,
+                 eos_token_id=102, pad_token_id=0, num_beams=1,
+                 do_sample=False, top_k=0, temperature=1.0, rng=None):
+        """Decode a caption after the visual prefix (reference
+        image2text_generation/model.py generate → decode_to_text)."""
+        from easynlp_tpu.modelzoo.generation_utils import generate
+        pv = jnp.asarray(pixel_values)
+        b = pv.shape[0]
+        prefix_shape = jax.eval_shape(
+            lambda p, x: self.module.apply(
+                {"params": p}, x, method=type(self.module).encode_image),
+            self.params, pv)
+        prefix_len = prefix_shape.shape[1]
+        cache_len = prefix_len + max_length
+        prefill, decode = make_caption_generation_fns(
+            self.module, pv, prefix_len, cache_len)
+        ids = jnp.full((b, 1), bos_token_id, jnp.int32)
+        mask = jnp.ones((b, 1), jnp.int32)
+        return generate(prefill, decode, self.params, ids, mask,
+                        max_length=max_length, num_beams=num_beams,
+                        do_sample=do_sample, top_k=top_k,
+                        temperature=temperature, eos_token_id=eos_token_id,
+                        pad_token_id=pad_token_id, rng=rng)
 
     @classmethod
     def load_config(cls, model_dir, **kwargs):

@@ -38,6 +38,51 @@ class TextImageGeneration(Application):
         return {"loss": lm + outputs["vq_loss"], "lm_loss": lm,
                 "vq_loss": outputs["vq_loss"]}
 
+    def generate(self, input_ids, attention_mask=None, do_sample=True,
+                 top_k=100, temperature=1.0, num_beams=1, rng=None):
+        """Sample image codes conditioned on text ids (reference
+        text2image_generation/model.py:300-380 — top-k sampling restricted to
+        the image-code vocabulary). Returns int32 codes [B, image_token_len].
+        """
+        import numpy as np
+
+        from easynlp_tpu.modelzoo.generation_utils import generate
+        from easynlp_tpu.modelzoo.models.artist.generation import (
+            make_artist_generation_fns)
+        c = self.config
+        b, p = input_ids.shape
+        if attention_mask is None:
+            attention_mask = jnp.ones((b, p), jnp.int32)
+        max_length = p + c.image_token_length
+        prefill, decode = make_artist_generation_fns(self.module, max_length)
+        # image codes live at [text_vocab, text_vocab + image_vocab): mask
+        # everything else out of the sampling distribution
+        v = c.gpt_config.vocab_size
+        bad = np.ones((b, v), bool)
+        bad[:, c.text_vocab_size:c.text_vocab_size + c.image_vocab_size] = \
+            False
+        if num_beams > 1:
+            bad = np.repeat(bad, num_beams, axis=0)
+        seqs = generate(
+            prefill, decode, self.params, jnp.asarray(input_ids),
+            jnp.asarray(attention_mask), max_length=max_length,
+            num_beams=num_beams, do_sample=do_sample, top_k=top_k,
+            temperature=temperature, eos_token_id=None, pad_token_id=0,
+            bad_words_mask=jnp.asarray(bad), rng=rng)
+        codes = jnp.asarray(seqs)[:, p:] - c.text_vocab_size
+        return jnp.clip(codes, 0, c.image_vocab_size - 1)
+
+    def decode_images(self, codes):
+        """Image codes [B, L] → pixels [-1, 1] [B, H, W, 3] via the VQGAN
+        decoder (reference model.py decode_to_img)."""
+        from easynlp_tpu.modelzoo.models.artist.modeling_artist import (
+            ARTISTModel)
+        b, length = codes.shape
+        side = int(round(length ** 0.5))
+        grid = jnp.asarray(codes).reshape(b, side, side)
+        return self.module.apply({"params": self.params}, grid,
+                                 method=ARTISTModel.decode_codes)
+
     @classmethod
     def load_config(cls, model_dir, **kwargs):
         return ARTISTConfig.from_pretrained(model_dir)

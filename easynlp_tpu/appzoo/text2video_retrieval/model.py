@@ -18,15 +18,25 @@ class CLIP4ClipModule(CLIPModel):
     """pixel_values: [B, F, H, W, 3] — frames folded into the batch for the
     vision tower (one big MXU-friendly batch), then mean-pooled per video."""
 
-    def get_video_features(self, pixel_values, deterministic=True):
+    def get_video_features(self, pixel_values, video_masks=None,
+                           deterministic=True):
         b, f = pixel_values.shape[:2]
         frames = pixel_values.reshape((b * f,) + pixel_values.shape[2:])
         emb = self.get_image_features(frames, deterministic)  # [B*F, P]
-        emb = emb.reshape(b, f, -1).mean(axis=1)
+        emb = emb.reshape(b, f, -1)
+        if video_masks is not None:
+            # masked mean over real frames (reference CLIP4Clip mean-pools
+            # only unpadded frames via video_mask)
+            w = video_masks.astype(emb.dtype)[:, :, None]
+            emb = (emb * w).sum(axis=1) / jnp.maximum(
+                w.sum(axis=1), 1.0)
+        else:
+            emb = emb.mean(axis=1)
         return emb / (jnp.linalg.norm(emb, axis=-1, keepdims=True) + 1e-8)
 
     def __call__(self, input_ids=None, attention_mask=None,
-                 token_type_ids=None, pixel_values=None, deterministic=True):
+                 token_type_ids=None, pixel_values=None, video_masks=None,
+                 deterministic=True):
         out = {}
         if input_ids is not None:
             out["text_embeds"] = self.get_text_features(
@@ -34,7 +44,7 @@ class CLIP4ClipModule(CLIPModel):
         if pixel_values is not None:
             if pixel_values.ndim == 5:
                 out["video_embeds"] = self.get_video_features(
-                    pixel_values, deterministic)
+                    pixel_values, video_masks, deterministic)
             else:
                 out["video_embeds"] = self.get_image_features(
                     pixel_values, deterministic)
@@ -47,6 +57,9 @@ class CLIP4ClipModule(CLIPModel):
 
 
 class Text2VideoRetrieval(CLIPApp):
+    model_input_keys = ("input_ids", "attention_mask", "token_type_ids",
+                        "pixel_values", "video_masks")
+
     def sample_inputs(self):
         vc = self.config.vision_config
         return {"input_ids": jnp.ones((1, 8), jnp.int32),

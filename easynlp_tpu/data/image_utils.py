@@ -17,7 +17,10 @@ CLIP_STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
 
 def decode_base64_image(b64):
     from PIL import Image
-    data = base64.b64decode(b64)
+    try:
+        data = base64.b64decode(b64, validate=True)
+    except Exception:
+        data = base64.urlsafe_b64decode(b64)
     return Image.open(_io.BytesIO(data)).convert("RGB")
 
 
@@ -39,3 +42,77 @@ def preprocess_image(img, image_size=224, mean=CLIP_MEAN, std=CLIP_STD):
 def preprocess_base64_batch(b64_list, image_size=224):
     return np.stack([preprocess_image(decode_base64_image(b), image_size)
                      for b in b64_list])
+
+
+def decode_base64_image_urlsafe(b64):
+    """Reference vision-generation apps use urlsafe base64 (reference
+    easynlp/appzoo/text2image_generation/data.py:115); accept either
+    alphabet."""
+    from PIL import Image
+    try:
+        data = base64.urlsafe_b64decode(b64)
+    except Exception:
+        data = base64.b64decode(b64)
+    return Image.open(_io.BytesIO(data)).convert("RGB")
+
+
+def preprocess_image_pm1(img, image_size=256, random_crop=False, rng=None):
+    """PIL image → HWC float32 in [-1, 1] (reference text2image data.py:
+    114-118 — SmallestMaxSize rescale + center/random crop + /127.5 - 1)."""
+    from PIL import Image
+    w, h = img.size
+    scale = image_size / min(w, h)
+    img = img.resize((max(1, round(w * scale)), max(1, round(h * scale))),
+                     Image.BICUBIC)
+    w, h = img.size
+    if random_crop and (w > image_size or h > image_size):
+        rng = rng or np.random
+        left = rng.randint(0, w - image_size + 1)
+        top = rng.randint(0, h - image_size + 1)
+    else:
+        left = (w - image_size) // 2
+        top = (h - image_size) // 2
+    img = img.crop((left, top, left + image_size, top + image_size))
+    arr = np.asarray(img, np.float32)
+    return arr / 127.5 - 1.0
+
+
+def encode_image_base64_png(pixels_pm1):
+    """HWC float array in [-1, 1] → base64 PNG string (reference
+    text2image_generation/predictor.py:save_image)."""
+    from PIL import Image
+    arr = ((np.asarray(pixels_pm1, np.float32) + 1.0) * 127.5)
+    arr = arr.clip(0, 255).astype(np.uint8)
+    buf = _io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG")
+    return base64.b64encode(buf.getvalue()).decode("utf-8")
+
+
+def decode_frame_list(value, max_frames, decode_fn=None):
+    """A video cell is either a JSON list of base64 frames (reference
+    video2text_generation/data.py:159) or a directory of frame images
+    (reference text2video_retrieval/data.py:233). Returns (frames, n_real):
+    a list of PIL images padded to max_frames with black, and the real count.
+    """
+    import json
+    import os
+    from PIL import Image
+    decode_fn = decode_fn or decode_base64_image_urlsafe
+    value = str(value)
+    frames = []
+    if os.path.isdir(value):
+        for name in sorted(os.listdir(value)):
+            frames.append(Image.open(os.path.join(value, name)).convert("RGB"))
+    else:
+        try:
+            items = json.loads(value)
+        except ValueError:
+            items = value.split(",")
+        for item in items:
+            frames.append(decode_fn(item))
+    frames = frames[:max_frames]
+    n_real = len(frames)
+    while len(frames) < max_frames:
+        frames.append(Image.new("RGB", frames[0].size if frames else (8, 8),
+                                (0, 0, 0)))
+    return frames, n_real

@@ -167,6 +167,30 @@ class ARTISTModel(BaseModule):
         quantised = jnp.take(codebook, codes, axis=0)
         return self.vq_decoder(quantised)
 
+    def init_lm_cache(self, batch_size, max_length, dtype=None):
+        gc = self.config.gpt_config
+        h, d = gc.n_head, gc.n_embd // gc.n_head
+        dtype = dtype or self.dtype
+        return {
+            "k": jnp.zeros((gc.n_layer, batch_size, max_length, h, d), dtype),
+            "v": jnp.zeros((gc.n_layer, batch_size, max_length, h, d), dtype),
+            "index": jnp.zeros((), jnp.int32),
+            "mask": jnp.zeros((batch_size, max_length), jnp.int32),
+        }
+
+    def lm_step(self, input_ids, attention_mask=None, position_ids=None,
+                cache=None):
+        """GPT + LM head over raw joint-vocab ids (prefill/decode path for
+        image-code sampling — reference text2image_generation/model.py:333's
+        generate loop, here as a static-cache decode step)."""
+        out = self.gpt(input_ids=input_ids, attention_mask=attention_mask,
+                       position_ids=position_ids, cache=cache,
+                       deterministic=True)
+        result = {"logits": self.lm_head(out["last_hidden_state"])}
+        if "cache" in out:
+            result["cache"] = out["cache"]
+        return result
+
     def __call__(self, input_ids, pixel_values=None, image_codes=None,
                  attention_mask=None, deterministic=True):
         c = self.config

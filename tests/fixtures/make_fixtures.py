@@ -55,6 +55,106 @@ def make_tsv(path, n, seed=0):
     return path
 
 
+def make_image_b64(seed=0, size=16):
+    """Tiny random RGB PNG as urlsafe base64 (vision-app row format)."""
+    import base64
+    import io
+
+    import numpy as np
+    from PIL import Image
+    arr = np.random.RandomState(seed).randint(0, 255, (size, size, 3),
+                                              np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG")
+    return base64.urlsafe_b64encode(buf.getvalue()).decode("utf-8")
+
+
+def make_caption(rng):
+    return " ".join(rng.choices(FILLER + POS_WORDS, k=4))
+
+
+def make_vision_tsvs(base, n_train=16, n_dev=8):
+    """TSV fixtures for the 5 vision apps (reference row formats)."""
+    import json
+    rng = random.Random(7)
+
+    def rows(n, make_row):
+        return "\n".join(make_row(i) for i in range(n)) + "\n"
+
+    img = lambda i: make_image_b64(seed=i)
+    frames = lambda i: json.dumps([make_image_b64(seed=100 * i + j)
+                                   for j in range(3)])
+    specs = {
+        # app -> (filename prefix, row builder)
+        "t2i": lambda i: "%d\t%s\t%s" % (i, make_caption(rng), img(i)),
+        "i2t": lambda i: "%d\t%s\t%s" % (i, img(i), make_caption(rng)),
+        "v2t": lambda i: "%d\t%s\t%s" % (i, frames(i), make_caption(rng)),
+        "t2v": lambda i: "%d\t%s\t%s" % (i, make_caption(rng), frames(i)),
+        "clip": lambda i: "%d\t%s\t%s" % (i, make_caption(rng), img(i)),
+    }
+    for name, make_row in specs.items():
+        with open(os.path.join(base, "%s_train.tsv" % name), "w") as f:
+            f.write(rows(n_train, make_row))
+        with open(os.path.join(base, "%s_dev.tsv" % name), "w") as f:
+            f.write(rows(n_dev, make_row))
+
+
+def make_vision_pretrained(base):
+    """Config-only pretrain dirs for ARTIST / CLIP-GPT / CLIP tiny models."""
+    vocab_sizes = {}
+    vision_tiny = dict(image_size=16, patch_size=8, hidden_size=16,
+                       num_hidden_layers=1, num_attention_heads=2,
+                       intermediate_size=32, hidden_act="quick_gelu")
+
+    def write(model_dir, config):
+        os.makedirs(model_dir, exist_ok=True)
+        v = make_vocab(os.path.join(model_dir, "vocab.txt"))
+        vocab_sizes[model_dir] = v
+        for key in ("text_vocab_size",):
+            if key in config:
+                config[key] = v
+        if "gpt_config" in config and config["gpt_config"].get(
+                "vocab_size") == "VOCAB":
+            config["gpt_config"]["vocab_size"] = v
+        if "text_config" in config and config["text_config"].get(
+                "vocab_size") == "VOCAB":
+            config["text_config"]["vocab_size"] = v
+        with open(os.path.join(model_dir, "config.json"), "w") as f:
+            json.dump(config, f, indent=2)
+
+    write(os.path.join(base, "tiny-artist"), {
+        "model_type": "artist",
+        "text_vocab_size": 0,  # patched to the vocab size
+        "image_vocab_size": 32,
+        "image_token_length": 64,   # 16px / 2 downsample = 8x8 codes
+        "text_length": 8,
+        "codebook_dim": 8,
+        "vq_channels": 8,
+        "vq_channel_mult": [1, 2],
+        "vq_num_res_blocks": 1,
+        "gpt_config": {"n_positions": 128, "n_embd": 16,
+                       "n_layer": 1, "n_head": 2, "resid_pdrop": 0.0,
+                       "embd_pdrop": 0.0, "attn_pdrop": 0.0},
+    })
+    write(os.path.join(base, "tiny-i2t"), {
+        "model_type": "clip_gpt_i2t",
+        "vision_config": vision_tiny,
+        "gpt_config": {"vocab_size": "VOCAB", "n_positions": 64, "n_embd": 16,
+                       "n_layer": 1, "n_head": 2, "resid_pdrop": 0.0,
+                       "embd_pdrop": 0.0, "attn_pdrop": 0.0},
+    })
+    write(os.path.join(base, "tiny-clip"), {
+        "model_type": "clip",
+        "projection_dim": 8,
+        "text_config": {"vocab_size": "VOCAB", "hidden_size": 16,
+                        "num_hidden_layers": 1, "num_attention_heads": 2,
+                        "intermediate_size": 32,
+                        "max_position_embeddings": 32},
+        "vision_config": vision_tiny,
+    })
+    return vocab_sizes
+
+
 def build_all(base):
     os.makedirs(base, exist_ok=True)
     make_pretrained(os.path.join(base, "tiny-bert"))
