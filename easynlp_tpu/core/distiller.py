@@ -2,20 +2,17 @@
 
 Capability parity: reference easynlp/core/distiller.py — DistillatoryTrainer
 (:23-80, teacher_logits routed into the loss), MetaTeacherTrainer (:83-133,
-domain-weighted teacher finetuning) and MetaDistillationTrainer (:136-268,
-two-stage teacher→student alignment).
+per-instance domain-weighted teacher finetuning) and MetaDistillationTrainer
+(:136-268, two-stage teacher→student transfer).
 
-In this build the vanilla-KD path needs no Trainer subclass (the KD loss is
-the app's loss_fn and the dataset joins teacher logits), but the subclasses
-are provided for API parity and for the meta variants, which need
-teacher-model state alongside the student.
-"""
+TPU shape: the teacher is frozen params closed over by the student's jitted
+train step — teacher forward, transfer losses, and the student update compile
+into ONE program (the reference runs two graphs and syncs per batch)."""
 
 import jax
 import jax.numpy as jnp
 
 from easynlp_tpu.core.trainer import Trainer
-from easynlp_tpu.utils import losses
 from easynlp_tpu.utils.logger import logger
 
 
@@ -33,59 +30,58 @@ class DistillatoryTrainer(Trainer):
 
 
 class MetaTeacherTrainer(Trainer):
-    """Meta teacher finetuning (reference :83-133): the teacher trains with a
-    per-sample domain-corrected weighting — samples whose domain classifier
-    confidence is low get up-weighted so the teacher stays domain-general.
+    """Meta-teacher finetuning (reference :83-133): per-instance CE + domain
+    CE, each sample weighted by its precomputed sample_weight. Batches carry
+    'domain_ids' and 'sample_weights' (MetaKDClassificationDataset)."""
 
-    Expects batches with 'domain_ids' and an app whose outputs include
-    'logits' and optionally 'domain_logits'."""
-
-    def _build_step(self):
-        app = self.app
-        base_loss = app.loss_fn
+    def __init__(self, model, train_dataset, evaluator=None,
+                 user_defined_parameters=None, **kwargs):
+        udp = user_defined_parameters or {}
+        use_domain_loss = str(udp.get("use_domain_loss", "True")) == "True"
+        use_sample_weights = str(udp.get("use_sample_weights",
+                                         "True")) == "True"
+        dlw = float(udp.get("domain_loss_weight", 0.5))
+        from easynlp_tpu.distillation.distill_metakd_application import (
+            meta_teacher_loss)
 
         def weighted_loss(outputs, batch):
-            out = base_loss(outputs, batch)
-            if "domain_logits" in outputs and "domain_ids" in batch:
-                dom_ce = losses.cross_entropy(outputs["domain_logits"],
-                                              batch["domain_ids"])
-                probs = jax.nn.softmax(
-                    outputs["domain_logits"].astype(jnp.float32), -1)
-                conf = jnp.take_along_axis(
-                    probs, batch["domain_ids"][:, None], -1)[:, 0]
-                # up-weight low-confidence (domain-ambiguous) samples
-                weight = jax.lax.stop_gradient(1.0 - conf) + 0.5
-                per_sample = losses.cross_entropy(
-                    outputs["logits"], batch["label_ids"])
-                out = {"loss": per_sample * jnp.mean(weight) + 0.1 * dom_ce,
-                       "domain_loss": dom_ce}
-            return out
+            return meta_teacher_loss(
+                outputs, batch, use_domain_loss=use_domain_loss,
+                use_sample_weights=use_sample_weights,
+                domain_loss_weight=dlw)
 
-        app.loss_fn = staticmethod(weighted_loss).__func__
-        super()._build_step()
+        model.loss_fn = staticmethod(weighted_loss).__func__
+        super().__init__(model, train_dataset, evaluator=evaluator, **kwargs)
 
 
 class MetaDistillationTrainer(Trainer):
-    """Meta distillation (reference :136-268): stage 1 aligns student hidden
-    representations to the teacher's (MSE over [CLS]); stage 2 does logit KD.
-    The teacher app is frozen; its forward runs inside the same jitted step."""
+    """Meta distillation (reference :136-268): stage 'first' transfers
+    attention score maps, fit-projected hidden states, and the domain-corrupt
+    representation with teacher-confidence weights; stage 'second' distills
+    temperature-scaled logits. The frozen teacher runs inside the same jitted
+    step."""
 
     def __init__(self, model, train_dataset, teacher_app=None, evaluator=None,
-                 stage=2, temperature=2.0, alpha=0.5, **kwargs):
-        self.teacher_app = teacher_app
-        self.stage = stage
-        self.temperature = temperature
-        self.alpha = alpha
-        super().__init__(model, train_dataset, evaluator=evaluator, **kwargs)
+                 user_defined_parameters=None, stage=None, temperature=None,
+                 **kwargs):
+        if teacher_app is None:
+            raise ValueError("MetaDistillationTrainer needs teacher_app")
+        udp = user_defined_parameters or {}
+        stage = stage or udp.get("distill_stage", "second")
+        if stage in (1, "1"):
+            stage = "first"
+        if stage in (2, "2"):
+            stage = "second"
+        if stage not in ("first", "second"):
+            raise ValueError("distill_stage must be 'first' or 'second'")
+        temperature = float(temperature or udp.get("T", 2.0))
+        dlw = float(udp.get("domain_loss_weight", 0.5))
 
-    def _build_step(self):
-        if self.teacher_app is None:
-            super()._build_step()
-            return
-        teacher_module = self.teacher_app.module
-        teacher_params = self.teacher_app.params  # frozen, closed over
-        student = self.app
-        stage, t, a = self.stage, self.temperature, self.alpha
+        teacher_module = teacher_app.module
+        teacher_params = jax.tree.map(jax.lax.stop_gradient,
+                                      teacher_app.params)
+        from easynlp_tpu.distillation.distill_metakd_application import (
+            meta_student_stage1_loss, meta_student_stage2_loss)
 
         def kd_loss(outputs, batch):
             t_out = teacher_module.apply(
@@ -93,18 +89,14 @@ class MetaDistillationTrainer(Trainer):
                 input_ids=batch["input_ids"],
                 attention_mask=batch.get("attention_mask"),
                 token_type_ids=batch.get("token_type_ids"),
+                domain_ids=batch.get("domain_ids"),
                 deterministic=True)
-            t_logits = jax.lax.stop_gradient(t_out["logits"])
-            if stage == 1 and "pooler_output" in t_out \
-                    and "pooler_output" in outputs:
-                rep = jnp.mean((outputs["pooler_output"]
-                                - jax.lax.stop_gradient(
-                                    t_out["pooler_output"])) ** 2)
-                return {"loss": rep, "rep_loss": rep}
-            loss = losses.vanilla_kd_loss(outputs["logits"], t_logits,
-                                          batch["label_ids"],
-                                          temperature=t, alpha=a)
-            return {"loss": loss}
+            t_out = jax.tree.map(jax.lax.stop_gradient, t_out)
+            if stage == "first":
+                return meta_student_stage1_loss(
+                    outputs, t_out, batch, domain_loss_weight=dlw)
+            return meta_student_stage2_loss(outputs, t_out,
+                                            temperature=temperature)
 
-        student.loss_fn = staticmethod(kd_loss).__func__
-        super()._build_step()
+        model.loss_fn = staticmethod(kd_loss).__func__
+        super().__init__(model, train_dataset, evaluator=evaluator, **kwargs)

@@ -296,6 +296,10 @@ class Trainer:
         self.after_train()
 
     def after_train(self):
+        # the app object carries the trained weights from here on (the
+        # reference's nn.Module is stateful; donation invalidates the app's
+        # original buffers, so the sync is mandatory, not cosmetic)
+        self.app.params = self.params
         self._eval_and_save(final=True)
         self.stats.close()
 

@@ -99,6 +99,7 @@ class BertEmbeddings(nn.Module):
 class BertAttention(nn.Module):
     config: Any
     dtype: Any = jnp.float32
+    output_scores: bool = False
 
     @nn.compact
     def __call__(self, hidden, kv_mask, deterministic):
@@ -110,7 +111,26 @@ class BertAttention(nn.Module):
         qkv = checkpoint_name(qkv, "qkv_out")
         qkv = qkv.reshape(b, s, 3, h, d)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-        ctx = attention(q, k, v, kv_mask=kv_mask)
+        scores = None
+        if self.output_scores:
+            # explicit scores path (attention-transfer distillation — the
+            # flash kernel never materialises probabilities). Masked lanes
+            # get -1e4 like the reference's extended_attention_mask so
+            # MetaKD's "zero out <= -1e2" heuristic applies unchanged
+            # (reference distill_metakd_application.py:279-287).
+            scale = 1.0 / jnp.sqrt(jnp.float32(d))
+            raw = jnp.einsum("bqhd,bkhd->bhqk", q.astype(jnp.float32),
+                             k.astype(jnp.float32)) * scale
+            bias = jnp.where(kv_mask[:, None, None, :], 0.0, -1e4)
+            scores = raw + bias
+            probs = jax.nn.softmax(scores, axis=-1)
+            ctx = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(self.dtype), v)
+        else:
+            # config.use_ring_attention=True shards the attention over the
+            # mesh's `sequence` axis (SP long-context path; SURVEY.md §5.7)
+            impl = "ring" if getattr(c, "use_ring_attention", False) \
+                else "auto"
+            ctx = attention(q, k, v, kv_mask=kv_mask, impl=impl)
         # named so remat policies can choose to save it instead of re-running
         # the flash kernel in the backward pass
         ctx = checkpoint_name(ctx, "attn_out")
@@ -119,6 +139,8 @@ class BertAttention(nn.Module):
                      name="output")(ctx)
         out = checkpoint_name(out, "attn_proj_out")
         out = nn.Dropout(c.hidden_dropout_prob)(out, deterministic=deterministic)
+        if self.output_scores:
+            return out, scores
         return out
 
 
@@ -130,22 +152,29 @@ class BertLayer(nn.Module):
     dtype: Any = jnp.float32
     deterministic: bool = True
     collect_hidden: bool = False
+    collect_attn: bool = False
     pre_layer_norm: bool = False  # MegatronBERT layout
 
     @nn.compact
     def __call__(self, carry, _=None):
         hidden, kv_mask = carry
         c = self.config
+        attn = BertAttention(c, dtype=self.dtype,
+                             output_scores=self.collect_attn,
+                             name="attention")
+        scores = None
         if self.pre_layer_norm:
             normed = _layer_norm(c, name="attention_ln")(
                 hidden).astype(self.dtype)
-            attn_out = BertAttention(c, dtype=self.dtype, name="attention")(
-                normed, kv_mask, self.deterministic)
+            attn_out = attn(normed, kv_mask, self.deterministic)
+            if self.collect_attn:
+                attn_out, scores = attn_out
             hidden = hidden + attn_out
             normed = _layer_norm(c, name="output_ln")(hidden).astype(self.dtype)
         else:
-            attn_out = BertAttention(c, dtype=self.dtype, name="attention")(
-                hidden, kv_mask, self.deterministic)
+            attn_out = attn(hidden, kv_mask, self.deterministic)
+            if self.collect_attn:
+                attn_out, scores = attn_out
             hidden = _layer_norm(c, name="attention_ln")(
                 hidden + attn_out).astype(self.dtype)
             normed = hidden
@@ -165,6 +194,8 @@ class BertLayer(nn.Module):
             hidden = _layer_norm(c, name="output_ln")(
                 hidden + mlp).astype(self.dtype)
         ys = hidden if self.collect_hidden else None
+        if self.collect_attn:
+            ys = (ys, scores)
         return (hidden, kv_mask), ys
 
 
@@ -189,6 +220,7 @@ class BertEncoder(nn.Module):
     dtype: Any = jnp.float32
     remat: str = "none"
     output_hidden_states: bool = False
+    output_attentions: bool = False
     pre_layer_norm: bool = False
 
     @nn.compact
@@ -205,16 +237,20 @@ class BertEncoder(nn.Module):
             length=c.num_hidden_layers,
             metadata_params={nn.PARTITION_NAME: "layers"},
         )
-        (hidden, _), all_hidden = scan(
+        (hidden, _), ys = scan(
             config=c, dtype=self.dtype, deterministic=deterministic,
             collect_hidden=self.output_hidden_states,
+            collect_attn=self.output_attentions,
             pre_layer_norm=self.pre_layer_norm,
             name="layers")((hidden, kv_mask))
+        if self.output_attentions:
+            all_hidden, all_scores = ys
+        else:
+            all_hidden, all_scores = ys, None
         if self.pre_layer_norm:
             hidden = _layer_norm(c, name="final_ln")(hidden).astype(self.dtype)
-        if self.output_hidden_states:
-            return hidden, all_hidden  # all_hidden: [L, B, S, E]
-        return hidden, None
+        # all_hidden: [L, B, S, E]; all_scores: [L, B, H, S, S]
+        return hidden, all_hidden, all_scores
 
 
 class BertPooler(nn.Module):
@@ -235,6 +271,7 @@ class BertModel(BaseModule):
     add_pooling_layer: bool = True
     remat: str = "none"
     output_hidden_states: bool = False
+    output_attentions: bool = False
     pre_layer_norm: bool = False
 
     @nn.compact
@@ -261,14 +298,17 @@ class BertModel(BaseModule):
                                 use_layer_norm=not self.pre_layer_norm,
                                 name="embeddings")(
             input_ids, token_type_ids, position_ids, deterministic)
-        hidden, all_hidden = BertEncoder(
+        hidden, all_hidden, all_scores = BertEncoder(
             self.config, dtype=self.dtype, remat=self.remat,
             output_hidden_states=self.output_hidden_states,
+            output_attentions=self.output_attentions,
             pre_layer_norm=self.pre_layer_norm,
             name="encoder")(hidden, kv_mask, deterministic)
         out = {"last_hidden_state": hidden}
         if self.output_hidden_states:
             out["hidden_states"] = all_hidden  # [L, B, S, E]
+        if self.output_attentions:
+            out["attentions"] = all_scores  # [L, B, H, S, S] masked scores
         if self.add_pooling_layer:
             out["pooler_output"] = BertPooler(self.config, dtype=self.dtype,
                                               name="pooler")(hidden)

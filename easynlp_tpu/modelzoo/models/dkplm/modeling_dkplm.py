@@ -67,8 +67,8 @@ class DKPLMModel(BaseModule):
                 know = know * insert_know_position_mask[..., None].astype(
                     self.dtype)
             hidden = hidden + know
-        hidden, _ = BertEncoder(c, dtype=self.dtype, remat=self.remat,
-                                name="encoder")(
+        hidden, _, _ = BertEncoder(c, dtype=self.dtype, remat=self.remat,
+                                   name="encoder")(
             hidden, attention_mask.astype(bool), deterministic)
         out = {"last_hidden_state": hidden}
         if self.add_pooling_layer:

@@ -56,7 +56,9 @@ def bert_base_config(vocab_size=30522, seq_len=512):
                       intermediate_size=3072, max_position_embeddings=seq_len)
 
 
-def tiny_bert_config(vocab_size=1000):
-    return BertConfig(vocab_size=vocab_size, hidden_size=64,
-                      num_hidden_layers=2, num_attention_heads=4,
-                      intermediate_size=128, max_position_embeddings=64)
+def tiny_bert_config(vocab_size=1000, **overrides):
+    kw = dict(vocab_size=vocab_size, hidden_size=64,
+              num_hidden_layers=2, num_attention_heads=4,
+              intermediate_size=128, max_position_embeddings=64)
+    kw.update(overrides)
+    return BertConfig(**kw)

@@ -14,6 +14,15 @@ def mse_loss(logits, targets):
     return jnp.mean((logits.astype(jnp.float32) - targets.astype(jnp.float32)) ** 2)
 
 
+def per_sample_cross_entropy(logits, labels):
+    """Unreduced CE: logits [B, V], labels [B] → nll [B] (reference
+    cross_entropy(..., reduction='none') used by MetaKD weighting)."""
+    logits = logits.astype(jnp.float32)
+    logz = jax.nn.logsumexp(logits, axis=-1)
+    gold = jnp.take_along_axis(logits, labels[..., None], axis=-1)[..., 0]
+    return logz - gold
+
+
 def cross_entropy(logits, labels, ignore_index=-100, label_smoothing=0.0):
     """Mean CE over valid positions. logits [..., V], labels [...] int."""
     logits = logits.astype(jnp.float32)
