@@ -60,7 +60,9 @@ class GPT2Attention(nn.Module):
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
 
         if layer_cache is None:
-            ctx = attention(q, k, v, kv_mask=kv_mask, causal=True)
+            impl = "ring" if getattr(c, "use_ring_attention", False) \
+                else "auto"
+            ctx = attention(q, k, v, kv_mask=kv_mask, causal=True, impl=impl)
             new_cache = None
         else:
             k_cache, v_cache = layer_cache

@@ -440,13 +440,48 @@ def use_flash(platform=None):
     return platform == "tpu"
 
 
+def sequence_parallel_attention(q, k, v, kv_mask=None, causal=False,
+                                scale=None, mesh=None,
+                                axis_name="sequence"):
+    """Exact attention with activations sharded on the sequence dimension:
+    shard_map(ring_attention) over the mesh's `sequence` axis. Falls back to
+    the local path when the mesh has no sequence axis (so the same model
+    config runs single-chip)."""
+    import functools
+
+    from easynlp_tpu.parallel.mesh import get_global_mesh
+    mesh = mesh or get_global_mesh()
+    if axis_name not in mesh.axis_names or mesh.shape[axis_name] <= 1:
+        return attention(q, k, v, kv_mask=kv_mask, causal=causal, scale=scale)
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from easynlp_tpu.ops.ring_attention import ring_attention
+    if kv_mask is None:
+        kv_mask = jnp.ones(k.shape[:2], dtype=bool)
+    batch = tuple(a for a in ("data", "fsdp") if a in mesh.axis_names
+                  and mesh.shape[a] > 1) or None
+    fn = functools.partial(ring_attention, axis_name=axis_name,
+                           causal=causal, scale=scale)
+    wrapped = shard_map(
+        fn, mesh=mesh,
+        in_specs=(P(batch, axis_name), P(batch, axis_name),
+                  P(batch, axis_name), P(batch, axis_name)),
+        out_specs=P(batch, axis_name), check_rep=False)
+    return wrapped(q, k, v, kv_mask).astype(q.dtype)
+
+
 def attention(q, k, v, kv_mask=None, causal=False, scale=None, bias=None,
               impl="auto", block_q=DEFAULT_BLOCK_Q, block_k=DEFAULT_BLOCK_K,
               block_h=None):
     """Public MHA entry: q [B,Sq,H,D], k/v [B,Skv,H,D], kv_mask [B,Skv] bool.
 
-    impl: 'auto' (flash on TPU), 'flash', 'reference'. An explicit additive
-    `bias` forces the reference path (used by relative-position models)."""
+    impl: 'auto' (flash on TPU), 'flash', 'reference', 'ring' (sequence-
+    parallel over the mesh's `sequence` axis). An explicit additive `bias`
+    forces the reference path (used by relative-position models)."""
+    if impl == "ring" and bias is None:
+        return sequence_parallel_attention(q, k, v, kv_mask=kv_mask,
+                                           causal=causal, scale=scale)
     d = q.shape[-1]
     scale = scale if scale is not None else 1.0 / math.sqrt(d)
     if kv_mask is None:
