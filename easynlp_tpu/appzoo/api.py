@@ -55,6 +55,9 @@ DATASET_REGISTRY = {
     "language_modeling": {
         "default": _lazy("easynlp_tpu.appzoo.language_modeling.data",
                          "LanguageModelingDataset"),
+        "enable_kangaroo": _lazy(
+            "easynlp_tpu.appzoo.language_modeling.kangaroo_data",
+            "KangarooPretrainDataset"),
     },
     "vectorization": {
         "default": _lazy("easynlp_tpu.appzoo.sequence_classification.data",
@@ -147,6 +150,9 @@ MODEL_REGISTRY = {
         "contrast_learning_flag": _lazy(
             "easynlp_tpu.appzoo.language_modeling.model",
             "CKBertLanguageModeling"),
+        "enable_kangaroo": _lazy(
+            "easynlp_tpu.appzoo.language_modeling.model",
+            "KangarooLanguageModeling"),
     },
     "vectorization": {
         "default": _lazy("easynlp_tpu.appzoo.feature_vectorization.model",
@@ -273,8 +279,8 @@ EVALUATOR_REGISTRY = {
                          "FrameTextGenerationEvaluator"),
     },
     "latent_diffusion": {
-        "default": _lazy("easynlp_tpu.appzoo.text2image_generation.evaluator",
-                         "LossEvaluator"),
+        "default": _lazy("easynlp_tpu.appzoo.latent_diffusion.evaluator",
+                         "LDMEvaluator"),
     },
 }
 
@@ -362,8 +368,8 @@ def _variant_key(registry_entry, udp):
     (reference api.py keys: multi_label / two_tower / enable_distillation /
     enable_fewshot ...)."""
     for key in ("enable_metakd", "enable_distillation", "enable_fewshot",
-                "multi_label", "two_tower", "siamese", "enable_vit",
-                "enable_vqgan", "contrast_learning_flag"):
+                "enable_kangaroo", "multi_label", "two_tower", "siamese",
+                "enable_vit", "enable_vqgan", "contrast_learning_flag"):
         if udp.get(key) and key in registry_entry:
             return key
     return "default"
