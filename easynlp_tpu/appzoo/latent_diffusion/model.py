@@ -141,6 +141,14 @@ class LatentDiffusion(Application):
     def build_module(cls, config, args=None, dtype=jnp.float32, **kwargs):
         return LDMModule(config=config, dtype=dtype)
 
+    @classmethod
+    def convert_pytorch_state_dict(cls, state_dict, config):
+        """CompVis/PAI-Diffusion .ckpt → LDMModule params (reference
+        appzoo/latent_diffusion/model.py:144-183 load_model_from_config)."""
+        from easynlp_tpu.modelzoo.models.latent_diffusion.conversion import (
+            convert_stable_diffusion)
+        return convert_stable_diffusion(state_dict, config)
+
     # -- training -------------------------------------------------------------
     def make_train_loss(self):
         """Returns loss_fn(params, batch, rng) for the Trainer: VAE-encode →
@@ -224,3 +232,64 @@ class LatentDiffusion(Application):
         sampler = jax.jit(self.make_sampler(num_steps, guidance_scale))
         return sampler(self.params, input_ids, attention_mask,
                        negative_input_ids, rng)
+
+
+class StableDiffusionPipeline:
+    """Prompt-in, image-out wrapper (reference appzoo/latent_diffusion/
+    model.py:184-287 StableDiffusion — tokenize prompt + negative prompt,
+    DDIM+CFG sample, optional ESRGAN 4× upscale, base64 PNG out)."""
+
+    def __init__(self, model_dir, num_steps=50, guidance_scale=7.5,
+                 image_prefix="", esrgan_params=None, args=None,
+                 dtype=jnp.float32):
+        from easynlp_tpu.appzoo.api import _tokenizer_for
+        self.app = LatentDiffusion.from_pretrained(model_dir, args=args,
+                                                   dtype=dtype)
+        self.tokenizer = _tokenizer_for(model_dir)
+        self.num_steps = num_steps
+        self.guidance_scale = guidance_scale
+        self.image_prefix = image_prefix
+        self._esrgan = None
+        if esrgan_params is not None:
+            from easynlp_tpu.modelzoo.models.latent_diffusion.esrgan import (
+                RRDBNet)
+            nb = len(esrgan_params["trunk"]["rdb1"]["conv1"]["kernel"]) \
+                if "trunk" in esrgan_params else 23
+            self._esrgan = (RRDBNet(nb=nb, dtype=dtype), esrgan_params)
+
+    def upscale(self, images_pm1):
+        """4× ESRGAN super-resolution on [-1,1] images (reference :252-266
+        runs RRDBNet on the sampler output)."""
+        if self._esrgan is None:
+            return images_pm1
+        module, params = self._esrgan
+        x = (jnp.asarray(images_pm1) + 1.0) / 2.0        # RRDBNet is [0,1]
+        y = module.apply({"params": params}, x)
+        return jnp.clip(y, 0.0, 1.0) * 2.0 - 1.0
+
+    def __call__(self, prompts, negative_prompts=None, seed=0,
+                 sequence_length=32, do_upscale=False):
+        import numpy as np
+
+        from easynlp_tpu.data.image_utils import encode_image_base64_png
+        if isinstance(prompts, str):
+            prompts = [prompts]
+        enc = self.tokenizer(list(prompts), max_length=sequence_length)
+        ids = jnp.asarray(enc["input_ids"], jnp.int32)
+        mask = jnp.asarray(enc["attention_mask"], jnp.int32)
+        neg_ids = None
+        if negative_prompts:
+            if isinstance(negative_prompts, str):
+                negative_prompts = [negative_prompts] * len(prompts)
+            neg = self.tokenizer(list(negative_prompts),
+                                 max_length=sequence_length)
+            neg_ids = jnp.asarray(neg["input_ids"], jnp.int32)
+        images = self.app.sample(
+            ids, mask, num_steps=self.num_steps,
+            guidance_scale=self.guidance_scale,
+            rng=jax.random.PRNGKey(seed), negative_input_ids=neg_ids)
+        if do_upscale:
+            images = self.upscale(images)
+        arr = np.asarray(jax.device_get(images))
+        return [{"text": p, "image_base64": encode_image_base64_png(img)}
+                for p, img in zip(prompts, arr)]

@@ -81,6 +81,18 @@ class Trainer:
 
         self._place_state()
         self._build_step()
+        # EMA shadow weights (reference latent_diffusion/ema.py LitEma; here
+        # a params pytree updated by its own small jitted step)
+        self.ema_state = None
+        self._ema_update = None
+        ema_decay = float(getattr(self.args, "ema_decay", 0.0) or 0.0)
+        if ema_decay > 0.0:
+            from easynlp_tpu.modelzoo.models.latent_diffusion.ema import (
+                ema_init, ema_update)
+            self.ema_state = ema_init(self.params)
+            self._ema_update = jax.jit(
+                lambda st, p: ema_update(st, p, decay=ema_decay),
+                donate_argnums=(0,))
         self.global_step = 0
         self.start_epoch = 0
         self._resume_skip_batches = 0
@@ -276,6 +288,9 @@ class Trainer:
                 self.params, self.opt_state, metrics = self._train_step(
                     self.params, self.opt_state, device_batch,
                     self.global_step)
+                if self.ema_state is not None:
+                    self.ema_state = self._ema_update(self.ema_state,
+                                                      self.params)
                 self.global_step += 1
 
                 if self.global_step % args.logging_steps == 0 \
@@ -354,6 +369,11 @@ class Trainer:
         from flax import serialization
         with io.open(os.path.join(out, OPT_STATE_NAME), "wb") as f:
             f.write(serialization.to_bytes(opt_host))
+        if self.ema_state is not None:
+            from easynlp_tpu.modelzoo.models.latent_diffusion.ema import (
+                ema_params)
+            save_params(ema_params(self.ema_state, like=self.params), out,
+                        name="flax_params_ema.msgpack")
         logger.info("checkpoint saved to %s", out)
 
     def resume_from_ckpt(self, ckpt_dir):

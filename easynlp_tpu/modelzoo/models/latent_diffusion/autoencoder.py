@@ -38,7 +38,36 @@ class VAEResBlock(nn.Module):
         return x + h
 
 
+class VAEAttnBlock(nn.Module):
+    """Single-head spatial self-attention (reference autoencoder.py
+    AttnBlock: GN → 1×1 q/k/v → softmax over the grid → proj_out, residual).
+    """
+
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, hh, ww, c = x.shape
+        h = _gn(x, name="norm").astype(self.dtype)
+
+        def conv1(name):
+            return nn.Conv(c, (1, 1), dtype=self.dtype,
+                           param_dtype=jnp.float32, name=name)
+        q = conv1("q")(h).reshape(b, hh * ww, c)
+        k = conv1("k")(h).reshape(b, hh * ww, c)
+        v = conv1("v")(h).reshape(b, hh * ww, c)
+        scores = jnp.einsum("bqc,bkc->bqk", q.astype(jnp.float32),
+                            k.astype(jnp.float32)) * (c ** -0.5)
+        probs = jax.nn.softmax(scores, axis=-1)
+        out = jnp.einsum("bqk,bkc->bqc", probs.astype(self.dtype), v)
+        out = conv1("proj_out")(out.reshape(b, hh, ww, c))
+        return x + out
+
+
 class VAEEncoder(nn.Module):
+    """SD/CompVis first-stage encoder layout: per-level res blocks + strided
+    downsample, mid = res·attn·res (reference autoencoder.py Encoder)."""
+
     config: Any
     dtype: Any = jnp.float32
 
@@ -57,16 +86,24 @@ class VAEEncoder(nn.Module):
                 h = nn.Conv(ch * mult, (3, 3), strides=2, padding=1,
                             dtype=self.dtype, param_dtype=jnp.float32,
                             name="down_%d_ds" % level)(h)
-        h = VAEResBlock(h.shape[-1], dtype=self.dtype, name="mid_res")(h)
+        h = VAEResBlock(h.shape[-1], dtype=self.dtype, name="mid_res1")(h)
+        h = VAEAttnBlock(dtype=self.dtype, name="mid_attn")(h)
+        h = VAEResBlock(h.shape[-1], dtype=self.dtype, name="mid_res2")(h)
         h = nn.silu(_gn(h, name="norm_out")).astype(self.dtype)
         moments = nn.Conv(2 * c.latent_channels, (3, 3), padding=1,
                           dtype=jnp.float32, param_dtype=jnp.float32,
                           name="conv_out")(h)
+        # SD applies a 1×1 quant_conv on the moments
+        moments = nn.Conv(2 * c.latent_channels, (1, 1), dtype=jnp.float32,
+                          param_dtype=jnp.float32, name="quant_conv")(moments)
         mean, logvar = jnp.split(moments, 2, axis=-1)
         return mean, jnp.clip(logvar, -30.0, 20.0)
 
 
 class VAEDecoder(nn.Module):
+    """SD/CompVis decoder: post_quant 1×1 → conv_in → mid res·attn·res →
+    (num_res_blocks+1) blocks per level + upsample."""
+
     config: Any
     dtype: Any = jnp.float32
 
@@ -75,12 +112,16 @@ class VAEDecoder(nn.Module):
         c = self.config
         ch = c.vae_channels
         mults = list(c.vae_channel_mult)
+        h = nn.Conv(c.latent_channels, (1, 1), dtype=jnp.float32,
+                    param_dtype=jnp.float32, name="post_quant_conv")(latents)
         h = nn.Conv(ch * mults[-1], (3, 3), padding=1, dtype=self.dtype,
                     param_dtype=jnp.float32, name="conv_in")(
-            latents.astype(self.dtype))
-        h = VAEResBlock(h.shape[-1], dtype=self.dtype, name="mid_res")(h)
+            h.astype(self.dtype))
+        h = VAEResBlock(h.shape[-1], dtype=self.dtype, name="mid_res1")(h)
+        h = VAEAttnBlock(dtype=self.dtype, name="mid_attn")(h)
+        h = VAEResBlock(h.shape[-1], dtype=self.dtype, name="mid_res2")(h)
         for level, mult in reversed(list(enumerate(mults))):
-            for blk in range(c.vae_num_res_blocks):
+            for blk in range(c.vae_num_res_blocks + 1):
                 h = VAEResBlock(ch * mult, dtype=self.dtype,
                                 name="up_%d_res%d" % (level, blk))(h)
             if level > 0:

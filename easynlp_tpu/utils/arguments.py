@@ -118,6 +118,10 @@ def _add_easynlp_args(parser: argparse.ArgumentParser) -> None:
                             "into this directory (view with xprof/tensorboard)")
     group.add_argument("--profile_steps", default=10, type=int,
                        help="How many steps to trace when --profile_dir is set")
+    group.add_argument("--ema_decay", default=0.0, type=float,
+                       help="Keep an EMA of the weights with this decay "
+                            "(reference latent_diffusion LitEma; saved as "
+                            "flax_params_ema.msgpack). 0 disables.")
 
     group = parser.add_argument_group("distributed", "multi-host arguments")
     group.add_argument("--coordinator_address", default=None, type=str)
