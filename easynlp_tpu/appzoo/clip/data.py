@@ -1,6 +1,12 @@
 """CLIP dataset (capability parity: reference easynlp/appzoo/clip/data.py —
-TSV rows 'text<TAB>base64image' (:254); images decoded+resized+normalised on
-the host, patchified on device)."""
+TSV rows 'text<TAB>base64image' (:254) AND webdataset .tar shards split
+across ranks (:203-216); images decoded+resized+normalised on the host,
+patchified on device)."""
+
+import io as _stdio
+import json
+import os
+import tarfile
 
 import numpy as np
 
@@ -11,31 +17,85 @@ from easynlp_tpu.data.image_utils import (
 )
 
 
+def _load_tar_samples(data_file, process_index=0, num_processes=1):
+    """webdataset layout: members grouped by basename stem, image = .jpg/.png,
+    caption = .txt or .json {'caption': ...} (reference clip/data.py:203-216
+    splits shard urls by node; with a single tar we split samples)."""
+    shards = sorted(data_file.split(",")) if "," in data_file \
+        else [data_file]
+    if len(shards) > 1:  # split whole shards across ranks like the reference
+        shards = shards[process_index::num_processes]
+    texts, images = [], []
+    for shard in shards:
+        by_stem = {}
+        with tarfile.open(shard) as tf:
+            for member in tf.getmembers():
+                if not member.isfile():
+                    continue
+                stem, ext = os.path.splitext(member.name)
+                by_stem.setdefault(stem, {})[ext.lower()] = \
+                    tf.extractfile(member).read()
+        for stem in sorted(by_stem):
+            entry = by_stem[stem]
+            img = entry.get(".jpg") or entry.get(".jpeg") or \
+                entry.get(".png")
+            if img is None:
+                continue
+            if ".json" in entry:
+                text = json.loads(entry[".json"]).get("caption", "")
+            else:
+                text = entry.get(".txt", b"").decode("utf-8",
+                                                     errors="replace")
+            texts.append(str(text).strip())
+            images.append(img)
+    if len(shards) <= 1 and num_processes > 1:
+        texts = texts[process_index::num_processes]
+        images = images[process_index::num_processes]
+    return texts, images
+
+
 class CLIPDataset(BaseDataset):
     def __init__(self, data_file, tokenizer, max_seq_length=32,
                  input_schema=None, first_sequence="text",
                  second_sequence="image", image_size=224, **kwargs):
         for k in ("label_name", "label_enumerate_values", "multi_label"):
             kwargs.pop(k, None)
-        super().__init__(data_file, input_schema=input_schema, **kwargs)
+        self._image_bytes = None
+        if str(data_file).endswith(".tar"):
+            texts, self._image_bytes = _load_tar_samples(
+                str(data_file), kwargs.get("process_index", 0) or 0,
+                kwargs.get("num_processes", 1) or 1)
+            self.rows = list(range(len(texts)))
+            self.schema = None
+            self.kwargs = kwargs
+            self._images_b64 = [None] * len(texts)
+        else:
+            super().__init__(data_file, input_schema=input_schema, **kwargs)
+            texts, self._images_b64 = [], []
+            for row in self.rows:
+                r = self.parse_row(row)
+                texts.append(str(r.get(first_sequence or "text", "")))
+                self._images_b64.append(str(r.get(second_sequence or "image",
+                                                  "")))
         self.tokenizer = tokenizer
         self.max_seq_length = max_seq_length
         self.text_col = first_sequence or "text"
         self.image_col = second_sequence or "image"
         self.image_size = image_size
-        texts, self._images_b64 = [], []
-        for row in self.rows:
-            r = self.parse_row(row)
-            texts.append(str(r.get(self.text_col, "")))
-            self._images_b64.append(str(r.get(self.image_col, "")))
         enc = self.tokenizer(texts, max_length=max_seq_length)
         self.text_features = {k: np.asarray(v, np.int32)
                               for k, v in enc.items()}
 
+    def _decode(self, idx):
+        if self._image_bytes is not None:
+            from PIL import Image
+            return Image.open(
+                _stdio.BytesIO(self._image_bytes[idx])).convert("RGB")
+        return decode_base64_image(self._images_b64[idx])
+
     def __getitem__(self, idx):
         # images decoded lazily (large); text features are precomputed
-        img = preprocess_image(decode_base64_image(self._images_b64[idx]),
-                               self.image_size)
+        img = preprocess_image(self._decode(idx), self.image_size)
         out = {k: v[idx] for k, v in self.text_features.items()}
         out["pixel_values"] = img.astype(np.float32)
         return out

@@ -6,6 +6,11 @@ from easynlp_tpu.appzoo.clip.model import CLIPApp
 
 
 class WukongCLIP(CLIPApp):
-    """Architecturally identical dual tower; Wukong checkpoints use a
-    token-embedding text tower + ViT — conversion maps onto the same layout
-    (modelzoo/models/clip/conversion.py)."""
+    """Dual tower with the Wukong checkpoint dialect: 'visual.*' OpenAI-CLIP
+    ViT + 'bert.*' Chinese text tower (reference models/wukong/
+    modeling_wukong.py:97-113 restore_model)."""
+
+    @classmethod
+    def convert_pytorch_state_dict(cls, state_dict, config):
+        from easynlp_tpu.modelzoo.models.clip.conversion import convert_wukong
+        return convert_wukong(state_dict, config)

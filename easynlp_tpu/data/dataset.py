@@ -33,19 +33,27 @@ class BaseDataset:
         self.data_file = data_file
         self.input_schema = input_schema
         self.schema = parse_schema(input_schema) if input_schema else None
+        self.process_index = process_index or 0
+        self.num_processes = num_processes or 1
         self.kwargs = kwargs
         rows = self.read_rows(data_file)
-        if skip_first_line and rows:
+        if skip_first_line and len(rows):
             rows = rows[1:]
-        if num_processes > 1:
-            rows = rows[process_index::num_processes]
+        # odps read_rows returns its per-process table slice already
+        if self.num_processes > 1 and not \
+                str(data_file).startswith("odps://"):
+            rows = rows[self.process_index::self.num_processes]
         self.rows = rows
 
     # -- source reading (local/OSS via io seam; odps reader is a backend) ----
     def read_rows(self, data_file):
         if str(data_file).startswith("odps://"):
-            raise NotImplementedError(
-                "ODPS tables need a registered reader backend (utils.io_utils)")
+            # common_io TableReader slice per process (reference
+            # appzoo/dataset.py:68-134); odps://local/ is the test emulation
+            from easynlp_tpu.data.odps_reader import read_odps_rows
+            return read_odps_rows(str(data_file),
+                                  process_index=self.process_index,
+                                  num_processes=self.num_processes)
         # native mmap reader for plain local files (the common_io seam)
         if "://" not in str(data_file):
             try:

@@ -33,7 +33,32 @@ SUPPORTED_TASKS = {
                 "DataAugmentationPredictor",
         "app": "data_augmentation",
     },
+    "machine_reading_comprehension": {
+        "impl": "easynlp_tpu.appzoo.machine_reading_comprehension.predictor:"
+                "MRCPredictor",
+        "app": "machine_reading_comprehension",
+    },
+    "text2image_generation": {
+        "impl": "easynlp_tpu.appzoo.text2image_generation.predictor:"
+                "TextImageGenerationPredictor",
+        "app": "text2image_generation",
+    },
+    "image2text_generation": {
+        "impl": "easynlp_tpu.appzoo.image2text_generation.predictor:"
+                "ImageTextGenerationPredictor",
+        "app": "image2text_generation",
+    },
 }
+
+# The reference registers its PAI-Diffusion model family as pipeline tasks
+# (reference pipelines/__init__.py:63-105: chinese-ldm-* variants +
+# stable-diffusion-general); all resolve to the StableDiffusionPipeline
+# prompt→image path here.
+for _ldm_task in ("latent_diffusion", "chinese-ldm-general",
+                  "chinese-ldm-fashion", "chinese-ldm-art",
+                  "chinese-ldm-poem", "chinese-ldm-anime", "chinese-ldm-pet",
+                  "chinese-ldm-food", "stable-diffusion-general"):
+    SUPPORTED_TASKS[_ldm_task] = {"diffusion": True, "app": "latent_diffusion"}
 
 
 def pipeline(task_or_model_path, model_path=None, **kwargs):

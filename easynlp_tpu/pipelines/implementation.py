@@ -21,6 +21,14 @@ class Pipeline:
             from easynlp_tpu.testing import make_args
             make_args()
         spec = SUPPORTED_TASKS[task]
+        self._diffusion = None
+        if spec.get("diffusion"):
+            # prompt→image family (reference LatentDiffusionPipeline)
+            from easynlp_tpu.appzoo.latent_diffusion.model import (
+                StableDiffusionPipeline)
+            self._diffusion = StableDiffusionPipeline(model_path, dtype=dtype)
+            self.sequence_length = sequence_length
+            return
         module_path, cls_name = spec["impl"].split(":")
         predictor_cls = getattr(importlib.import_module(module_path), cls_name)
 
@@ -55,6 +63,10 @@ class Pipeline:
         single = isinstance(inputs, str)
         if single:
             inputs = [inputs]
+        if self._diffusion is not None:
+            rows = self._diffusion(
+                list(inputs), sequence_length=min(self.sequence_length, 77))
+            return rows[0] if single else rows
         if inputs and isinstance(inputs[0], (tuple, list)):
             data = {self.first_sequence: [a for a, _ in inputs],
                     self.second_sequence or "second_sequence":

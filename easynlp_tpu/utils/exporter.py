@@ -103,9 +103,69 @@ def export_bert_backbone_to_pytorch(params, config, output_path,
     return output_path
 
 
-def export_tf_checkpoint(*args, **kwargs):
-    """TF export requires tensorflow, which is not in this image (reference
-    exporter.py:81-193)."""
-    raise NotImplementedError(
-        "TF checkpoint export requires a tensorflow install; use "
-        "export_bert_backbone_to_pytorch + the HF TF conversion instead")
+def export_tf_checkpoint(params, config, output_path):
+    """Write a Google-BERT-named TF v1 checkpoint from our backbone params
+    (reference exporter.py:81-193 serves EAS/TF deployments). Inverse of
+    utils/adapter.load_bert_tf_checkpoint: unstack the scanned layers, split
+    the fused QKV; TF kernels share flax's [in, out] layout."""
+    import tensorflow as tf
+
+    p = jax.device_get(params)
+    tensors = {}
+
+    def put(key, arr):
+        tensors[key] = np.ascontiguousarray(np.asarray(arr))
+
+    emb = p["embeddings"]
+    put("bert/embeddings/word_embeddings",
+        emb["word_embeddings"]["embedding"])
+    put("bert/embeddings/position_embeddings",
+        emb["position_embeddings"]["embedding"])
+    if "token_type_embeddings" in emb:
+        put("bert/embeddings/token_type_embeddings",
+            emb["token_type_embeddings"]["embedding"])
+    put("bert/embeddings/LayerNorm/gamma", emb["LayerNorm"]["scale"])
+    put("bert/embeddings/LayerNorm/beta", emb["LayerNorm"]["bias"])
+
+    layers = p["encoder"]["layers"]
+    e = config.hidden_size
+    for i in range(config.num_hidden_layers):
+        base = "bert/encoder/layer_%d/" % i
+        qkv_k = layers["attention"]["qkv"]["kernel"][i]
+        qkv_b = layers["attention"]["qkv"]["bias"][i]
+        for j, name in enumerate(("query", "key", "value")):
+            put(base + "attention/self/%s/kernel" % name,
+                qkv_k[:, j * e:(j + 1) * e])
+            put(base + "attention/self/%s/bias" % name,
+                qkv_b[j * e:(j + 1) * e])
+        put(base + "attention/output/dense/kernel",
+            layers["attention"]["output"]["kernel"][i])
+        put(base + "attention/output/dense/bias",
+            layers["attention"]["output"]["bias"][i])
+        put(base + "attention/output/LayerNorm/gamma",
+            layers["attention_ln"]["scale"][i])
+        put(base + "attention/output/LayerNorm/beta",
+            layers["attention_ln"]["bias"][i])
+        put(base + "intermediate/dense/kernel",
+            layers["intermediate"]["kernel"][i])
+        put(base + "intermediate/dense/bias",
+            layers["intermediate"]["bias"][i])
+        put(base + "output/dense/kernel", layers["output"]["kernel"][i])
+        put(base + "output/dense/bias", layers["output"]["bias"][i])
+        put(base + "output/LayerNorm/gamma", layers["output_ln"]["scale"][i])
+        put(base + "output/LayerNorm/beta", layers["output_ln"]["bias"][i])
+    if "pooler" in p:
+        put("bert/pooler/dense/kernel", p["pooler"]["dense"]["kernel"])
+        put("bert/pooler/dense/bias", p["pooler"]["dense"]["bias"])
+
+    tf1 = tf.compat.v1
+    graph = tf1.Graph()
+    with graph.as_default():
+        for name, arr in tensors.items():
+            tf1.get_variable(name, initializer=arr.astype(np.float32))
+        saver = tf1.train.Saver()
+        with tf1.Session() as sess:
+            sess.run(tf1.global_variables_initializer())
+            saver.save(sess, output_path, write_meta_graph=False)
+    logger.info("exported %d TF variables to %s", len(tensors), output_path)
+    return output_path

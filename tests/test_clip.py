@@ -96,3 +96,143 @@ def test_clip_dataset_and_loss(tmp_path):
     assert out["logits_per_text"].shape == (4, 4)
     loss = CLIPApp.loss_fn(out, batch)["loss"]
     assert np.isfinite(float(loss))
+
+
+def test_clip_webdataset_tar(tmp_path):
+    """webdataset .tar shards: image+caption members paired by stem
+    (reference clip/data.py:203-216)."""
+    import io
+    import json
+    import tarfile
+
+    from PIL import Image
+
+    from easynlp_tpu.appzoo.clip.data import CLIPDataset
+    from easynlp_tpu.modelzoo.models.bert import BertTokenizer
+
+    tar_path = str(tmp_path / "shard-000.tar")
+    with tarfile.open(tar_path, "w") as tf:
+        for i in range(6):
+            arr = (np.random.RandomState(i).rand(10, 10, 3)
+                   * 255).astype(np.uint8)
+            buf = io.BytesIO()
+            Image.fromarray(arr).save(buf, format="PNG")
+            data = buf.getvalue()
+            info = tarfile.TarInfo("%05d.png" % i)
+            info.size = len(data)
+            tf.addfile(info, io.BytesIO(data))
+            cap = json.dumps({"caption": "picture %d" % i}).encode() \
+                if i % 2 else ("caption %d" % i).encode()
+            info = tarfile.TarInfo("%05d.json" % i if i % 2
+                                   else "%05d.txt" % i)
+            info.size = len(cap)
+            tf.addfile(info, io.BytesIO(cap))
+
+    vocab = str(tmp_path / "v.txt")
+    with open(vocab, "w") as f:
+        f.write("\n".join(["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]",
+                           "picture", "caption"] + [str(i) for i in range(8)]))
+    ds = CLIPDataset(tar_path, BertTokenizer(vocab), max_seq_length=8,
+                     image_size=16)
+    assert len(ds) == 6
+    ex = ds[1]
+    assert ex["pixel_values"].shape == (16, 16, 3)
+    assert ex["input_ids"].shape == (8,)
+    # process sharding splits samples of a single tar
+    half = CLIPDataset(tar_path, BertTokenizer(vocab), max_seq_length=8,
+                       image_size=16, process_index=1, num_processes=2)
+    assert len(half) == 3
+
+
+def test_wukong_dialect_conversion():
+    """Wukong 'visual.*'+'bert.*' checkpoints map onto CLIPModel with the
+    right shapes (reference wukong restore_model :97-113)."""
+    import jax
+
+    from easynlp_tpu.appzoo.wukong_clip.model import WukongCLIP
+    from easynlp_tpu.modelzoo.models.clip import CLIPConfig
+
+    cfg = CLIPConfig(text_config=TEXT_CFG, vision_config=VISION_CFG,
+                     projection_dim=16)
+    module = WukongCLIP.build_module(cfg, dtype=jnp.float32)
+    ref = WukongCLIP.init_params(module, cfg)
+
+    rng = np.random.RandomState(0)
+    s = {}
+    E = VISION_CFG["hidden_size"]
+    P = VISION_CFG["patch_size"]
+    L = VISION_CFG["num_hidden_layers"]
+    n_patches = (VISION_CFG["image_size"] // P) ** 2
+    s["visual.conv1.weight"] = rng.randn(E, 3, P, P).astype(np.float32)
+    s["visual.class_embedding"] = rng.randn(E).astype(np.float32)
+    s["visual.positional_embedding"] = rng.randn(
+        n_patches + 1, E).astype(np.float32)
+    for key in ("visual.ln_pre", "visual.ln_post"):
+        s[key + ".weight"] = np.ones(E, np.float32)
+        s[key + ".bias"] = np.zeros(E, np.float32)
+    for i in range(L):
+        b = "visual.transformer.resblocks.%d." % i
+        s[b + "attn.in_proj_weight"] = rng.randn(3 * E, E).astype(np.float32)
+        s[b + "attn.in_proj_bias"] = rng.randn(3 * E).astype(np.float32)
+        s[b + "attn.out_proj.weight"] = rng.randn(E, E).astype(np.float32)
+        s[b + "attn.out_proj.bias"] = np.zeros(E, np.float32)
+        for ln in ("ln_1", "ln_2"):
+            s[b + ln + ".weight"] = np.ones(E, np.float32)
+            s[b + ln + ".bias"] = np.zeros(E, np.float32)
+        s[b + "mlp.c_fc.weight"] = rng.randn(
+            VISION_CFG["intermediate_size"], E).astype(np.float32)
+        s[b + "mlp.c_fc.bias"] = np.zeros(
+            VISION_CFG["intermediate_size"], np.float32)
+        s[b + "mlp.c_proj.weight"] = rng.randn(
+            E, VISION_CFG["intermediate_size"]).astype(np.float32)
+        s[b + "mlp.c_proj.bias"] = np.zeros(E, np.float32)
+    s["visual.proj"] = rng.randn(E, 16).astype(np.float32)
+    s["logit_scale"] = np.asarray(2.0, np.float32)
+    # bert text tower (reference loads a separate bert_state_dict; combined
+    # here under 'bert.')
+    H = TEXT_CFG["hidden_size"]
+    s["bert.embeddings.word_embeddings.weight"] = rng.randn(
+        TEXT_CFG["vocab_size"], H).astype(np.float32)
+    s["bert.embeddings.position_embeddings.weight"] = rng.randn(
+        TEXT_CFG["max_position_embeddings"], H).astype(np.float32)
+    s["bert.embeddings.token_type_embeddings.weight"] = rng.randn(
+        2, H).astype(np.float32)
+    s["bert.embeddings.LayerNorm.weight"] = np.ones(H, np.float32)
+    s["bert.embeddings.LayerNorm.bias"] = np.zeros(H, np.float32)
+    for i in range(TEXT_CFG["num_hidden_layers"]):
+        b = "bert.encoder.layer.%d." % i
+        for n in ("query", "key", "value"):
+            s[b + "attention.self.%s.weight" % n] = rng.randn(
+                H, H).astype(np.float32)
+            s[b + "attention.self.%s.bias" % n] = np.zeros(H, np.float32)
+        s[b + "attention.output.dense.weight"] = rng.randn(
+            H, H).astype(np.float32)
+        s[b + "attention.output.dense.bias"] = np.zeros(H, np.float32)
+        s[b + "attention.output.LayerNorm.weight"] = np.ones(H, np.float32)
+        s[b + "attention.output.LayerNorm.bias"] = np.zeros(H, np.float32)
+        s[b + "intermediate.dense.weight"] = rng.randn(
+            TEXT_CFG["intermediate_size"], H).astype(np.float32)
+        s[b + "intermediate.dense.bias"] = np.zeros(
+            TEXT_CFG["intermediate_size"], np.float32)
+        s[b + "output.dense.weight"] = rng.randn(
+            H, TEXT_CFG["intermediate_size"]).astype(np.float32)
+        s[b + "output.dense.bias"] = np.zeros(H, np.float32)
+        s[b + "output.LayerNorm.weight"] = np.ones(H, np.float32)
+        s[b + "output.LayerNorm.bias"] = np.zeros(H, np.float32)
+    s["text_projection"] = rng.randn(H, 16).astype(np.float32)
+
+    converted = WukongCLIP.convert_pytorch_state_dict(s, cfg)
+
+    def shapes(tree, prefix=""):
+        out = {}
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                out.update(shapes(v, prefix + k + "/"))
+            else:
+                out[prefix + k] = np.asarray(v).shape
+        return out
+
+    ref_shapes = shapes(jax.tree.map(np.asarray, ref))
+    for path, shp in shapes(converted).items():
+        assert path in ref_shapes, path
+        assert ref_shapes[path] == shp, (path, shp, ref_shapes[path])
