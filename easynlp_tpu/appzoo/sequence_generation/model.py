@@ -113,7 +113,7 @@ class SequenceGeneration(Application):
                 allowed[i, row] = True
             for tid in (self.config.eos_token_id, self.config.pad_token_id,
                         getattr(self.config, "decoder_start_token_id", None)):
-                if tid is not None:
+                if tid is not None and tid < v:
                     allowed[:, tid] = True
             if num_beams > 1:  # beam search flattens to [B*K, V]
                 allowed = np.repeat(allowed, num_beams, axis=0)

@@ -238,7 +238,9 @@ def _unflatten_beam(x, b, k):
 def beam_search(prefill, decode, params, input_ids, attention_mask,
                 max_length, num_beams=4, length_penalty=1.0,
                 eos_token_id=None, pad_token_id=0, early_stopping=True,
-                reindex_cache=None, **proc_config):
+                reindex_cache=None, do_sample=False, temperature=1.0,
+                top_k=0, top_p=1.0, rng=None, num_beam_groups=1,
+                diversity_penalty=0.0, **proc_config):
     """Static-shape beam search; returns best sequences [B, max_length].
 
     reindex_cache(cache, flat_beam) must gather every per-beam cache leaf
@@ -263,12 +265,19 @@ def beam_search(prefill, decode, params, input_ids, attention_mask,
     mask_bk = jnp.repeat(attention_mask, k, axis=0)
     logits, cache = prefill(params, ids_bk, mask_bk)   # [B*K, V]
 
+    assert k % num_beam_groups == 0, "num_beams % num_beam_groups != 0"
+    g_count = num_beam_groups
+    sub_k = k // g_count
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+
     live_seqs = jnp.full((b, k, t), pad_token_id, jnp.int32)
     live_seqs = jax.lax.dynamic_update_slice(
         live_seqs, _unflatten_beam(ids_bk, b, k), (0, 0, 0))
-    # only beam 0 is live initially (identical beams would duplicate)
-    live_scores = jnp.tile(
-        jnp.array([0.0] + [NEG_INF] * (k - 1), jnp.float32), (b, 1))
+    # only beam 0 of each group is live initially (identical beams would
+    # duplicate; reference group_beam_search keeps per-group frontiers)
+    init_row = np.full((k,), NEG_INF, np.float32)
+    init_row[::sub_k] = 0.0
+    live_scores = jnp.tile(jnp.asarray(init_row), (b, 1))
     fin_seqs = jnp.full((b, k, t), pad_token_id, jnp.int32)
     fin_scores = jnp.full((b, k), NEG_INF, jnp.float32)
 
@@ -288,44 +297,91 @@ def beam_search(prefill, decode, params, input_ids, attention_mask,
             worst_fin < jnp.max(s.live_scores, axis=1) / horizon)
         return (s.step < t) & improvable
 
+    def _select(flat, n_sel, step_rng):
+        """Candidate selection over [B, n*V]: deterministic top-k (beam
+        search) or Gumbel-top-k sampling without replacement (beam-sample —
+        reference generation_utils.py:1373; scores stay the true logprobs)."""
+        if not do_sample:
+            return jax.lax.top_k(flat, n_sel)
+        u = jax.random.uniform(step_rng, flat.shape, minval=1e-20,
+                               maxval=1.0)
+        gumbel = -jnp.log(-jnp.log(u))
+        noised = jnp.where(flat > NEG_INF / 2, flat + gumbel, flat)
+        _, top_idx = jax.lax.top_k(noised, n_sel)
+        return jnp.take_along_axis(flat, top_idx, axis=1), top_idx
+
     def body(s):
         v = s.logits.shape[-1]
         flat_seqs = _flatten_beam(s.live_seqs, b, k)
         valid = (flat_seqs != pad_token_id).astype(jnp.int32)
-        logp = jax.nn.log_softmax(
+        logp_all = jax.nn.log_softmax(
             process_logits(s.logits, flat_seqs, valid, s.step, proc), axis=-1)
-        logp = _unflatten_beam(logp, b, k)               # [B, K, V]
-        cand = s.live_scores[..., None] + logp           # [B, K, V]
-        flat = cand.reshape(b, k * v)
-        top_scores, top_idx = jax.lax.top_k(flat, 2 * k)  # [B, 2K]
-        beam_idx = top_idx // v
-        token_idx = top_idx % v
+        if do_sample:
+            warped = apply_temperature(
+                logp_all, temperature)
+            warped = apply_top_k(warped, top_k)
+            warped = apply_top_p(warped, top_p)
+            logp_all = jax.nn.log_softmax(warped, axis=-1)
+        logp_all = _unflatten_beam(logp_all, b, k)       # [B, K, V]
 
-        # append tokens
-        seqs = jnp.take_along_axis(s.live_seqs, beam_idx[..., None], axis=1)
-        seqs = jax.vmap(
-            lambda sq, tok, st: jax.vmap(
-                lambda row, tk: jax.lax.dynamic_update_slice(
-                    row, tk[None].astype(jnp.int32), (st,)))(sq, tok),
-            in_axes=(0, 0, None))(seqs, token_idx, s.step)  # [B, 2K, T]
+        # per-group frontier update (reference group_beam_search :1148:
+        # groups run sequentially within a step; later groups pay a
+        # diversity penalty on tokens already chosen this step)
+        token_counts = jnp.zeros((b, v), jnp.float32)
+        live_parts, fin_score_parts, fin_seq_parts = [], [], []
+        beam_parts, token_parts, score_parts = [], [], []
+        for g in range(g_count):
+            sl = slice(g * sub_k, (g + 1) * sub_k)
+            logp = logp_all[:, sl]
+            if diversity_penalty > 0.0 and g > 0:
+                logp = logp - diversity_penalty * token_counts[:, None, :]
+            cand = s.live_scores[:, sl, None] + logp     # [B, sub_k, V]
+            flat = cand.reshape(b, sub_k * v)
+            step_rng = jax.random.fold_in(rng, 0)
+            if do_sample:
+                step_rng = jax.random.fold_in(
+                    jax.random.fold_in(rng, g), s.step)
+            top_scores, top_idx = _select(flat, 2 * sub_k, step_rng)
+            beam_idx = top_idx // v + g * sub_k          # global beam index
+            token_idx = top_idx % v
 
-        is_eos = (token_idx == eos_token_id) if eos_token_id is not None \
-            else jnp.zeros_like(token_idx, bool)
+            seqs = jnp.take_along_axis(s.live_seqs, beam_idx[..., None],
+                                       axis=1)
+            seqs = jax.vmap(
+                lambda sq, tok, st: jax.vmap(
+                    lambda row, tk: jax.lax.dynamic_update_slice(
+                        row, tk[None].astype(jnp.int32), (st,)))(sq, tok),
+                in_axes=(0, 0, None))(seqs, token_idx, s.step)  # [B,2sk,T]
 
-        # update finished pool with eos candidates
-        fin_cand_scores = jnp.where(
-            is_eos, top_scores / brevity(s.step - p + 1), NEG_INF)
-        all_fin_scores = jnp.concatenate([s.fin_scores, fin_cand_scores], 1)
-        all_fin_seqs = jnp.concatenate([s.fin_seqs, seqs], 1)
+            is_eos = (token_idx == eos_token_id) if eos_token_id is not None \
+                else jnp.zeros_like(token_idx, bool)
+            fin_score_parts.append(jnp.where(
+                is_eos, top_scores / brevity(s.step - p + 1), NEG_INF))
+            fin_seq_parts.append(seqs)
+
+            live_cand = jnp.where(is_eos, NEG_INF, top_scores)
+            live_top, live_sel = jax.lax.top_k(live_cand, sub_k)
+            live_parts.append(jnp.take_along_axis(seqs,
+                                                  live_sel[..., None], 1))
+            chosen_beam = jnp.take_along_axis(beam_idx, live_sel, 1)
+            chosen_token = jnp.take_along_axis(token_idx, live_sel, 1)
+            beam_parts.append(chosen_beam)
+            token_parts.append(chosen_token)
+            score_parts.append(live_top)
+            if diversity_penalty > 0.0:
+                token_counts = token_counts + jax.nn.one_hot(
+                    chosen_token, v, dtype=jnp.float32).sum(axis=1)
+
+        live_seqs = jnp.concatenate(live_parts, axis=1)   # [B, K, T]
+        live_top = jnp.concatenate(score_parts, axis=1)
+        chosen_beam = jnp.concatenate(beam_parts, axis=1)
+        chosen_token = jnp.concatenate(token_parts, axis=1)
+
+        # update finished pool with every group's eos candidates
+        all_fin_scores = jnp.concatenate([s.fin_scores] + fin_score_parts, 1)
+        all_fin_seqs = jnp.concatenate([s.fin_seqs] + fin_seq_parts, 1)
         fin_top, fin_sel = jax.lax.top_k(all_fin_scores, k)
         fin_seqs = jnp.take_along_axis(all_fin_seqs, fin_sel[..., None], 1)
-
-        # select top-K non-eos as new live beams
-        live_cand_scores = jnp.where(is_eos, NEG_INF, top_scores)
-        live_top, live_sel = jax.lax.top_k(live_cand_scores, k)  # [B, K]
-        live_seqs = jnp.take_along_axis(seqs, live_sel[..., None], 1)
-        chosen_beam = jnp.take_along_axis(beam_idx, live_sel, 1)  # [B, K]
-        chosen_token = jnp.take_along_axis(token_idx, live_sel, 1)
 
         # reindex cache to chosen beams: flat index = b*K + beam
         flat_beam = (jnp.arange(b)[:, None] * k + chosen_beam).reshape(-1)
@@ -353,14 +409,20 @@ def beam_search(prefill, decode, params, input_ids, attention_mask,
 
 def generate(prefill, decode, params, input_ids, attention_mask,
              max_length=64, num_beams=1, do_sample=False, **kwargs):
-    """Dispatch to greedy / sample / beam (reference generate :644)."""
+    """Dispatch to greedy / sample / beam / beam-sample / group-beam
+    (reference generate :644, beam_sample :1373, group_beam_search :1148)."""
     if num_beams > 1:
-        kwargs.pop("rng", None)
-        kwargs.pop("temperature", None)
-        kwargs.pop("top_k", None)
-        kwargs.pop("top_p", None)
+        if not do_sample:
+            kwargs.pop("rng", None)
+            kwargs.pop("temperature", None)
+            kwargs.pop("top_k", None)
+            kwargs.pop("top_p", None)
         return beam_search(prefill, decode, params, input_ids, attention_mask,
-                           max_length, num_beams=num_beams, **kwargs)
+                           max_length, num_beams=num_beams,
+                           do_sample=do_sample, **kwargs)
+    kwargs.pop("num_beam_groups", None)
+    kwargs.pop("diversity_penalty", None)
+    kwargs.pop("length_penalty", None)
     seqs, _ = greedy_or_sample(prefill, decode, params, input_ids,
                                attention_mask, max_length,
                                do_sample=do_sample, **kwargs)

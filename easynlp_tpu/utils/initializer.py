@@ -42,8 +42,9 @@ def _initialize_distributed(args):
         jax.distributed.initialize(
             coordinator_address=args.coordinator_address,
             num_processes=args.num_processes,
-            process_index=args.process_index,
+            process_id=args.process_index,
         )
+        args.process_index = jax.process_index()
     args.n_devices = jax.device_count()
     args.n_local_devices = jax.local_device_count()
     args.platform = jax.devices()[0].platform
