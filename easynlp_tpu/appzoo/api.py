@@ -58,6 +58,9 @@ DATASET_REGISTRY = {
         "enable_kangaroo": _lazy(
             "easynlp_tpu.appzoo.language_modeling.kangaroo_data",
             "KangarooPretrainDataset"),
+        "enable_dkplm": _lazy(
+            "easynlp_tpu.appzoo.language_modeling.dkplm_data",
+            "DKPLMPretrainDataset"),
     },
     "vectorization": {
         "default": _lazy("easynlp_tpu.appzoo.sequence_classification.data",
@@ -110,6 +113,9 @@ DATASET_REGISTRY = {
     "image2text_generation": {
         "default": _lazy("easynlp_tpu.appzoo.image2text_generation.data",
                          "ImageTextDataset"),
+        "enable_vqgan": _lazy(
+            "easynlp_tpu.appzoo.image2text_generation.vqgan_model",
+            "VQGANImageTextDataset"),
     },
     "video2text_generation": {
         "default": _lazy("easynlp_tpu.appzoo.video2text_generation.data",
@@ -153,6 +159,9 @@ MODEL_REGISTRY = {
         "enable_kangaroo": _lazy(
             "easynlp_tpu.appzoo.language_modeling.model",
             "KangarooLanguageModeling"),
+        "enable_dkplm": _lazy(
+            "easynlp_tpu.appzoo.language_modeling.model",
+            "DKPLMLanguageModeling"),
     },
     "vectorization": {
         "default": _lazy("easynlp_tpu.appzoo.feature_vectorization.model",
@@ -194,6 +203,9 @@ MODEL_REGISTRY = {
                          "CLIPGPTImageTextGeneration"),
         "enable_vit": _lazy("easynlp_tpu.appzoo.image2text_generation.model",
                             "CLIPGPTImageTextGeneration"),
+        "enable_vqgan": _lazy(
+            "easynlp_tpu.appzoo.image2text_generation.vqgan_model",
+            "VQGANGPTImageTextGeneration"),
     },
     "video2text_generation": {
         "default": _lazy("easynlp_tpu.appzoo.video2text_generation.model",
@@ -368,8 +380,9 @@ def _variant_key(registry_entry, udp):
     (reference api.py keys: multi_label / two_tower / enable_distillation /
     enable_fewshot ...)."""
     for key in ("enable_metakd", "enable_distillation", "enable_fewshot",
-                "enable_kangaroo", "multi_label", "two_tower", "siamese",
-                "enable_vit", "enable_vqgan", "contrast_learning_flag"):
+                "enable_kangaroo", "enable_dkplm", "multi_label", "two_tower",
+                "siamese", "enable_vit", "enable_vqgan",
+                "contrast_learning_flag"):
         if udp.get(key) and key in registry_entry:
             return key
     return "default"

@@ -23,8 +23,11 @@ class ImageTextGenerationPredictor(Predictor):
         self.tokenizer = _tokenizer_for(model_dir)
         self.app = app
         self.image_col = first_sequence or "imgbase64"
+        vc = getattr(app.config, "vision_config", None)
+        default_size = vc.image_size if vc is not None else \
+            2 ** (len(app.config.vq_channel_mult) - 1) * 4
         self.image_size = int(udp.get("img_size",
-                                      app.config.vision_config.image_size))
+                                      udp.get("size", default_size)))
         self.text_len = int(udp.get("text_len", sequence_length or 32))
         self.frame_num = int(udp.get("frame_num", 3))
         self.num_beams = int(udp.get("num_beams", 1))
@@ -37,13 +40,18 @@ class ImageTextGenerationPredictor(Predictor):
         self._rng = jax.random.PRNGKey(int(udp.get("seed", 0)))
 
     def _decode_cell(self, cell):
+        # VQGAN-variant apps (no vision tower) take [-1, 1] pixels
+        pm1 = getattr(self.app.config, "vision_config", None) is None
+        if pm1:
+            from easynlp_tpu.data.image_utils import preprocess_image_pm1
+            pre = lambda img: preprocess_image_pm1(img, self.image_size)
+        else:
+            pre = lambda img: preprocess_image(img, self.image_size)
         if self.frame_input:
             from easynlp_tpu.data.image_utils import decode_frame_list
             frames, _ = decode_frame_list(cell, self.frame_num)
-            return np.stack([preprocess_image(f, self.image_size)
-                             for f in frames])
-        return preprocess_image(decode_base64_image_urlsafe(cell),
-                                self.image_size)
+            return np.stack([pre(f) for f in frames])
+        return pre(decode_base64_image_urlsafe(cell))
 
     def preprocess(self, in_data):
         out = dict(in_data)

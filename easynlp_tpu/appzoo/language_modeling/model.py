@@ -39,6 +39,52 @@ class LanguageModeling(Application):
         return convert_bert_for_masked_lm(state_dict, config)
 
 
+class DKPLMLanguageModeling(LanguageModeling):
+    """DKPLM pretraining: MLM CE + decode-knowledge CE with TransE
+    pseudo-entity injection (reference appzoo/language_modeling/model.py
+    :68-88 + models/dkplm)."""
+
+    model_input_keys = ("input_ids", "attention_mask", "token_type_ids",
+                        "insert_know_emb", "insert_know_position_mask")
+
+    @staticmethod
+    def loss_fn(outputs, batch):
+        from easynlp_tpu.modelzoo.models.dkplm.modeling_dkplm import (
+            dkplm_pretrain_loss)
+        return dkplm_pretrain_loss(outputs, batch)
+
+    @classmethod
+    def build_module(cls, config, args=None, dtype=jnp.float32, **kwargs):
+        from easynlp_tpu.modelzoo.models.dkplm.modeling_dkplm import (
+            DKPLMConfig, DKPLMForPreTraining)
+        remat = getattr(args, "remat", "none") if args else "none"
+        if not isinstance(config, DKPLMConfig):
+            config = DKPLMConfig(**{k: v for k, v in config.to_dict().items()
+                                    if k != "model_type"})
+        return DKPLMForPreTraining(config=config, dtype=dtype, remat=remat)
+
+    def sample_inputs(self):
+        c = self.config
+        return {"input_ids": jnp.ones((1, 8), jnp.int32),
+                "insert_know_emb": jnp.zeros(
+                    (1, 8, c.knowledge_emb_size), jnp.float32),
+                "insert_know_position_mask": jnp.zeros((1, 8), jnp.int32)}
+
+    @classmethod
+    def init_params(cls, module, config, seed=0):
+        import jax
+        from flax import linen as nn
+        rng = jax.random.PRNGKey(seed)
+        variables = module.init(
+            {"params": rng, "dropout": rng},
+            input_ids=jnp.ones((1, 8), jnp.int32),
+            insert_know_emb=jnp.zeros((1, 8, config.knowledge_emb_size),
+                                      jnp.float32),
+            insert_know_position_mask=jnp.zeros((1, 8), jnp.int32),
+            deterministic=True)
+        return nn.unbox(variables["params"])
+
+
 class KangarooLanguageModeling(LanguageModeling):
     """Kangaroo pretraining: MLM + entity-sample contrastive CE (reference
     modelzoo/models/kangaroo/modeling_kangaroo.py:1704-1714 —

@@ -137,9 +137,12 @@ class VQGANDecoder(nn.Module):
 
 class ARTISTModel(BaseModule):
     """text ids + image → GPT logits over the shifted [text; image-code]
-    sequence; also exposes tokenize/decode for the VQGAN side."""
+    sequence; also exposes tokenize/decode for the VQGAN side.
+    image_first=True flips the order to [image-code; text] — the mingpt_i2t
+    captioning mirror (reference modelzoo/models/mingpt_i2t)."""
 
     remat: str = "none"
+    image_first: bool = False
 
     def setup(self):
         c = self.config
@@ -204,12 +207,17 @@ class ARTISTModel(BaseModule):
                 (recon.astype(jnp.float32)
                  - pixel_values.astype(jnp.float32)) ** 2)
         # image codes live in [text_vocab, text_vocab + image_vocab)
-        seq = jnp.concatenate(
-            [input_ids, image_codes + c.text_vocab_size], axis=1)
-        mask = jnp.concatenate(
-            [attention_mask if attention_mask is not None
-             else jnp.ones(input_ids.shape, jnp.int32),
-             jnp.ones(image_codes.shape, jnp.int32)], axis=1)
+        text_mask = attention_mask if attention_mask is not None \
+            else jnp.ones(input_ids.shape, jnp.int32)
+        img_mask = jnp.ones(image_codes.shape, jnp.int32)
+        if self.image_first:
+            seq = jnp.concatenate(
+                [image_codes + c.text_vocab_size, input_ids], axis=1)
+            mask = jnp.concatenate([img_mask, text_mask], axis=1)
+        else:
+            seq = jnp.concatenate(
+                [input_ids, image_codes + c.text_vocab_size], axis=1)
+            mask = jnp.concatenate([text_mask, img_mask], axis=1)
         out = self.gpt(input_ids=seq, attention_mask=mask,
                        deterministic=deterministic)
         logits = self.lm_head(out["last_hidden_state"])

@@ -171,3 +171,160 @@ def test_tf_checkpoint_roundtrip(tmp_path):
         np.testing.assert_allclose(val, ref_map[key], atol=1e-6, err_msg=key)
     # every backbone leaf came back
     assert len(jax.tree.leaves(restored)) == len(flat_ref)
+
+
+def test_dkplm_pretrain_dataset(tmp_path):
+    """DKPLM knowledge branch: [ENT] span parsing, TransE pseudo-entity
+    injection, decode-knowledge labels (reference
+    appzoo/language_modeling/data.py:526-601)."""
+    import jax.numpy as jnp
+
+    from easynlp_tpu.appzoo.language_modeling.dkplm_data import (
+        DKPLMPretrainDataset)
+    from easynlp_tpu.appzoo.language_modeling.model import (
+        DKPLMLanguageModeling)
+    from easynlp_tpu.modelzoo.models.bert import BertTokenizer
+    from easynlp_tpu.testing import make_args
+
+    vocab = str(tmp_path / "vocab.txt")
+    with open(vocab, "w") as f:
+        f.write("\n".join(["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]",
+                           "the", "city", "paris", "is", "big"]))
+    ent_path = str(tmp_path / "ent.txt")
+    with open(ent_path, "w") as f:
+        f.write("\n".join(",".join(str(float(i + j)) for j in range(8))
+                          for i in range(4)))
+    rel_path = str(tmp_path / "rel.txt")
+    with open(rel_path, "w") as f:
+        f.write("\n".join(",".join(str(0.5) for _ in range(8))
+                          for _ in range(3)))
+    data = str(tmp_path / "rows.txt")
+    with open(data, "w") as f:
+        for i in range(4):
+            f.write(repr({"text": "the [ENT] paris [ENT] is big",
+                          "relation_id": 1,
+                          "replced_entity_id": 2}) + "\n")
+
+    ds = DKPLMPretrainDataset(
+        data, BertTokenizer(vocab), max_seq_length=12,
+        user_defined_parameters={"entity_emb_file": ent_path,
+                                 "rel_emb_file": rel_path})
+    ex = ds[0]
+    assert ex["insert_know_emb"].shape == (12, 8)
+    span = np.where(ex["insert_know_position_mask"] == 1)[0]
+    assert len(span) == 1 and span[0] == 2   # 'paris' after [CLS] 'the'
+    np.testing.assert_allclose(ex["insert_know_emb"][span[0]],
+                               np.arange(2.0, 10.0) + 0.5)   # ent2 + rel1
+    assert ex["insert_know_labels"][span[0]] == ex["input_ids"][span[0]]
+    # MLM never masks inside the knowledge span
+    assert ex["label_ids"][span[0]] == -100
+
+    # forward + loss through the app
+    make_args()
+    from easynlp_tpu.modelzoo.models.dkplm.modeling_dkplm import DKPLMConfig
+    cfg = DKPLMConfig(vocab_size=10, hidden_size=32, num_hidden_layers=1,
+                      num_attention_heads=2, intermediate_size=64,
+                      max_position_embeddings=16, knowledge_emb_size=8)
+    module = DKPLMLanguageModeling.build_module(cfg, dtype=jnp.float32)
+    params = DKPLMLanguageModeling.init_params(module, cfg)
+    app = DKPLMLanguageModeling(module, params, cfg)
+    from easynlp_tpu.data.dataset import DataLoader
+    batch = next(iter(DataLoader(ds, batch_size=4, shuffle=False)))
+    batch.pop("_valid", None)
+    out = app.forward(batch)
+    loss = DKPLMLanguageModeling.loss_fn(out, batch)
+    assert np.isfinite(float(loss["loss"]))
+    assert "decode_know_loss" in loss
+
+
+def test_megatron_glm_tp_slice_merge(tmp_path):
+    """Megatron mp_rank slices merge back to the full weights (column/row/
+    vocab-parallel + the per-rank q|k|v stacking) and convert onto the
+    scanned GLM layout (reference mg_utils checkpoint format)."""
+    import jax
+    import jax.numpy as jnp
+
+    from easynlp_tpu.modelzoo.models.glm.conversion import (
+        convert_glm, merge_megatron_tp_slices)
+    from easynlp_tpu.modelzoo.models.glm.modeling_glm import (GLMConfig,
+                                                              GLMModel)
+
+    rng = np.random.RandomState(0)
+    H, L, V, S = 16, 2, 30, 12
+    cfg = GLMConfig(vocab_size=V, hidden_size=H, num_layers=L,
+                    num_attention_heads=2, max_sequence_length=S)
+
+    full = {}
+    full["word_embeddings.weight"] = rng.randn(V, H).astype(np.float32)
+    full["transformer.position_embeddings.weight"] = rng.randn(
+        S + 1, H).astype(np.float32)
+    full["transformer.block_position_embeddings.weight"] = rng.randn(
+        S + 1, H).astype(np.float32)
+    for nm in ("transformer.final_layernorm",):
+        full[nm + ".weight"] = np.ones(H, np.float32)
+        full[nm + ".bias"] = np.zeros(H, np.float32)
+    for i in range(L):
+        b = "transformer.layers.%d." % i
+        for nm in ("input_layernorm", "post_attention_layernorm"):
+            full[b + nm + ".weight"] = np.ones(H, np.float32)
+            full[b + nm + ".bias"] = np.zeros(H, np.float32)
+        full[b + "attention.query_key_value.weight"] = rng.randn(
+            3 * H, H).astype(np.float32)
+        full[b + "attention.query_key_value.bias"] = rng.randn(
+            3 * H).astype(np.float32)
+        full[b + "attention.dense.weight"] = rng.randn(H, H).astype(
+            np.float32)
+        full[b + "attention.dense.bias"] = rng.randn(H).astype(np.float32)
+        full[b + "mlp.dense_h_to_4h.weight"] = rng.randn(4 * H, H).astype(
+            np.float32)
+        full[b + "mlp.dense_h_to_4h.bias"] = rng.randn(4 * H).astype(
+            np.float32)
+        full[b + "mlp.dense_4h_to_h.weight"] = rng.randn(H, 4 * H).astype(
+            np.float32)
+        full[b + "mlp.dense_4h_to_h.bias"] = rng.randn(H).astype(np.float32)
+
+    # slice into 2 TP ranks per Megatron rules
+    def make_slice(r, tp=2):
+        out = {}
+        for k, v in full.items():
+            if "query_key_value" in k:
+                q, kk, vv = np.split(v, 3, axis=0)
+                out[k] = np.concatenate(
+                    [np.split(q, tp, 0)[r], np.split(kk, tp, 0)[r],
+                     np.split(vv, tp, 0)[r]], axis=0)
+            elif "word_embeddings" in k or "dense_h_to_4h" in k:
+                out[k] = np.split(v, tp, axis=0)[r]
+            elif ("attention.dense.weight" in k
+                  or "dense_4h_to_h.weight" in k):
+                out[k] = np.split(v, tp, axis=1)[r]
+            else:
+                out[k] = v
+        return out
+
+    merged = merge_megatron_tp_slices([make_slice(0), make_slice(1)])
+    for k in full:
+        np.testing.assert_array_equal(merged[k], full[k], err_msg=k)
+
+    params = convert_glm(merged, cfg)
+    module = GLMModel(config=cfg, dtype=jnp.float32)
+    ref = module.init({"params": jax.random.PRNGKey(0), "dropout":
+                       jax.random.PRNGKey(0)},
+                      jnp.ones((1, 8), jnp.int32), deterministic=True)
+    from flax import linen as nn
+    ref = nn.unbox(ref["params"])
+
+    def shapes(tree, p=""):
+        out = {}
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                out.update(shapes(v, p + k + "/"))
+            else:
+                out[p + k] = np.asarray(v).shape
+        return out
+
+    ref_s = shapes(jax.tree.map(np.asarray, ref))
+    for path, shp in shapes(params).items():
+        assert path in ref_s and ref_s[path] == shp, (path, shp)
+    out = module.apply({"params": params}, jnp.ones((2, 8), jnp.int32),
+                       deterministic=True)
+    assert np.isfinite(np.asarray(out["last_hidden_state"])).all()

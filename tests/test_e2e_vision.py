@@ -112,3 +112,13 @@ def test_wukong_clip_e2e(vfix):
         "image_size=16", "text_embeds,image_embeds")
     first = lines[0].split("\t")
     assert len(first) == 3
+
+
+def test_image2text_vqgan_variant_e2e(vfix):
+    """enable_vqgan i2t variant (mingpt_i2t mirror): trains and predicts
+    through the CLI with the ARTIST tower (reference api.py:127-131)."""
+    lines = _train_predict(
+        vfix, "image2text_generation", "i2t", "tiny-artist",
+        ("imgbase64", "text"), "imgbase64", "text",
+        "enable_vqgan=True size=16 text_len=8", "gen_text")
+    assert all(len(ln.split("\t")) == 2 for ln in lines)
