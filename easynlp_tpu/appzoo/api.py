@@ -89,6 +89,8 @@ DATASET_REGISTRY = {
     "sequence_generation": {
         "default": _lazy("easynlp_tpu.appzoo.sequence_generation.data",
                          "SequenceGenerationDataset"),
+        "enable_glm": _lazy("easynlp_tpu.appzoo.sequence_generation.glm",
+                            "GLMSequenceGenerationDataset"),
     },
     "latent_diffusion": {
         "default": _lazy("easynlp_tpu.appzoo.latent_diffusion.data",
@@ -218,6 +220,8 @@ MODEL_REGISTRY = {
     "sequence_generation": {
         "default": _lazy("easynlp_tpu.appzoo.sequence_generation.model",
                          "SequenceGeneration"),
+        "enable_glm": _lazy("easynlp_tpu.appzoo.sequence_generation.glm",
+                            "GLMSequenceGeneration"),
     },
     "open_domain_dialogue": {
         "default": _lazy("easynlp_tpu.appzoo.open_domain_dialogue.model",
@@ -380,9 +384,9 @@ def _variant_key(registry_entry, udp):
     (reference api.py keys: multi_label / two_tower / enable_distillation /
     enable_fewshot ...)."""
     for key in ("enable_metakd", "enable_distillation", "enable_fewshot",
-                "enable_kangaroo", "enable_dkplm", "multi_label", "two_tower",
-                "siamese", "enable_vit", "enable_vqgan",
-                "contrast_learning_flag"):
+                "enable_kangaroo", "enable_dkplm", "enable_glm",
+                "multi_label", "two_tower", "siamese", "enable_vit",
+                "enable_vqgan", "contrast_learning_flag"):
         if udp.get(key) and key in registry_entry:
             return key
     return "default"

@@ -1,0 +1,210 @@
+"""GLM blank-infilling finetuning + generation.
+
+Capability parity: reference easynlp/modelzoo/mg_utils/finetune_glm.py:304
+(seq2seq finetuning: source Part A ends in [gMASK], the answer decodes as
+Part B behind [sop] with (mask-position, 1..N) two-dimensional positions)
+— here as an app over GLMForConditionalGeneration with a static KV-cache
+decode loop through the shared generation engine."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from easynlp_tpu.appzoo.application import Application
+from easynlp_tpu.data.dataset import BaseDataset
+from easynlp_tpu.modelzoo.models.glm.modeling_glm import (
+    GLMConfig,
+    GLMForConditionalGeneration,
+)
+from easynlp_tpu.utils import losses
+
+IGNORE = -100
+
+
+class GLMSequenceGenerationDataset(BaseDataset):
+    """Rows 'src<TAB>tgt' → the GLM cloze layout
+    [src…, gMASK, sop, tgt…, eop] with 2D positions: Part A positions
+    0..n, blocks 0; Part B position = gMASK index, blocks 1..N."""
+
+    def __init__(self, data_file, tokenizer, max_seq_length=128,
+                 max_target_length=32, input_schema=None, first_sequence=None,
+                 second_sequence=None, label_name=None,
+                 user_defined_parameters=None, **kwargs):
+        for k in ("label_enumerate_values", "multi_label", "is_training",
+                  "image_size"):
+            kwargs.pop(k, None)
+        super().__init__(data_file, input_schema=input_schema, **kwargs)
+        udp = user_defined_parameters or {}
+        self.tokenizer = tokenizer
+        self.src_len = int(udp.get("src_len",
+                                   max_seq_length - max_target_length - 2))
+        self.tgt_len = int(udp.get("tgt_len", max_target_length))
+        self.src_col = first_sequence
+        self.tgt_col = second_sequence or label_name
+        self.gmask_id = int(udp.get("gmask_id", getattr(
+            tokenizer, "gmask_token_id", 1)))
+        self.sop_id = int(udp.get("sop_id", getattr(
+            tokenizer, "sop_token_id", 2)))
+        self.eop_id = int(udp.get("eop_id", getattr(
+            tokenizer, "eop_token_id", 3)))
+        self.pad_id = int(udp.get("pad_id",
+                                  getattr(tokenizer, "pad_token_id", 0)))
+        self._build_features()
+
+    def _encode(self, text, limit):
+        ids = self.tokenizer(
+            [str(text)], max_length=limit)["input_ids"][0]
+        return [t for t in ids if t != self.pad_id][:limit]
+
+    def _build_features(self):
+        s_total = self.src_len + 1 + 1 + self.tgt_len + 1
+        rows = []
+        for row in self.rows:
+            r = self.parse_row(row)
+            src = self._encode(r.get(self.src_col, ""), self.src_len)
+            tgt = self._encode(r.get(self.tgt_col, ""), self.tgt_len) \
+                if self.tgt_col else []
+            n = len(src)
+            part_a = src + [self.gmask_id]
+            part_b = [self.sop_id] + tgt + [self.eop_id]
+            ids = part_a + part_b
+            pos = list(range(len(part_a))) + [n] * len(part_b)
+            blocks = [0] * len(part_a) + list(range(1, len(part_b) + 1))
+            labels = [IGNORE] * len(part_a) + tgt + [self.eop_id] + [IGNORE]
+            # labels[i] = token position i should PREDICT (next-token over
+            # Part B: sop→tgt0, …, tgt_last→eop)
+            labels = labels[:len(ids)]
+            pad = s_total - len(ids)
+            rows.append({
+                "input_ids": ids + [self.pad_id] * pad,
+                "attention_mask": [1] * len(ids) + [0] * pad,
+                "position_ids": pos + [0] * pad,
+                "block_position_ids": blocks + [0] * pad,
+                "labels": labels + [IGNORE] * pad,
+                "prefix_lengths": len(part_a),
+            })
+        self.features = {
+            k: np.asarray([r[k] for r in rows], np.int32) for k in rows[0]}
+
+    def __len__(self):
+        return len(self.rows)
+
+    def __getitem__(self, idx):
+        return {k: v[idx] for k, v in self.features.items()}
+
+    def batch_fn(self, examples):
+        return {k: np.stack([e[k] for e in examples]) for k in examples[0]}
+
+
+def make_glm_generation_fns(module, max_length, cache_dtype=None):
+    """(prefill, decode) for prompts laid out [pad…, src, gMASK, sop]
+    (LEFT-padded). Part B positions: position_id = the gMASK position,
+    block_position_id = 1, 2, … (reference finetune_glm sampling)."""
+
+    def prefill(params, input_ids, attention_mask):
+        b, p = input_ids.shape
+        cache = module.init_cache(b, max_length, dtype=cache_dtype)
+        cache["mask"] = jax.lax.dynamic_update_slice(
+            cache["mask"], attention_mask.astype(jnp.int32), (0, 0))
+        counts = attention_mask.sum(-1)            # n + 2 (gmask + sop)
+        mask_pos = counts - 2                      # position id of gMASK
+        pos = jnp.maximum(jnp.cumsum(attention_mask, -1) - 1, 0)
+        rev = jnp.cumsum(attention_mask[:, ::-1], -1)[:, ::-1]
+        is_sop = (rev == 1) & (attention_mask > 0)  # last real slot
+        positions = jnp.where(is_sop, mask_pos[:, None], pos)
+        blocks = jnp.where(is_sop, 1, 0)
+        cache["glm_mask_pos"] = mask_pos.astype(jnp.int32)
+        cache["glm_prompt_len"] = jnp.full((b,), p, jnp.int32)
+        out = module.apply(
+            {"params": params}, input_ids=input_ids,
+            position_ids=positions, block_position_ids=blocks,
+            prefix_lengths=jnp.full((b,), p - 1, jnp.int32),
+            cache={k: cache[k] for k in ("k", "v", "index", "mask")},
+            deterministic=True)
+        new_cache = dict(out["cache"])
+        new_cache["glm_mask_pos"] = cache["glm_mask_pos"]
+        new_cache["glm_prompt_len"] = cache["glm_prompt_len"]
+        return out["logits"][:, -1].astype(jnp.float32), new_cache
+
+    def decode(params, token, cache):
+        b = token.shape[0]
+        idx = cache["index"]
+        cache = dict(cache)
+        cache["mask"] = jax.lax.dynamic_update_slice(
+            cache["mask"], jnp.ones((b, 1), jnp.int32), (0, idx))
+        positions = cache["glm_mask_pos"][:, None]
+        blocks = (idx - cache["glm_prompt_len"] + 2)[:, None]
+        out = module.apply(
+            {"params": params}, input_ids=token, position_ids=positions,
+            block_position_ids=blocks,
+            prefix_lengths=cache["glm_prompt_len"] - 1,
+            cache={k: cache[k] for k in ("k", "v", "index", "mask")},
+            deterministic=True)
+        new_cache = dict(out["cache"])
+        new_cache["glm_mask_pos"] = cache["glm_mask_pos"]
+        new_cache["glm_prompt_len"] = cache["glm_prompt_len"]
+        return out["logits"][:, -1].astype(jnp.float32), new_cache
+
+    def reindex_cache(cache, flat_beam):
+        return {
+            "k": jnp.take(cache["k"], flat_beam, axis=1),
+            "v": jnp.take(cache["v"], flat_beam, axis=1),
+            "mask": jnp.take(cache["mask"], flat_beam, axis=0),
+            "index": cache["index"],
+            "glm_mask_pos": jnp.take(cache["glm_mask_pos"], flat_beam, 0),
+            "glm_prompt_len": jnp.take(cache["glm_prompt_len"], flat_beam,
+                                       0),
+        }
+
+    prefill.reindex_cache = reindex_cache
+    return prefill, decode
+
+
+class GLMSequenceGeneration(Application):
+    model_input_keys = ("input_ids", "position_ids", "block_position_ids",
+                        "prefix_lengths", "attention_mask")
+
+    def sample_inputs(self):
+        return {"input_ids": jnp.ones((1, 8), jnp.int32)}
+
+    @staticmethod
+    def loss_fn(outputs, batch):
+        return {"loss": losses.cross_entropy(outputs["logits"],
+                                             batch["labels"],
+                                             ignore_index=IGNORE)}
+
+    @classmethod
+    def load_config(cls, model_dir, **kwargs):
+        return GLMConfig.from_pretrained(model_dir)
+
+    @classmethod
+    def build_module(cls, config, args=None, dtype=jnp.float32, **kwargs):
+        remat = getattr(args, "remat", "none") if args else "none"
+        return GLMForConditionalGeneration(config=config, dtype=dtype,
+                                           remat=remat)
+
+    @classmethod
+    def convert_pytorch_state_dict(cls, state_dict, config):
+        from easynlp_tpu.modelzoo.models.glm.conversion import convert_glm
+        return {"glm": convert_glm(state_dict, config)}
+
+    def generate(self, src_ids, src_mask, max_length=32, gmask_id=1,
+                 sop_id=2, eop_id=3, pad_id=0, num_beams=1, do_sample=False,
+                 **kwargs):
+        """Blank-infilling generation: left-pad [src, gMASK, sop] prompts
+        and decode Part B with the static cache."""
+        from easynlp_tpu.modelzoo.generation_utils import generate, left_pad
+        src_np = np.asarray(src_ids)
+        mask_np = np.asarray(src_mask)
+        prompts = []
+        for row, m in zip(src_np, mask_np):
+            toks = [int(t) for t, keep in zip(row, m) if keep]
+            prompts.append(toks + [gmask_id, sop_id])
+        ids, mask = left_pad(prompts, pad_id)
+        total = ids.shape[1] + max_length
+        prefill, decode = make_glm_generation_fns(self.module, total)
+        seqs = generate(prefill, decode, self.params, jnp.asarray(ids),
+                        jnp.asarray(mask), max_length=total,
+                        num_beams=num_beams, do_sample=do_sample,
+                        eos_token_id=eop_id, pad_token_id=pad_id, **kwargs)
+        return jnp.asarray(seqs)[:, ids.shape[1]:]

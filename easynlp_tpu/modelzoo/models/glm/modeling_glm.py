@@ -71,15 +71,17 @@ def _ln(config, name=None):
 
 
 class GLMBlock(nn.Module):
-    """Pre-LN block; carry = (hidden, attn_bias)."""
+    """Pre-LN block; carry = (hidden, attn_bias, cache_index),
+    xs = per-layer (k, v) cache or None (decode path mirrors
+    models/gpt2/modeling_gpt2.py)."""
 
     config: Any
     dtype: Any = jnp.float32
     deterministic: bool = True
 
     @nn.compact
-    def __call__(self, carry, _=None):
-        hidden, bias = carry
+    def __call__(self, carry, layer_cache=None):
+        hidden, bias, cache_index = carry
         c = self.config
         h = c.num_attention_heads
         d = c.hidden_size // h
@@ -87,7 +89,19 @@ class GLMBlock(nn.Module):
         normed = _ln(c, name="input_layernorm")(hidden).astype(self.dtype)
         qkv = _dense(3 * h * d, c, ("embed", "joined_kv"), dtype=self.dtype,
                      name="qkv")(normed).reshape(b, s, 3, h, d)
-        ctx = attention(qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2], bias=bias)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        if layer_cache is None:
+            ctx = attention(q, k, v, bias=bias)
+            new_cache = None
+        else:
+            k_cache, v_cache = layer_cache
+            k_cache = jax.lax.dynamic_update_slice(
+                k_cache, k.astype(k_cache.dtype), (0, cache_index, 0, 0))
+            v_cache = jax.lax.dynamic_update_slice(
+                v_cache, v.astype(v_cache.dtype), (0, cache_index, 0, 0))
+            # bias here is [B, 1, S_q, T_cache] over the full cache buffer
+            ctx = attention(q, k_cache, v_cache, bias=bias)
+            new_cache = (k_cache, v_cache)
         attn_out = _dense(c.hidden_size, c, ("joined_kv", "embed"),
                           dtype=self.dtype, name="dense")(
             ctx.reshape(b, s, h * d))
@@ -104,7 +118,7 @@ class GLMBlock(nn.Module):
                      name="dense_4h_to_h")(mlp)
         mlp = nn.Dropout(c.output_dropout_prob)(
             mlp, deterministic=self.deterministic)
-        return (hidden + mlp, bias), None
+        return (hidden + mlp, bias, cache_index), new_cache
 
 
 def glm_attention_bias(prefix_lengths, seq_len):
@@ -122,9 +136,24 @@ def glm_attention_bias(prefix_lengths, seq_len):
 class GLMModel(BaseModule):
     remat: str = "none"
 
+    def init_cache(self, batch_size, max_length, dtype=None):
+        c = self.config
+        h = c.num_attention_heads
+        d = c.hidden_size // h
+        dtype = dtype or self.dtype
+        return {
+            "k": jnp.zeros((c.num_layers, batch_size, max_length, h, d),
+                           dtype),
+            "v": jnp.zeros((c.num_layers, batch_size, max_length, h, d),
+                           dtype),
+            "index": jnp.zeros((), jnp.int32),
+            "mask": jnp.zeros((batch_size, max_length), jnp.int32),
+        }
+
     @nn.compact
     def __call__(self, input_ids, position_ids=None, block_position_ids=None,
-                 prefix_lengths=None, attention_mask=None, deterministic=True):
+                 prefix_lengths=None, attention_mask=None, cache=None,
+                 deterministic=True):
         c = self.config
         b, s = input_ids.shape
         init = truncated_normal_init(c.initializer_range)
@@ -155,10 +184,27 @@ class GLMModel(BaseModule):
 
         if prefix_lengths is None:
             prefix_lengths = jnp.zeros((b,), jnp.int32)  # fully causal
-        bias = glm_attention_bias(prefix_lengths, s)
-        if attention_mask is not None:
-            bias = jnp.where(attention_mask[:, None, None, :].astype(bool),
-                             bias, -1e30)
+        if cache is None:
+            bias = glm_attention_bias(prefix_lengths, s)
+            if attention_mask is not None:
+                bias = jnp.where(
+                    attention_mask[:, None, None, :].astype(bool),
+                    bias, -1e30)
+            xs = None
+            cache_index = jnp.zeros((), jnp.int32)
+        else:
+            # bias over the full cache buffer: a key slot is visible if it
+            # has been written (cache mask) and sits in the bidirectional
+            # prefix or at/before the query's global position
+            t = cache["k"].shape[2]
+            cache_index = cache["index"]
+            q_pos = cache_index + jnp.arange(s)              # [S]
+            k_pos = jnp.arange(t)                            # [T]
+            visible = (k_pos[None, :] < prefix_lengths[:, None, None]) | \
+                (k_pos[None, None, :] <= q_pos[None, :, None])
+            visible = visible & cache["mask"][:, None, :].astype(bool)
+            bias = jnp.where(visible[:, None], 0.0, -1e30)
+            xs = (cache["k"], cache["v"])
 
         block_cls = GLMBlock
         if self.remat in REMAT_POLICIES:
@@ -168,11 +214,16 @@ class GLMModel(BaseModule):
                        split_rngs={"params": True, "dropout": True},
                        length=c.num_layers,
                        metadata_params={nn.PARTITION_NAME: "layers"})
-        (hidden, _), _ = scan(config=c, dtype=self.dtype,
-                              deterministic=deterministic,
-                              name="layers")((hidden, bias))
+        (hidden, _, _), new_caches = scan(config=c, dtype=self.dtype,
+                                          deterministic=deterministic,
+                                          name="layers")(
+            (hidden, bias, cache_index), xs)
         hidden = _ln(c, name="final_layernorm")(hidden).astype(self.dtype)
-        return {"last_hidden_state": hidden}
+        out = {"last_hidden_state": hidden}
+        if cache is not None:
+            out["cache"] = {"k": new_caches[0], "v": new_caches[1],
+                            "index": cache_index + s, "mask": cache["mask"]}
+        return out
 
 
 class GLMForConditionalGeneration(BaseModule):
@@ -183,10 +234,25 @@ class GLMForConditionalGeneration(BaseModule):
     def setup(self):
         self.glm = GLMModel(self.config, dtype=self.dtype, remat=self.remat)
 
+    def init_cache(self, batch_size, max_length, dtype=None):
+        c = self.config
+        h = c.num_attention_heads
+        d = c.hidden_size // h
+        dtype = dtype or self.dtype
+        return {
+            "k": jnp.zeros((c.num_layers, batch_size, max_length, h, d),
+                           dtype),
+            "v": jnp.zeros((c.num_layers, batch_size, max_length, h, d),
+                           dtype),
+            "index": jnp.zeros((), jnp.int32),
+            "mask": jnp.zeros((batch_size, max_length), jnp.int32),
+        }
+
     def __call__(self, input_ids, position_ids=None, block_position_ids=None,
-                 prefix_lengths=None, attention_mask=None, deterministic=True):
+                 prefix_lengths=None, attention_mask=None, cache=None,
+                 deterministic=True):
         out = self.glm(input_ids, position_ids, block_position_ids,
-                       prefix_lengths, attention_mask, deterministic)
+                       prefix_lengths, attention_mask, cache, deterministic)
         wte = nn.unbox(
             self.glm.variables["params"]["word_embeddings"]["embedding"])
         logits = jnp.einsum("bse,ve->bsv", out["last_hidden_state"],

@@ -134,6 +134,7 @@ class SentencePieceModel:
                 self._byte_ids = None
         self._charsmap = (_Charsmap(precompiled_charsmap)
                           if precompiled_charsmap else None)
+        self._fast = None  # native unigram engine, built lazily
 
     # ------------------------------------------------------------------ parse
     @classmethod
@@ -219,7 +220,16 @@ class SentencePieceModel:
         """Viterbi over the piece trie. Unknown characters become unk nodes
         with min_score - UNK_PENALTY; consecutive unks fuse into one token
         (sentencepiece EncodeResult semantics); byte pieces, when present,
-        replace unk entirely."""
+        replace unk entirely. A native C++ engine (native/sp_unigram.cpp)
+        serves the hot loop when built; this Python path is the semantic
+        reference and fallback."""
+        if self._fast is None:
+            from easynlp_tpu.data.fast_sp import FastUnigram
+            self._fast = FastUnigram.create(self) or False
+        if self._fast:
+            ids = self._fast.encode(text)
+            if ids is not None:
+                return ids
         n = len(text)
         # best[i]: (score, start, piece_id) ending at i
         NEG = -1e18

@@ -222,3 +222,42 @@ def test_auto_tokenizer_routes_by_model_type(tmp_path):
     from easynlp_tpu.modelzoo.models.t5 import T5Tokenizer
     assert isinstance(tok, T5Tokenizer)
     assert tok._encode_core("the") == [4]
+
+
+def test_native_unigram_byte_parity(sp_file):
+    """The C++ Viterbi (native/sp_unigram.cpp) must produce identical ids to
+    the pure-Python engine on random text mixes (incl. unknowns)."""
+    import random
+
+    from easynlp_tpu.data.fast_sp import FastUnigram
+    from easynlp_tpu.modelzoo.tokenization_sentencepiece import (
+        SentencePieceModel)
+
+    model = SentencePieceModel.from_file(sp_file)
+    fast = FastUnigram.create(model)
+    if fast is None:
+        import pytest
+        pytest.skip("native sp engine unavailable")
+
+    rng = random.Random(0)
+    pieces = [p for p, _, t in model.pieces if t == 1]
+    corpus = []
+    for _ in range(60):
+        parts = []
+        for _ in range(rng.randint(1, 10)):
+            r = rng.random()
+            if r < 0.6:
+                parts.append(rng.choice(pieces).replace("▁", ""))
+            elif r < 0.8:
+                parts.append(chr(rng.randint(0x4e00, 0x4e50)))  # unknown CJK
+            else:
+                parts.append(chr(rng.randint(0x391, 0x3a9)))    # greek
+        corpus.append(" ".join(parts))
+    corpus += ["", " ", "hello world", "ﬁ ①", "a b"]
+
+    model._fast = False   # force the python path
+    for text in corpus:
+        normalized = model.normalize(text)
+        want = model._encode_unigram(normalized) if normalized else []
+        got = fast.encode(normalized) if normalized else []
+        assert got == want, (text, got, want)
