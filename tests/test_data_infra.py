@@ -328,3 +328,48 @@ def test_megatron_glm_tp_slice_merge(tmp_path):
     out = module.apply({"params": params}, jnp.ones((2, 8), jnp.int32),
                        deterministic=True)
     assert np.isfinite(np.asarray(out["last_hidden_state"])).all()
+
+
+def test_oss_scheme_through_local_dir_io(tmp_path):
+    """The oss:// scheme works end-to-end through the io.register seam with
+    the directory-backed emulation (reference OSSIO surface :279-635):
+    datasets read from it and checkpoints write to it."""
+    import jax.numpy as jnp
+
+    from easynlp_tpu.appzoo.sequence_classification.data import (
+        ClassificationDataset)
+    from easynlp_tpu.modelzoo.models.bert import BertTokenizer
+    from easynlp_tpu.utils.io_utils import io
+    from easynlp_tpu.utils.oss_io import LocalDirIO
+
+    root = str(tmp_path / "bucket")
+    backend = LocalDirIO("oss://test-bucket/", root)
+    io.register("oss://test-bucket/", backend)
+    try:
+        with io.open("oss://test-bucket/data/train.tsv", "w") as f:
+            for i in range(8):
+                f.write("%d\tgood day\t%s\n" % (i, "pos" if i % 2
+                                                else "neg"))
+        assert io.exists("oss://test-bucket/data/train.tsv")
+        assert io.listdir("oss://test-bucket/data") == ["train.tsv"]
+
+        vocab = str(tmp_path / "v.txt")
+        with open(vocab, "w") as f:
+            f.write("\n".join(["[PAD]", "[UNK]", "[CLS]", "[SEP]",
+                               "[MASK]", "good", "day", "pos", "neg"]))
+        ds = ClassificationDataset(
+            "oss://test-bucket/data/train.tsv", BertTokenizer(vocab),
+            max_seq_length=8,
+            input_schema="id:str:1,sent:str:1,label:str:1",
+            first_sequence="sent", label_name="label")
+        assert len(ds) == 8
+
+        # checkpoint-style write through the scheme
+        with io.open("oss://test-bucket/ckpt/meta.json", "w") as f:
+            f.write('{"global_step": 3}')
+        with io.open("oss://test-bucket/ckpt/meta.json") as f:
+            assert "global_step" in f.read()
+        io.copy("oss://test-bucket/ckpt/meta.json", str(tmp_path / "m.json"))
+        assert (tmp_path / "m.json").exists()
+    finally:
+        io.backends.pop("oss://test-bucket/", None)
