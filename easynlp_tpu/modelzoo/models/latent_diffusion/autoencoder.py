@@ -47,20 +47,21 @@ class VAEAttnBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        from easynlp_tpu.ops.attention import attention
         b, hh, ww, c = x.shape
         h = _gn(x, name="norm").astype(self.dtype)
 
         def conv1(name):
             return nn.Conv(c, (1, 1), dtype=self.dtype,
                            param_dtype=jnp.float32, name=name)
-        q = conv1("q")(h).reshape(b, hh * ww, c)
-        k = conv1("k")(h).reshape(b, hh * ww, c)
-        v = conv1("v")(h).reshape(b, hh * ww, c)
-        scores = jnp.einsum("bqc,bkc->bqk", q.astype(jnp.float32),
-                            k.astype(jnp.float32)) * (c ** -0.5)
-        probs = jax.nn.softmax(scores, axis=-1)
-        out = jnp.einsum("bqk,bkc->bqc", probs.astype(self.dtype), v)
-        out = conv1("proj_out")(out.reshape(b, hh, ww, c))
+        q = conv1("q")(h).reshape(b, hh * ww, 1, c)
+        k = conv1("k")(h).reshape(b, hh * ww, 1, c)
+        v = conv1("v")(h).reshape(b, hh * ww, 1, c)
+        # single "head" of width c over the flattened grid — the shared op
+        # takes the flash path at 512-sized grids and up (64×64 latents are
+        # a 4096² score matrix the naive einsum would materialise)
+        out = attention(q, k, v).reshape(b, hh, ww, c)
+        out = conv1("proj_out")(out.astype(self.dtype))
         return x + out
 
 

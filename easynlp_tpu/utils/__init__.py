@@ -65,6 +65,20 @@ def get_pretrain_model_path(name_or_path, disable_auto_download=False):
         return name_or_path
     if os.path.exists(name_or_path):
         return name_or_path
+    if "://" in str(name_or_path):
+        # remote model dir (oss:// etc.): materialise through the io seam
+        # into the local cache (reference utils/__init__.py:101-202 fetches
+        # remote checkpoints before use)
+        from easynlp_tpu.utils.io_utils import io
+        local = os.path.join(os.path.expanduser("~/.easynlp_tpu/modelzoo"),
+                             str(name_or_path).split("://", 1)[1].strip("/"))
+        if not os.path.isdir(local):
+            os.makedirs(local, exist_ok=True)
+            for fname in io.listdir(name_or_path):
+                io.copy(str(name_or_path).rstrip("/") + "/" + fname,
+                        os.path.join(local, fname))
+            logger.info("fetched %s -> %s", name_or_path, local)
+        return local
     candidates = []
     base = os.environ.get(MODELZOO_CACHE_ENV)
     if base:

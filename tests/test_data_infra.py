@@ -373,3 +373,30 @@ def test_oss_scheme_through_local_dir_io(tmp_path):
         assert (tmp_path / "m.json").exists()
     finally:
         io.backends.pop("oss://test-bucket/", None)
+
+
+def test_remote_model_path_resolution(tmp_path, monkeypatch):
+    """oss:// model dirs materialise through the io seam into the local
+    cache (reference utils/__init__.py:101-202)."""
+    import json
+
+    from easynlp_tpu.utils import get_pretrain_model_path
+    from easynlp_tpu.utils.io_utils import io
+    from easynlp_tpu.utils.oss_io import LocalDirIO
+
+    monkeypatch.setenv("HOME", str(tmp_path))
+    root = str(tmp_path / "bucket")
+    io.register("oss://models/", LocalDirIO("oss://models/", root))
+    try:
+        with io.open("oss://models/tiny-bert/config.json", "w") as f:
+            json.dump({"model_type": "bert", "vocab_size": 10}, f)
+        with io.open("oss://models/tiny-bert/vocab.txt", "w") as f:
+            f.write("[PAD]\n[UNK]\n")
+        local = get_pretrain_model_path("oss://models/tiny-bert")
+        import os
+        assert os.path.isfile(os.path.join(local, "config.json"))
+        assert os.path.isfile(os.path.join(local, "vocab.txt"))
+        # second resolution hits the cache (no error if backend vanished)
+        assert get_pretrain_model_path("oss://models/tiny-bert") == local
+    finally:
+        io.backends.pop("oss://models/", None)
