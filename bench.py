@@ -33,10 +33,10 @@ def main():
 
     args = make_args(micro_batch_size=BATCH, sequence_length=SEQ_LEN,
                      dtype="bfloat16", epoch_num=100.0, logging_steps=10**9,
-                     checkpoint_dir=None)
+                     checkpoint_dir=None, remat="names")
     config = bert_base_config(seq_len=512)
     module = SequenceClassificationModule(config=config, dtype=jnp.bfloat16,
-                                          num_labels=2)
+                                          num_labels=2, remat="names")
     params = SequenceClassification.init_params(module, config)
     app = SequenceClassification(module, params, config)
     dataset = SyntheticClassificationDataset(

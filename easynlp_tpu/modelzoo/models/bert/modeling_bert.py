@@ -207,11 +207,13 @@ REMAT_POLICIES = {
         jax.checkpoint_policies.save_only_these_names("attn_out")),
     # save nothing per layer: minimum memory, ~30% step-time cost
     "full": lambda: jax.checkpoint_policies.nothing_saveable,
-    # save only the tagged bf16 activations (qkv/attn/mlp outputs) — smaller
-    # residuals than 'selective' (which keeps fp32 dot outputs), recompute is
-    # just LN/gelu/dropout
+    # save only the tagged bf16 activations except the [*,S,4E] MLP
+    # intermediate (recomputed from the saved qkv/attn tensors in bwd) —
+    # dropping mlp_wi_out removes the biggest per-layer residual write AND
+    # the DUS-fused slowdown of the wi matmul (v5e-measured: 1137 samples/s
+    # vs 1110 with wi saved, vs 1037 with remat='none' at BERT-base b128)
     "names": lambda: jax.checkpoint_policies.save_only_these_names(
-        "attn_out", "qkv_out", "attn_proj_out", "mlp_wi_out", "mlp_wo_out"),
+        "attn_out", "qkv_out", "attn_proj_out", "mlp_wo_out"),
 }
 
 

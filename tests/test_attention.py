@@ -80,3 +80,52 @@ def test_flash_non_divisible_causal():
     valid = np.asarray(mask)[0]
     np.testing.assert_allclose(np.asarray(fl)[0][valid],
                                np.asarray(ref)[0][valid], atol=2e-5)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_short_matches_reference_fwd_bwd(causal):
+    """The whole-sequence short kernel (auto path for 256<=Skv<=512 on TPU)
+    must match the reference in both directions, incl. padding masks."""
+    B, S, H, D = 2, 40, 3, 16  # not multiples of 8 / H odd
+    keys = jax.random.split(jax.random.PRNGKey(5), 3)
+    q, k, v = (_rand((B, S, H, D), kk) for kk in keys)
+    mask = jnp.arange(S)[None, :] < jnp.asarray([[33], [40]])
+
+    def f(impl):
+        def loss(q, k, v):
+            o = attention(q, k, v, kv_mask=mask, causal=causal, impl=impl)
+            return jnp.sum(o ** 2)
+        return jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+
+    o_s = attention(q, k, v, kv_mask=mask, causal=causal, impl="short")
+    o_r = attention_reference(q, k, v, kv_mask=mask, causal=causal)
+    np.testing.assert_allclose(np.asarray(o_s), np.asarray(o_r), atol=2e-5)
+    for a, b in zip(f("short"), f("reference")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+
+
+def test_short_cross_attention_decode_shape():
+    """Sq != Skv (causal decode step) through the short kernel."""
+    B, Sq, Skv, H, D = 2, 1, 24, 2, 8
+    keys = jax.random.split(jax.random.PRNGKey(6), 3)
+    q = _rand((B, Sq, H, D), keys[0])
+    k = _rand((B, Skv, H, D), keys[1])
+    v = _rand((B, Skv, H, D), keys[2])
+    mask = jnp.arange(Skv)[None, :] < 20
+    o_s = attention(q, k, v, kv_mask=mask, causal=True, impl="short")
+    o_r = attention_reference(q, k, v, kv_mask=mask, causal=True)
+    np.testing.assert_allclose(np.asarray(o_s), np.asarray(o_r), atol=2e-5)
+
+
+def test_short_bhsd_layout():
+    """layout='bhsd' accepts heads-major tensors and matches the canonical
+    layout result."""
+    B, S, H, D = 2, 32, 2, 16
+    keys = jax.random.split(jax.random.PRNGKey(7), 3)
+    q, k, v = (_rand((B, S, H, D), kk) for kk in keys)
+    mask = jnp.arange(S)[None, :] < 30
+    o_c = attention(q, k, v, kv_mask=mask, impl="short")
+    o_t = attention(q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+                    v.transpose(0, 2, 1, 3), kv_mask=mask, impl="short",
+                    layout="bhsd").transpose(0, 2, 1, 3)
+    np.testing.assert_allclose(np.asarray(o_c), np.asarray(o_t), atol=1e-6)
