@@ -35,6 +35,9 @@ def main():
                      dtype="bfloat16", epoch_num=100.0, logging_steps=10**9,
                      checkpoint_dir=None, remat="names")
     config = bert_base_config(seq_len=512)
+    # full layer unroll: no while-loop, XLA schedules across layer
+    # boundaries (+13% measured); first compile ~3min, cached afterwards
+    config.scan_unroll = config.num_hidden_layers
     module = SequenceClassificationModule(config=config, dtype=jnp.bfloat16,
                                           num_labels=2, remat="names")
     params = SequenceClassification.init_params(module, config)

@@ -24,14 +24,16 @@ def main():
     args = make_args(micro_batch_size=BATCH, sequence_length=32,
                      dtype="bfloat16", epoch_num=100.0, logging_steps=10**9,
                      checkpoint_dir=None)
+    # scan_unroll: full layer unroll in both towers (no while-loop; see
+    # modeling_utils.scan_unroll — v5e +13% on the BERT tower)
     cfg = CLIPConfig(
         text_config=dict(vocab_size=21128, hidden_size=768,
                          num_hidden_layers=12, num_attention_heads=12,
                          intermediate_size=3072,
-                         max_position_embeddings=512),
+                         max_position_embeddings=512, scan_unroll=12),
         vision_config=dict(image_size=224, patch_size=32, hidden_size=768,
                            num_hidden_layers=12, num_attention_heads=12,
-                           intermediate_size=3072),
+                           intermediate_size=3072, scan_unroll=12),
         projection_dim=512)
     module = CLIPApp.build_module(cfg, dtype=jnp.bfloat16)
     params = CLIPApp.init_params(module, cfg)

@@ -89,6 +89,10 @@ class Application:
         """Load config + weights from model_dir; freshly-initialised params
         (heads) are reported, mirroring reference from_pretrained."""
         config = cls.load_config(model_dir, **kwargs)
+        if args is not None and getattr(args, "scan_unroll", 1) > 1:
+            # --scan_unroll flows through the config (read by the encoders'
+            # nn.scan); param layout is unroll-invariant
+            config.scan_unroll = int(args.scan_unroll)
         module = cls.build_module(config, args=args, dtype=dtype, **kwargs)
         self = cls.__new__(cls)
         cls.__init__(self, module, cls.init_params(module, config, seed),

@@ -74,10 +74,14 @@ class Trainer:
             steps_per_epoch=self.steps_per_epoch,
             gradient_accumulation_steps=1,  # accumulation is inside the step
             weight_decay=self.args.weight_decay,
-            max_grad_norm=self.args.max_grad_norm,
+            # clipping happens in the train step (shares the global norm
+            # already computed for the NaN guard and runs outside the skip
+            # cond — one fewer full pass over the gradient tree)
+            max_grad_norm=0.0,
             b1=self.args.adam_beta1, b2=self.args.adam_beta2,
             eps=self.args.adam_epsilon)
         self.tx, self.schedule_fn, self.t_total = tx, schedule_fn, t_total
+        self.max_grad_norm = float(self.args.max_grad_norm or 0.0)
 
         self._place_state()
         self._build_step()
@@ -222,6 +226,13 @@ class Trainer:
             # traffic — only the rare skip branch does.
             gnorm = optax.global_norm(grads)
             finite = jnp.isfinite(loss_dict["loss"]) & jnp.isfinite(gnorm)
+            if self.max_grad_norm > 0:
+                # global-norm clip (optax.clip_by_global_norm semantics),
+                # sharing `gnorm` and applied before the cond so the scale
+                # fuses into the gradient finalisation pass
+                clip = self.max_grad_norm / jnp.maximum(gnorm,
+                                                        self.max_grad_norm)
+                grads = jax.tree.map(lambda g: g * clip, grads)
 
             def apply_branch(operand):
                 params, opt_state, grads = operand

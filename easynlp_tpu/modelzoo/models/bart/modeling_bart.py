@@ -16,7 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from easynlp_tpu.modelzoo.modeling_utils import BaseModule, truncated_normal_init
+from easynlp_tpu.modelzoo.modeling_utils import scan_unroll, BaseModule, truncated_normal_init
 from easynlp_tpu.modelzoo.models.bert.modeling_bert import ACT2FN, REMAT_POLICIES
 from easynlp_tpu.ops.attention import attention
 
@@ -233,7 +233,8 @@ class BartStack(nn.Module):
         scan = nn.scan(block_cls, variable_axes={"params": 0},
                        split_rngs={"params": True, "dropout": True},
                        length=n_layers,
-                       metadata_params={nn.PARTITION_NAME: "layers"})
+                       metadata_params={nn.PARTITION_NAME: "layers"},
+                       unroll=scan_unroll(c, n_layers))
         idx = cache_index if cache_index is not None else jnp.zeros((), jnp.int32)
         carry, new_cache = scan(
             config=c, num_heads=heads, ffn_dim=ffn, dtype=self.dtype,

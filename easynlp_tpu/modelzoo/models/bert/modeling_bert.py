@@ -25,7 +25,8 @@ from jax.ad_checkpoint import checkpoint_name
 import jax.numpy as jnp
 from flax import linen as nn
 
-from easynlp_tpu.modelzoo.modeling_utils import BaseModule, truncated_normal_init
+from easynlp_tpu.modelzoo.modeling_utils import (BaseModule, scan_unroll,
+                                                 truncated_normal_init)
 from easynlp_tpu.ops.attention import attention
 
 ACT2FN = {
@@ -232,12 +233,18 @@ class BertEncoder(nn.Module):
         if self.remat in REMAT_POLICIES:
             layer_cls = nn.remat(layer_cls, prevent_cse=False,
                                  policy=REMAT_POLICIES[self.remat]())
+        # Full unroll (config.scan_unroll >= num_layers) removes the XLA
+        # while-loop and lets the scheduler fuse/overlap across layer
+        # boundaries — v5e-measured +13% on BERT-base (1332 vs 1174
+        # samples/s/chip) for one ~3min (cached thereafter) compile.
+        # Partial unroll is a trap: unroll=2 measured *slower* than 1.
         scan = nn.scan(
             layer_cls,
             variable_axes={"params": 0},
             split_rngs={"params": True, "dropout": True},
             length=c.num_hidden_layers,
             metadata_params={nn.PARTITION_NAME: "layers"},
+            unroll=scan_unroll(c, c.num_hidden_layers),
         )
         (hidden, _), ys = scan(
             config=c, dtype=self.dtype, deterministic=deterministic,

@@ -15,7 +15,7 @@ import numpy as np
 from flax import linen as nn
 
 from easynlp_tpu.modelzoo.configuration_utils import PretrainedConfig
-from easynlp_tpu.modelzoo.modeling_utils import BaseModule, truncated_normal_init
+from easynlp_tpu.modelzoo.modeling_utils import scan_unroll, BaseModule, truncated_normal_init
 from easynlp_tpu.modelzoo.models.bert.modeling_bert import ACT2FN, REMAT_POLICIES
 from easynlp_tpu.ops.attention import attention
 
@@ -146,7 +146,8 @@ class BloomModel(BaseModule):
         scan = nn.scan(block_cls, variable_axes={"params": 0},
                        split_rngs={"params": True, "dropout": True},
                        length=c.n_layer,
-                       metadata_params={nn.PARTITION_NAME: "layers"})
+                       metadata_params={nn.PARTITION_NAME: "layers"},
+                       unroll=scan_unroll(c, c.n_layer))
         (hidden, _, _), _ = scan(
             config=c, dtype=self.dtype, deterministic=deterministic,
             name="h")((hidden, bias, attention_mask.astype(bool)))

@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from easynlp_tpu.modelzoo.modeling_utils import BaseModule, truncated_normal_init
+from easynlp_tpu.modelzoo.modeling_utils import scan_unroll, BaseModule, truncated_normal_init
 from easynlp_tpu.modelzoo.models.bert import BertModel
 from easynlp_tpu.modelzoo.models.bert.modeling_bert import (
     ACT2FN,
@@ -108,7 +108,8 @@ class ViTEncoder(BaseModule):
         scan = nn.scan(block_cls, variable_axes={"params": 0},
                        split_rngs={"params": True, "dropout": True},
                        length=c.num_hidden_layers,
-                       metadata_params={nn.PARTITION_NAME: "layers"})
+                       metadata_params={nn.PARTITION_NAME: "layers"},
+                       unroll=scan_unroll(c, c.num_hidden_layers))
         x, _ = scan(config=c, dtype=self.dtype,
                     deterministic=deterministic, name="layers")(x)
         x = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=jnp.float32,

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from easynlp_tpu.modelzoo.configuration_utils import PretrainedConfig
-from easynlp_tpu.modelzoo.modeling_utils import BaseModule, truncated_normal_init
+from easynlp_tpu.modelzoo.modeling_utils import scan_unroll, BaseModule, truncated_normal_init
 from easynlp_tpu.modelzoo.models.bert.modeling_bert import ACT2FN, REMAT_POLICIES
 from easynlp_tpu.ops.attention import attention
 
@@ -213,7 +213,8 @@ class GLMModel(BaseModule):
         scan = nn.scan(block_cls, variable_axes={"params": 0},
                        split_rngs={"params": True, "dropout": True},
                        length=c.num_layers,
-                       metadata_params={nn.PARTITION_NAME: "layers"})
+                       metadata_params={nn.PARTITION_NAME: "layers"},
+                       unroll=scan_unroll(c, c.num_layers))
         (hidden, _, _), new_caches = scan(config=c, dtype=self.dtype,
                                           deterministic=deterministic,
                                           name="layers")(

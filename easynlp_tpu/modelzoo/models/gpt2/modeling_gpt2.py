@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from easynlp_tpu.modelzoo.modeling_utils import BaseModule, truncated_normal_init
+from easynlp_tpu.modelzoo.modeling_utils import scan_unroll, BaseModule, truncated_normal_init
 from easynlp_tpu.modelzoo.models.bert.modeling_bert import ACT2FN, REMAT_POLICIES
 from easynlp_tpu.ops.attention import attention
 
@@ -166,6 +166,7 @@ class GPT2Model(BaseModule):
             split_rngs={"params": True, "dropout": True},
             length=c.n_layer,
             metadata_params={nn.PARTITION_NAME: "layers"},
+            unroll=scan_unroll(c, c.n_layer),
         )
         (hidden, _, _), new_caches = scan(
             config=c, dtype=self.dtype, deterministic=deterministic,

@@ -24,7 +24,7 @@ from easynlp_tpu.modelzoo.models.bert.modeling_bert import (
     _dense,
     _layer_norm,
 )
-from easynlp_tpu.modelzoo.modeling_utils import BaseModule
+from easynlp_tpu.modelzoo.modeling_utils import scan_unroll, BaseModule
 from easynlp_tpu.ops.attention import attention
 
 
@@ -101,7 +101,8 @@ class KBertModel(BaseModule):
         scan = nn.scan(layer_cls, variable_axes={"params": 0},
                        split_rngs={"params": True, "dropout": True},
                        length=c.num_hidden_layers,
-                       metadata_params={nn.PARTITION_NAME: "layers"})
+                       metadata_params={nn.PARTITION_NAME: "layers"},
+                       unroll=scan_unroll(c, c.num_hidden_layers))
         (hidden, _), _ = scan(config=c, dtype=self.dtype,
                               deterministic=deterministic,
                               name="encoder_layers")((hidden, bias))

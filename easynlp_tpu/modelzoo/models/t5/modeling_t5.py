@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from easynlp_tpu.modelzoo.modeling_utils import BaseModule
+from easynlp_tpu.modelzoo.modeling_utils import scan_unroll, BaseModule
 from easynlp_tpu.modelzoo.models.bert.modeling_bert import ACT2FN, REMAT_POLICIES
 from easynlp_tpu.ops.attention import attention
 
@@ -251,7 +251,8 @@ class T5Stack(nn.Module):
         scan = nn.scan(block_cls, variable_axes={"params": 0},
                        split_rngs={"params": True, "dropout": True},
                        length=n_layers,
-                       metadata_params={nn.PARTITION_NAME: "layers"})
+                       metadata_params={nn.PARTITION_NAME: "layers"},
+                       unroll=scan_unroll(c, n_layers))
         xs = None if cache is None else cache
         idx = cache_index if cache_index is not None else jnp.zeros((), jnp.int32)
         carry, new_cache = scan(

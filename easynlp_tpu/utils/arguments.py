@@ -108,6 +108,10 @@ def _add_easynlp_args(parser: argparse.ArgumentParser) -> None:
                        help="Activation rematerialisation policy (replaces --checkpoint-activations)")
     group.add_argument("--shard_optimizer_states", action="store_true",
                        help="ZeRO-equivalent: shard optimizer state over the dp axis")
+    group.add_argument("--scan_unroll", default=1, type=int,
+                       help="Layers per scan iteration (>=num_layers removes "
+                            "the layer while-loop: faster steps, slower first "
+                            "compile; checkpoints are layout-identical)")
     group.add_argument("--use_flash_attention", default="auto", type=str,
                        choices=["auto", "true", "false"],
                        help="Pallas flash attention (auto: on TPU only)")

@@ -9,9 +9,9 @@ from easynlp_tpu.appzoo.sequence_classification.model import (
 
 SEQ, BATCH = 128, 128
 args = make_args(micro_batch_size=BATCH, sequence_length=SEQ, dtype="bfloat16",
-                 epoch_num=100.0, logging_steps=10**9, checkpoint_dir=None)
+                 epoch_num=100.0, logging_steps=10**9, checkpoint_dir=None, remat="names")
 config = bert_base_config(seq_len=512)
-module = SequenceClassificationModule(config=config, dtype=jnp.bfloat16, num_labels=2)
+module = SequenceClassificationModule(config=config, dtype=jnp.bfloat16, num_labels=2, remat="names")
 params = SequenceClassification.init_params(module, config)
 app = SequenceClassification(module, params, config)
 ds = SyntheticClassificationDataset(n=BATCH * 4, seq_len=SEQ, vocab_size=config.vocab_size)
