@@ -97,16 +97,79 @@ class BaseDataset:
 
 class GeneralDataset(BaseDataset):
     """Adapts a HF `datasets` arrow dataset to the app contract (reference
-    appzoo/dataset.py:302-391)."""
+    appzoo/dataset.py:302-391).
 
-    def __init__(self, hf_dataset, **kwargs):
+    With a tokenizer it reproduces the reference's auto-inference: first /
+    second sequence from column order, label list from the ClassLabel
+    feature, and the `ner_tags` sequence-labeling branch (:331-351); rows
+    featurise to shape-static numpy dicts. Without a tokenizer it stays a
+    plain row adapter (`parse_row`)."""
+
+    def __init__(self, hf_dataset, tokenizer=None, max_seq_length=128,
+                 **kwargs):
         self.hf_dataset = hf_dataset
         self.kwargs = kwargs
         self.schema = None
         self.rows = list(range(len(hf_dataset)))
+        self.tokenizer = tokenizer
+        self.max_seq_length = max_seq_length
+        self.first_sequence = self.second_sequence = self.label_name = None
+        self._label_enumerate_values = None
+        features = getattr(hf_dataset, "features", None)
+        cols = list(features.keys()) if features else []
+        if features and "ner_tags" in cols:
+            self.first_sequence = cols[1] if len(cols) > 1 else cols[0]
+            self.label_name = "ner_tags"
+            feat = features["ner_tags"]
+            inner = getattr(feat, "feature", feat)
+            if hasattr(inner, "names"):
+                self._label_enumerate_values = list(inner.names)
+        elif features and "label" in cols:
+            self.first_sequence = cols[0]
+            if len(cols) > 1 and cols[1] != "label":
+                self.second_sequence = cols[1]
+            self.label_name = "label"
+            feat = features["label"]
+            if hasattr(feat, "names"):
+                self._label_enumerate_values = list(feat.names)
+        if self._label_enumerate_values is None and self.label_name:
+            seen = sorted({str(r[self.label_name])
+                           for r in (hf_dataset[i]
+                                     for i in range(len(hf_dataset)))
+                           if not isinstance(r[self.label_name], list)})
+            self._label_enumerate_values = seen or None
+
+    @property
+    def label_enumerate_values(self):
+        return self._label_enumerate_values
 
     def parse_row(self, row_idx):
         return dict(self.hf_dataset[int(row_idx)])
+
+    def __getitem__(self, idx):
+        row = self.parse_row(self.rows[idx])
+        if self.tokenizer is None:
+            return row
+        import numpy as np
+        text_b = row.get(self.second_sequence) if self.second_sequence \
+            else None
+        enc = self.tokenizer(str(row[self.first_sequence]),
+                             text_pair=text_b,
+                             max_length=self.max_seq_length)
+        ex = {k: np.asarray(v, np.int32).reshape(-1)
+              for k, v in enc.items()}
+        if self.label_name and self.label_name in row:
+            label = row[self.label_name]
+            if isinstance(label, int):
+                ex["label_ids"] = np.int32(label)
+            else:
+                ex["label_ids"] = np.int32(
+                    self._label_enumerate_values.index(str(label)))
+        return ex
+
+    def batch_fn(self, examples):
+        import numpy as np
+        return {k: np.stack([e[k] for e in examples]) for k in examples[0]}
 
 
 def load_dataset(name, *args, **kwargs):

@@ -400,3 +400,48 @@ def test_remote_model_path_resolution(tmp_path, monkeypatch):
         assert get_pretrain_model_path("oss://models/tiny-bert") == local
     finally:
         io.backends.pop("oss://models/", None)
+
+
+def test_general_dataset_feature_inference(tmp_path):
+    """GeneralDataset auto-infers sequences + ClassLabel list and
+    featurises to shape-static examples (reference appzoo/dataset.py
+    :318-351, :372-388)."""
+    import datasets as hf_datasets
+    import numpy as np
+
+    from easynlp_tpu.data.dataset import GeneralDataset
+    from easynlp_tpu.modelzoo.models.bert.tokenization_bert import (
+        BertTokenizer)
+
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"] + list("abcdef")
+    vp = tmp_path / "vocab.txt"
+    vp.write_text("\n".join(vocab))
+    tok = BertTokenizer(str(vp))
+
+    table = hf_datasets.Dataset.from_dict(
+        {"text": ["a b", "c d", "e f", "a c"],
+         "label": [0, 1, 1, 0]},
+        features=hf_datasets.Features(
+            {"text": hf_datasets.Value("string"),
+             "label": hf_datasets.ClassLabel(names=["neg", "pos"])}))
+    ds = GeneralDataset(table, tokenizer=tok, max_seq_length=8)
+    assert ds.label_enumerate_values == ["neg", "pos"]
+    assert ds.first_sequence == "text" and ds.second_sequence is None
+    ex = ds[1]
+    assert ex["input_ids"].shape == (8,)
+    assert int(ex["label_ids"]) == 1
+    batch = ds.batch_fn([ds[i] for i in range(4)])
+    assert batch["input_ids"].shape == (4, 8)
+    assert batch["label_ids"].tolist() == [0, 1, 1, 0]
+
+    # ner_tags branch
+    table2 = hf_datasets.Dataset.from_dict(
+        {"id": ["0"], "tokens": [["a", "b"]], "ner_tags": [[0, 1]]},
+        features=hf_datasets.Features(
+            {"id": hf_datasets.Value("string"),
+             "tokens": hf_datasets.Sequence(hf_datasets.Value("string")),
+             "ner_tags": hf_datasets.Sequence(
+                 hf_datasets.ClassLabel(names=["O", "B-X"]))}))
+    ds2 = GeneralDataset(table2)
+    assert ds2.label_name == "ner_tags"
+    assert ds2.label_enumerate_values == ["O", "B-X"]
