@@ -664,7 +664,21 @@ _short_attention.defvjp(_short_attention_fwd, _short_attention_bwd)
 FLASH_MIN_KV_LEN = 8192
 
 
+# --use_flash_attention true|false overrides the TPU auto-detection
+# (initializer wires it through set_kernel_override); None = auto.
+_KERNEL_OVERRIDE = None
+
+
+def set_kernel_override(value):
+    """value: True (force Pallas kernels even off-TPU, interpret mode),
+    False (XLA reference everywhere), or None (auto)."""
+    global _KERNEL_OVERRIDE
+    _KERNEL_OVERRIDE = value
+
+
 def use_flash(platform=None):
+    if _KERNEL_OVERRIDE is not None:
+        return _KERNEL_OVERRIDE
     if platform is None:
         platform = jax.devices()[0].platform
     return platform == "tpu"

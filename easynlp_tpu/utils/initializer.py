@@ -83,6 +83,10 @@ def initialize_easynlp(extra_args_provider=None, args_list=None):
     mesh = _build_mesh(args)
     args.global_mesh = mesh
 
+    if getattr(args, "use_flash_attention", "auto") != "auto":
+        from easynlp_tpu.ops.attention import set_kernel_override
+        set_kernel_override(args.use_flash_attention == "true")
+
     if args.pretrained_model_name_or_path is None:
         args.pretrained_model_name_or_path = \
             args.user_defined_parameters_dict.get("pretrain_model_name_or_path")

@@ -129,3 +129,25 @@ def test_short_bhsd_layout():
                     v.transpose(0, 2, 1, 3), kv_mask=mask, impl="short",
                     layout="bhsd").transpose(0, 2, 1, 3)
     np.testing.assert_allclose(np.asarray(o_c), np.asarray(o_t), atol=1e-6)
+
+
+def test_use_flash_attention_flag_override():
+    """--use_flash_attention true|false overrides the platform auto-detect
+    (flag was declared in arguments.py; this pins the wiring)."""
+    from easynlp_tpu.ops import attention as A
+    try:
+        A.set_kernel_override(False)
+        assert A.use_flash() is False
+        A.set_kernel_override(True)
+        assert A.use_flash() is True
+        # forced-on + CPU: auto dispatch takes the short kernel in
+        # interpret mode and still matches the reference
+        B, S, H, D = 2, 280, 2, 16   # inside the short window (256..512)
+        keys = jax.random.split(jax.random.PRNGKey(8), 3)
+        q, k, v = (_rand((B, S, H, D), kk) for kk in keys)
+        o_auto = attention(q, k, v, impl="auto")
+        o_ref = attention_reference(q, k, v)
+        np.testing.assert_allclose(np.asarray(o_auto), np.asarray(o_ref),
+                                   atol=2e-5)
+    finally:
+        A.set_kernel_override(None)
