@@ -373,9 +373,13 @@ class Trainer:
                    if isinstance(v, (str, int, float, bool, type(None)))}
             json.dump(cfg, f, indent=2)
         with io.open(os.path.join(out, META_NAME), "w") as f:
-            json.dump({"global_step": self.global_step,
-                       "epoch": self.global_step // self.steps_per_epoch,
-                       "best_score": self.best_score}, f)
+            meta = {"global_step": self.global_step,
+                    "epoch": self.global_step // self.steps_per_epoch,
+                    "best_score": self.best_score}
+            if self.ema_state is not None:
+                meta["ema_num_updates"] = int(
+                    jax.device_get(self.ema_state["num_updates"]))
+            json.dump(meta, f)
         opt_host = jax.device_get(self.opt_state)
         from flax import serialization
         with io.open(os.path.join(out, OPT_STATE_NAME), "wb") as f:
@@ -419,4 +423,22 @@ class Trainer:
                 lambda new, ref: jax.device_put(jnp.asarray(new), ref.sharding)
                 if hasattr(ref, "sharding") else new,
                 restored, ref_state)
+        if self.ema_state is not None:
+            # restore the EMA shadow too — otherwise it keeps the pre-resume
+            # init params and num_updates restarts at 0, corrupting
+            # flax_params_ema.msgpack saved after the resume
+            ema_path = os.path.join(ckpt_dir, "flax_params_ema.msgpack")
+            if io.exists(ema_path):
+                ema_loaded = load_params(ckpt_dir,
+                                         target=jax.device_get(self.params),
+                                         name="flax_params_ema.msgpack")
+                self.ema_state["shadow"] = jax.tree.map(
+                    lambda s, new: jnp.asarray(new, dtype=jnp.float32),
+                    self.ema_state["shadow"], ema_loaded)
+            else:
+                from easynlp_tpu.modelzoo.models.latent_diffusion.ema import (
+                    ema_init)
+                self.ema_state = ema_init(self.params)
+            self.ema_state["num_updates"] = jnp.asarray(
+                int(meta.get("ema_num_updates", self.global_step)), jnp.int32)
         logger.info("resumed from %s at step %d", ckpt_dir, self.global_step)

@@ -125,9 +125,13 @@ class GeneralDataset(BaseDataset):
             if hasattr(inner, "names"):
                 self._label_enumerate_values = list(inner.names)
         elif features and "label" in cols:
-            self.first_sequence = cols[0]
-            if len(cols) > 1 and cols[1] != "label":
-                self.second_sequence = cols[1]
+            # choose sequences from the non-label columns so datasets whose
+            # label column comes first (e.g. HF yelp_review_full: [label,
+            # text]) don't tokenize the label string as the input text
+            text_cols = [c for c in cols if c != "label"]
+            self.first_sequence = text_cols[0] if text_cols else cols[0]
+            if len(text_cols) > 1:
+                self.second_sequence = text_cols[1]
             self.label_name = "label"
             feat = features["label"]
             if hasattr(feat, "names"):

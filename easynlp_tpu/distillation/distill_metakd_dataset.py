@@ -30,14 +30,21 @@ class MetaKDClassificationDataset(ClassificationDataset):
         self._domain_name = domain_name
         self._weight_name = weight_name
         kwargs.pop("multi_label", None)
+        # consume skip_first_line here: the genre filter below would drop the
+        # header itself (its domain column never matches), and BaseDataset's
+        # rows[1:] would then remove the first real data row
+        self._skip_first_line = bool(kwargs.pop("skip_first_line", False))
         super().__init__(
             data_file, tokenizer, max_seq_length=max_seq_length,
             input_schema=input_schema, first_sequence=first_sequence,
             second_sequence=second_sequence, label_name=label_name,
-            label_enumerate_values=label_enumerate_values, **kwargs)
+            label_enumerate_values=label_enumerate_values,
+            skip_first_line=False, **kwargs)
 
     def read_rows(self, data_file):
         rows = super().read_rows(data_file)
+        if self._skip_first_line and rows:
+            rows = rows[1:]
         if self.genre and self.genre in self.domain_list:
             # genre filter (reference :108-122, column 'domain')
             kept = []

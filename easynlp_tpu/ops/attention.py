@@ -736,10 +736,11 @@ def attention(q, k, v, kv_mask=None, causal=False, scale=None, bias=None,
         scale = scale if scale is not None else 1.0 / math.sqrt(d)
         if kv_mask is None:
             kv_mask = jnp.ones((k.shape[0], skv), dtype=bool)
-        if bias is None and use_flash() and (
-                impl == "short" or (impl == "auto"
-                                    and SHORT_MIN_KV_LEN <= skv
-                                    <= SHORT_MAX_KV_LEN)):
+        # same dispatch condition as the canonical bshd path below: explicit
+        # impl='short' forces the kernel regardless of use_flash()
+        if bias is None and (impl == "short" or (
+                impl == "auto" and use_flash()
+                and SHORT_MIN_KV_LEN <= skv <= SHORT_MAX_KV_LEN)):
             return _short_attention(q, k, v, kv_mask.astype(jnp.int32),
                                     causal, scale)
         out = attention(q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),

@@ -73,10 +73,21 @@ def get_pretrain_model_path(name_or_path, disable_auto_download=False):
         local = os.path.join(os.path.expanduser("~/.easynlp_tpu/modelzoo"),
                              str(name_or_path).split("://", 1)[1].strip("/"))
         if not os.path.isdir(local):
-            os.makedirs(local, exist_ok=True)
-            for fname in io.listdir(name_or_path):
-                io.copy(str(name_or_path).rstrip("/") + "/" + fname,
-                        os.path.join(local, fname))
+            # download into a temp dir and rename into place on success so a
+            # failed/partial fetch is never mistaken for a complete cache
+            import shutil
+            import tempfile
+            os.makedirs(os.path.dirname(local), exist_ok=True)
+            tmp = tempfile.mkdtemp(dir=os.path.dirname(local),
+                                   prefix=".fetch_")
+            try:
+                for fname in io.listdir(name_or_path):
+                    io.copy(str(name_or_path).rstrip("/") + "/" + fname,
+                            os.path.join(tmp, fname))
+                os.rename(tmp, local)
+            except BaseException:
+                shutil.rmtree(tmp, ignore_errors=True)
+                raise
             logger.info("fetched %s -> %s", name_or_path, local)
         return local
     candidates = []

@@ -445,3 +445,33 @@ def test_general_dataset_feature_inference(tmp_path):
     ds2 = GeneralDataset(table2)
     assert ds2.label_name == "ner_tags"
     assert ds2.label_enumerate_values == ["O", "B-X"]
+
+
+def test_general_dataset_label_first_column(tmp_path):
+    """A dataset whose label column comes first (HF yelp_review_full layout
+    [label, text]) must still tokenize the text column, not the label
+    (advisor round-2 finding)."""
+    import datasets as hf_datasets
+
+    from easynlp_tpu.data.dataset import GeneralDataset
+    from easynlp_tpu.modelzoo.models.bert.tokenization_bert import (
+        BertTokenizer)
+
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"] + list("abcdef")
+    vp = tmp_path / "vocab.txt"
+    vp.write_text("\n".join(vocab))
+    tok = BertTokenizer(str(vp))
+
+    table = hf_datasets.Dataset.from_dict(
+        {"label": [1, 0], "text": ["a b", "c d"]},
+        features=hf_datasets.Features(
+            {"label": hf_datasets.ClassLabel(names=["neg", "pos"]),
+             "text": hf_datasets.Value("string")}))
+    ds = GeneralDataset(table, tokenizer=tok, max_seq_length=8)
+    assert ds.first_sequence == "text"
+    assert ds.second_sequence is None
+    ex = ds[0]
+    # [CLS] a b [SEP] → ids for 'a'(5) and 'b'(6) present, label not in text
+    ids = ex["input_ids"].tolist()
+    assert vocab.index("a") in ids and vocab.index("b") in ids
+    assert int(ex["label_ids"]) == 1

@@ -270,3 +270,47 @@ def test_5_midepoch_resume(tmp_path):
     tr2.train()
     assert stepped == [6, 7]               # only the epoch tail is trained
     assert tr2.global_step == tr2.t_total
+
+
+def test_4b_ema_state_survives_resume(tmp_path):
+    """Resume must restore the EMA shadow + num_updates — not leave the
+    shadow at the fresh-init params (advisor round-2 finding)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from easynlp_tpu.core.trainer import Trainer
+    from easynlp_tpu.testing import (SyntheticClassificationDataset,
+                                     make_args, tiny_bert_config)
+    from easynlp_tpu.appzoo.sequence_classification.model import (
+        SequenceClassification, SequenceClassificationModule)
+
+    out = str(tmp_path / "ck")
+    cfg = tiny_bert_config()
+    module = SequenceClassificationModule(config=cfg, dtype=jnp.float32,
+                                          num_labels=2)
+
+    def make_app():
+        return SequenceClassification(
+            module, SequenceClassification.init_params(module, cfg), cfg,
+            label_mapping={"0": 0, "1": 1})
+
+    ds = SyntheticClassificationDataset(n=32, seq_len=8,
+                                        vocab_size=cfg.vocab_size)
+    args = make_args(micro_batch_size=8, sequence_length=8, dtype="float32",
+                     epoch_num=1.0, logging_steps=10**9, checkpoint_dir=out,
+                     learning_rate=1e-3, ema_decay=0.999)
+    tr = Trainer(make_app(), ds, evaluator=None, args=args)
+    tr.train()
+    shadow_before = jax.device_get(tr.ema_state["shadow"])
+    n_before = int(jax.device_get(tr.ema_state["num_updates"]))
+    assert n_before == tr.t_total
+
+    args2 = make_args(micro_batch_size=8, sequence_length=8, dtype="float32",
+                      epoch_num=1.0, logging_steps=10**9, checkpoint_dir=out,
+                      learning_rate=1e-3, ema_decay=0.999,
+                      resume_from_checkpoint=out)
+    tr2 = Trainer(make_app(), ds, evaluator=None, args=args2)
+    assert int(jax.device_get(tr2.ema_state["num_updates"])) == n_before
+    for a, b in zip(jax.tree.leaves(shadow_before),
+                    jax.tree.leaves(jax.device_get(tr2.ema_state["shadow"]))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)

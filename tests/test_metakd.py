@@ -170,3 +170,33 @@ def test_bert_output_attentions_scores():
     np.testing.assert_allclose(np.asarray(out1["last_hidden_state"]),
                                np.asarray(out2["last_hidden_state"]),
                                atol=2e-5)
+
+
+def test_metakd_genre_filter_with_header(tmp_path):
+    """skip_first_line must strip the header before the genre filter runs —
+    otherwise the filter removes the header and rows[1:] then drops the
+    first real data row (advisor round-2 finding)."""
+    from easynlp_tpu.distillation.distill_metakd_dataset import (
+        MetaKDClassificationDataset)
+    from easynlp_tpu.modelzoo.models.bert import BertTokenizer
+
+    tsv = str(tmp_path / "train.tsv")
+    with open(tsv, "w") as f:
+        f.write("id\tsent\tlabel\tdomain\tweight\n")
+        for i in range(8):
+            dom = ["books", "dvd"][i % 2]
+            f.write("%d\tgood day %d\t%s\t%s\t1.0\n"
+                    % (i, i, "pos" if i % 2 else "neg", dom))
+    vocab = str(tmp_path / "vocab.txt")
+    with open(vocab, "w") as f:
+        f.write("\n".join(["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]",
+                           "good", "day"] + [str(i) for i in range(10)]))
+    tok = BertTokenizer(vocab)
+    schema = "id:str:1,sent:str:1,label:str:1,domain:str:1,weight:str:1"
+    ds = MetaKDClassificationDataset(
+        tsv, tok, max_seq_length=8, input_schema=schema,
+        first_sequence="sent", label_name="label", skip_first_line=True,
+        user_defined_parameters={"genre": "books"})
+    # all 4 'books' rows survive (ids 0,2,4,6) — none eaten by the header skip
+    assert len(ds) == 4
+    assert all(d == 0 for d in ds.features["domain_ids"].tolist())
