@@ -1,40 +1,60 @@
-"""Benchmark: BERT-base finetune throughput (samples/sec/chip) on the local
-chip. Prints ONE JSON line for the driver.
+"""Benchmarks. Prints ONE JSON line for the driver.
 
-Baseline: BASELINE.json targets >= 2x A100 samples/sec/chip for BERT-base
-finetune. A100 80GB mixed-precision BERT-base seq128 finetune is ~500
-samples/s (public MLPerf/NVIDIA numbers), so vs_baseline = value / 1000.
+Primary metric: BERT-base finetune device-step throughput (samples/s/chip).
+The same line carries every headline number in `extras`:
+  - bert_e2e: full Trainer-loop throughput including the host data path
+    (TSV read -> WordPiece tokenisation -> collation -> host->device
+    transfer via device_prefetch), the part SURVEY.md §7.3 flags as where
+    TPUs starve;
+  - clip / diffusion: the other two headline workloads (run as sequential
+    subprocesses of bench_clip.py / bench_diffusion.py so a failure in one
+    leg cannot take down the primary metric).
+
+Baseline derivation (see BASELINE.md): BASELINE.json's north star is
+">= 2x A100 samples/sec/chip on BERT finetune". A100-80GB mixed-precision
+BERT-base seq128 finetune is ~500 samples/s (public MLPerf/NVIDIA numbers),
+so the 2x target is 1000 and vs_baseline = value / 1000.
+
+Usage: `python bench.py` (all legs) | `python bench.py --only
+bert|e2e|clip|diffusion` (one leg in-process).
 """
 
 import json
+import os
+import subprocess
 import sys
 import time
-
-import numpy as np
 
 A100_BASELINE_SAMPLES_PER_SEC = 500.0
 TARGET = 2.0 * A100_BASELINE_SAMPLES_PER_SEC
 
-SEQ_LEN = 128
-BATCH = 128
+# BENCH_TINY=1: shrink the model/batch so the harness itself can be
+# smoke-tested on CPU in seconds (numbers are then meaningless)
+TINY = bool(int(os.environ.get("BENCH_TINY", "0")))
+
+SEQ_LEN = 128 if not TINY else 16
+BATCH = 128 if not TINY else 8
 WARMUP_STEPS = 3
-MEASURE_STEPS = 20
+MEASURE_STEPS = 20 if not TINY else 4
 
 
-def main():
-    import jax
+def _bert_trainer(dataset, args_extra=None):
     import jax.numpy as jnp
 
-    from easynlp_tpu.core.trainer import Trainer
-    from easynlp_tpu.testing import (SyntheticClassificationDataset,
-                                     bert_base_config, make_args)
     from easynlp_tpu.appzoo.sequence_classification.model import (
         SequenceClassification, SequenceClassificationModule)
+    from easynlp_tpu.core.trainer import Trainer
+    from easynlp_tpu.testing import bert_base_config, make_args
 
     args = make_args(micro_batch_size=BATCH, sequence_length=SEQ_LEN,
                      dtype="bfloat16", epoch_num=100.0, logging_steps=10**9,
-                     checkpoint_dir=None, remat="names")
-    config = bert_base_config(seq_len=512)
+                     checkpoint_dir=None, remat="names",
+                     **(args_extra or {}))
+    if TINY:
+        from easynlp_tpu.testing import tiny_bert_config
+        config = tiny_bert_config(vocab_size=30522)
+    else:
+        config = bert_base_config(seq_len=512)
     # full layer unroll: no while-loop, XLA schedules across layer
     # boundaries (+13% measured); first compile ~3min, cached afterwards
     config.scan_unroll = config.num_hidden_layers
@@ -42,10 +62,19 @@ def main():
                                           num_labels=2, remat="names")
     params = SequenceClassification.init_params(module, config)
     app = SequenceClassification(module, params, config)
-    dataset = SyntheticClassificationDataset(
-        n=BATCH * 4, seq_len=SEQ_LEN, vocab_size=config.vocab_size)
-    trainer = Trainer(app, dataset, evaluator=None, args=args)
+    return Trainer(app, dataset, evaluator=None, args=args), config
 
+
+def bench_bert():
+    """Device-step throughput: one pre-staged device-resident batch re-fed
+    (isolates the compiled train step from the host pipeline)."""
+    import jax
+
+    from easynlp_tpu.testing import SyntheticClassificationDataset
+
+    dataset = SyntheticClassificationDataset(
+        n=BATCH * 4, seq_len=SEQ_LEN, vocab_size=30522)
+    trainer, config = _bert_trainer(dataset)
     batch = next(iter(trainer.train_loader))
     batch.pop("_valid", None)
     device_batch = jax.device_put(batch, trainer.batch_shard)
@@ -66,14 +95,183 @@ def main():
     float(metrics["loss"])
     elapsed = time.perf_counter() - t0
 
-    n_chips = jax.device_count()
-    sps = MEASURE_STEPS * BATCH / elapsed / n_chips
-    print(json.dumps({
+    sps = MEASURE_STEPS * BATCH / elapsed / jax.device_count()
+    return {
         "metric": "bert_base_finetune_samples_per_sec_per_chip",
         "value": round(sps, 2),
         "unit": "samples/s/chip",
         "vs_baseline": round(sps / TARGET, 4),
+    }
+
+
+E2E_MEASURE_STEPS = 20 if not TINY else 4
+
+
+def bench_bert_e2e():
+    """Training-SYSTEM throughput: the real Trainer data path — TSV on disk,
+    WordPiece tokenisation (native C++ fast path), per-step collation and
+    host->device transfer through device_prefetch — not a pre-staged batch.
+    Reference anchor: the hot loop host-feeds the device
+    (reference easynlp/core/trainer.py:617-661)."""
+    import os
+    import tempfile
+
+    import jax
+    import numpy as np
+
+    from easynlp_tpu.appzoo.sequence_classification.data import (
+        ClassificationDataset)
+    from easynlp_tpu.data.prefetch import device_prefetch
+    from easynlp_tpu.modelzoo.models.bert.tokenization_bert import (
+        BertTokenizer)
+
+    n_rows = BATCH * (WARMUP_STEPS + E2E_MEASURE_STEPS)
+    rng = np.random.RandomState(0)
+    words = ["w%04d" % i for i in range(8000)]
+    base = tempfile.mkdtemp(prefix="bench_e2e_")
+    vocab_path = os.path.join(base, "vocab.txt")
+    with open(vocab_path, "w") as f:
+        f.write("\n".join(["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"]
+                          + words + ["##" + w[1:5] for w in words[:2000]]))
+    tsv = os.path.join(base, "train.tsv")
+    with open(tsv, "w") as f:
+        for i in range(n_rows):
+            text = " ".join(words[j] for j in rng.randint(0, 8000, 24))
+            f.write("%d\t%s\t%d\n" % (i, text, i % 2))
+
+    tok = BertTokenizer(vocab_path)
+    t_feat = time.perf_counter()
+    ds = ClassificationDataset(
+        tsv, tok, max_seq_length=SEQ_LEN,
+        input_schema="id:str:1,sent:str:1,label:str:1",
+        first_sequence="sent", label_name="label",
+        label_enumerate_values="0,1")
+    feat_elapsed = time.perf_counter() - t_feat
+    feat_sps = len(ds) / feat_elapsed
+
+    trainer, _ = _bert_trainer(ds)
+
+    def strip_valid(b):
+        b.pop("_valid", None)
+        return b
+
+    trainer.train_loader.set_epoch(0)
+    batches = device_prefetch(iter(trainer.train_loader),
+                              sharding=trainer.batch_shard,
+                              depth=max(1, trainer.args.num_host_prefetch),
+                              transform=strip_valid)
+    p, o = trainer.params, trainer.opt_state
+    t0 = elapsed = None
+    for step, db in enumerate(batches):
+        p, o, m = trainer._train_step(p, o, db, step)
+        if step + 1 == WARMUP_STEPS:
+            float(m["loss"])  # fence (see bench_bert)
+            t0 = time.perf_counter()
+        if step + 1 == WARMUP_STEPS + E2E_MEASURE_STEPS:
+            float(m["loss"])
+            elapsed = time.perf_counter() - t0
+            break
+    assert elapsed is not None, "dataset too small for the measure window"
+
+    sps = E2E_MEASURE_STEPS * BATCH / elapsed / jax.device_count()
+    return {
+        "metric": "bert_base_finetune_e2e_samples_per_sec_per_chip",
+        "value": round(sps, 2),
+        "unit": "samples/s/chip",
+        "vs_baseline": round(sps / TARGET, 4),
+        "featurisation_samples_per_sec": round(feat_sps, 1),
+    }
+
+
+def _run_leg_subprocess(cmd, timeout=1500):
+    """Run one leg as a subprocess; return its parsed JSON line or an error
+    marker. Sequential (the host has 1 CPU core — never two jax processes)."""
+    try:
+        out = subprocess.run(cmd, capture_output=True, text=True,
+                             timeout=timeout)
+    except subprocess.TimeoutExpired:
+        return {"error": "timeout"}
+    for line in reversed((out.stdout or "").strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                return json.loads(line)
+            except json.JSONDecodeError:
+                continue
+    tail = ((out.stderr or "") + (out.stdout or ""))[-300:]
+    return {"error": "rc=%d %s" % (out.returncode, tail)}
+
+
+def main(argv=None):
+    argv = sys.argv[1:] if argv is None else argv
+    only = None
+    if "--only" in argv:
+        only = argv[argv.index("--only") + 1]
+
+    # BENCH_PLATFORM=cpu forces the platform before backend init (the axon
+    # plugin ignores JAX_PLATFORMS env; jax.config works — see
+    # tests/conftest.py). Used to smoke-test the harness off-TPU.
+    if os.environ.get("BENCH_PLATFORM"):
+        import jax
+        jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
+
+    if only == "bert":
+        print(json.dumps(bench_bert()))
+        return 0
+    if only == "e2e":
+        print(json.dumps(bench_bert_e2e()))
+        return 0
+    if only == "clip":
+        import bench_clip
+        return bench_clip.main()
+    if only == "diffusion":
+        import bench_diffusion
+        return bench_diffusion.main()
+
+    py = sys.executable
+    legs = {
+        "bert": [py, "bench.py", "--only", "bert"],
+        "e2e": [py, "bench.py", "--only", "e2e"],
+        "clip": [py, "bench.py", "--only", "clip"],
+        "diffusion": [py, "bench.py", "--only", "diffusion"],
+    }
+    skip = set(filter(None, os.environ.get("BENCH_SKIP", "").split(",")))
+    results = {name: ({"error": "skipped"} if name in skip
+                      else _run_leg_subprocess(cmd))
+               for name, cmd in legs.items()}
+
+    bert = results["bert"]
+    if "value" not in bert:
+        # primary leg failed — emit the failure loudly and exit non-zero
+        print(json.dumps({"metric": "bert_base_finetune_samples_per_sec_per_chip",
+                          "value": None, "unit": "samples/s/chip",
+                          "vs_baseline": None, "extras": results}))
+        return 1
+
+    extras = {}
+    if "value" in results["e2e"]:
+        extras["bert_e2e_samples_per_sec_per_chip"] = results["e2e"]["value"]
+        extras["e2e_over_device_ratio"] = round(
+            results["e2e"]["value"] / bert["value"], 3)
+        extras["featurisation_samples_per_sec"] = results["e2e"].get(
+            "featurisation_samples_per_sec")
+    if "value" in results["clip"]:
+        extras["clip_train_pairs_per_sec_per_chip"] = results["clip"]["value"]
+    if "value" in results["diffusion"]:
+        extras["sd_ddim50_cfg_images_per_min_per_chip"] = \
+            results["diffusion"]["value"]
+    failed = {k: v.get("error") for k, v in results.items() if "error" in v}
+    if failed:
+        extras["legs_failed"] = failed
+
+    print(json.dumps({
+        "metric": bert["metric"],
+        "value": bert["value"],
+        "unit": bert["unit"],
+        "vs_baseline": bert["vs_baseline"],
+        "extras": extras,
     }))
+    return 0
 
 
 if __name__ == "__main__":
