@@ -177,9 +177,10 @@ class GeneralDataset(BaseDataset):
 
 
 def load_dataset(name, *args, **kwargs):
-    """Load via the HF datasets hub cache (reference appzoo/dataset.py:393)."""
-    import datasets as hf_datasets
-    return hf_datasets.load_dataset(name, *args, **kwargs)
+    """Datahub loading-script registry, then HF cache fallback (reference
+    appzoo/dataset.py:393-422; see data/datahub.py)."""
+    from easynlp_tpu.data.datahub import load_dataset as datahub_load
+    return datahub_load(name, *args, **kwargs)
 
 
 class DataLoader:

@@ -13,15 +13,18 @@ SUPPORTED_TASKS = {
         "impl": "easynlp_tpu.appzoo.sequence_classification.predictor:"
                 "SequenceClassificationPredictor",
         "app": "text_classify",
+        "default": "bert-base-sst",
     },
     "text_match": {
         "impl": "easynlp_tpu.appzoo.text_match.predictor:TextMatchPredictor",
         "app": "text_match",
+        "default": "bert-small-qnli",
     },
     "sequence_labeling": {
         "impl": "easynlp_tpu.appzoo.sequence_labeling.predictor:"
                 "SequenceLabelingPredictor",
         "app": "sequence_labeling",
+        "default": "chinese-roberta-basener",
     },
     "vectorization": {
         "impl": "easynlp_tpu.appzoo.feature_vectorization.predictor:"
@@ -37,16 +40,19 @@ SUPPORTED_TASKS = {
         "impl": "easynlp_tpu.appzoo.machine_reading_comprehension.predictor:"
                 "MRCPredictor",
         "app": "machine_reading_comprehension",
+        "default": "macbert-base-rczh",
     },
     "text2image_generation": {
         "impl": "easynlp_tpu.appzoo.text2image_generation.predictor:"
                 "TextImageGenerationPredictor",
         "app": "text2image_generation",
+        "default": "artist-base-zh",
     },
     "image2text_generation": {
         "impl": "easynlp_tpu.appzoo.image2text_generation.predictor:"
                 "ImageTextGenerationPredictor",
         "app": "image2text_generation",
+        "default": "clip-gpt-i2t-base-zh",
     },
 }
 
@@ -61,9 +67,21 @@ for _ldm_task in ("latent_diffusion", "chinese-ldm-general",
     SUPPORTED_TASKS[_ldm_task] = {"diffusion": True, "app": "latent_diffusion"}
 
 
+def get_supported_tasks():
+    return sorted(SUPPORTED_TASKS)
+
+
+def get_easynlp_model_list():
+    """Registered app-model names (reference get_supported_app_model)."""
+    from easynlp_tpu.utils.zoo_registry import get_supported_app_model
+    return get_supported_app_model(sort=False)
+
+
 def pipeline(task_or_model_path, model_path=None, **kwargs):
-    """pipeline('text_classify', model_path=...) or pipeline(model_dir) with
-    the task inferred from the saved train_config.json."""
+    """pipeline('text_classify') resolves the task's default model through
+    the appzoo registry (reference pipelines/__init__.py:128-140);
+    pipeline('<registered-model-name>') resolves that model and its app;
+    pipeline(model_dir) infers the task from the saved train_config.json."""
     import json
     import os
 
@@ -73,8 +91,29 @@ def pipeline(task_or_model_path, model_path=None, **kwargs):
     if task_or_model_path in SUPPORTED_TASKS:
         task = task_or_model_path
         if model_path is None:
-            raise ValueError("pipeline(%r) needs model_path=" % task)
+            # default-model resolution via the appzoo registry (reference
+            # pipelines/__init__.py:133-135 get_app_model_path(default))
+            from easynlp_tpu.utils.zoo_registry import get_app_model_path
+            default = SUPPORTED_TASKS[task].get("default")
+            if default is None:
+                raise ValueError("pipeline(%r) needs model_path= (no default "
+                                 "model registered for this task)" % task)
+            model_path = get_app_model_path(default)
     else:
+        from easynlp_tpu.utils.zoo_registry import (
+            get_app_model_path, get_remote_app_model_mapping)
+        mapping = {}
+        try:
+            mapping = get_remote_app_model_mapping()
+        except RuntimeError:
+            pass
+        if task_or_model_path in mapping:
+            # a registered app-model name (reference :136-141)
+            task = mapping[task_or_model_path]["app_name"]
+            model_path = get_app_model_path(task_or_model_path, mapping)
+            if task not in SUPPORTED_TASKS:
+                raise KeyError("task %r not in SUPPORTED_TASKS" % task)
+            return Pipeline(task, model_path, **kwargs)
         model_path = task_or_model_path
         cfg = os.path.join(get_pretrain_model_path(model_path),
                            "train_config.json")

@@ -99,6 +99,14 @@ def get_pretrain_model_path(name_or_path, disable_auto_download=False):
     for cand in candidates:
         if os.path.isdir(cand):
             return cand
+    if not disable_auto_download:
+        # name->artifact resolution through the zoo registry (reference
+        # utils/__init__.py:146-199 modelzoo_alibaba.json); the "remote" is
+        # the io-seam root in EASYNLP_REMOTE_MODELZOO
+        from easynlp_tpu.utils.zoo_registry import resolve_pretrained_name
+        resolved = resolve_pretrained_name(name_or_path)
+        if resolved:
+            return resolved
     logger.warning("pretrained model %r not found locally; treating as config name",
                    name_or_path)
     return name_or_path
