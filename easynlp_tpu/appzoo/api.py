@@ -488,6 +488,16 @@ def default_main_fn(args=None):
             num_labels=max(len(train_dataset.label_enumerate_values), 2),
             label_mapping=train_dataset.label_mapping
             if hasattr(train_dataset, "label_mapping") else None)
+        if udp.get("enable_lora"):
+            # adapter-only finetune (reference diffusion/diffusers_api LoRA);
+            # generic — any app family accepts it
+            from easynlp_tpu.core.lora_app import LoRAApplication
+            from easynlp_tpu.modelzoo.lora import parse_targets
+            app = LoRAApplication(
+                app, rank=int(udp.get("lora_rank", 4)),
+                alpha=float(udp["lora_alpha"])
+                if udp.get("lora_alpha") else None,
+                targets=parse_targets(udp.get("lora_targets")))
         from easynlp_tpu.core.trainer import Trainer
         trainer_cls, trainer_kwargs = Trainer, {}
         if udp.get("enable_metakd"):

@@ -80,6 +80,16 @@ class Trainer:
             max_grad_norm=0.0,
             b1=self.args.adam_beta1, b2=self.args.adam_beta2,
             eps=self.args.adam_epsilon)
+        # partial-freeze (LoRA / head-only finetune): apps expose a boolean
+        # `trainable_mask` pytree; frozen leaves get zero updates and no
+        # optimizer state (optax.multi_transform)
+        mask = getattr(self.app, "trainable_mask", None)
+        if mask is not None:
+            import optax
+            labels = jax.tree.map(
+                lambda t: "train" if t else "frozen", mask)
+            tx = optax.multi_transform(
+                {"train": tx, "frozen": optax.set_to_zero()}, labels)
         self.tx, self.schedule_fn, self.t_total = tx, schedule_fn, t_total
         self.max_grad_norm = float(self.args.max_grad_norm or 0.0)
 
@@ -325,7 +335,10 @@ class Trainer:
         # the app object carries the trained weights from here on (the
         # reference's nn.Module is stateful; donation invalidates the app's
         # original buffers, so the sync is mandatory, not cosmetic)
-        self.app.params = self.params
+        if hasattr(self.app, "sync_trained_params"):
+            self.app.sync_trained_params(self.params)   # e.g. LoRA merge
+        else:
+            self.app.params = self.params
         self._eval_and_save(final=True)
         self.stats.close()
 
@@ -333,8 +346,15 @@ class Trainer:
         args = self.args
         score = None
         if self.evaluator is not None:
-            self.app.params = self.params  # predict with current weights
-            results = self.evaluator.evaluate(self.app)
+            if hasattr(self.app, "sync_trained_params"):
+                # composite train-state (LoRA): evaluate the inner app on
+                # merged weights
+                self.app.sync_trained_params(self.params)
+                eval_app = getattr(self.app, "inner", self.app)
+            else:
+                self.app.params = self.params  # predict with current weights
+                eval_app = self.app
+            results = self.evaluator.evaluate(eval_app)
             self.stats.log_eval(self.global_step, results)
             score = results[0][1]
         if not args.checkpoint_dir or not args.is_master_node:
@@ -360,7 +380,14 @@ class Trainer:
         if subdir:
             out = os.path.join(out, subdir)
         io.makedirs(out)
-        save_params(self.params, out)
+        # apps may reshape the main artifact (e.g. LoRA merges adapters so
+        # the checkpoint stays predictor/pipeline-compatible) and add extras
+        export = getattr(self.app, "export_params", None)
+        save_params(export(self.params) if export else self.params, out)
+        extra = getattr(self.app, "extra_save_artifacts", None)
+        if extra:
+            for fname, tree in extra(self.params).items():
+                save_params(tree, out, name=fname)
         self.app.config.save_pretrained(out)
         if self.tokenizer is not None:
             self.tokenizer.save_pretrained(out)
@@ -405,7 +432,13 @@ class Trainer:
         self.start_epoch = int(meta.get("epoch", 0))
         self._resume_skip_batches = self.global_step % self.steps_per_epoch
         self.best_score = float(meta.get("best_score", -float("inf")))
-        loaded = load_params(ckpt_dir, target=jax.device_get(self.params))
+        restore = getattr(self.app, "restore_params", None)
+        if restore:
+            # apps with composite train-state (e.g. LoRA base+adapters) load
+            # their own artifact set
+            loaded = restore(ckpt_dir, jax.device_get(self.params))
+        else:
+            loaded = load_params(ckpt_dir, target=jax.device_get(self.params))
         self.params = jax.tree.map(
             lambda cur, new: jax.device_put(jnp.asarray(new), cur.sharding),
             self.params, loaded)

@@ -38,6 +38,10 @@ USER_DEFINED_PARAMETERS_TYPES = {
     "kangaroo_model_prefix": bool,
     "contrast_learning_flag": bool,
     "mask_language_model": bool,
+    "enable_lora": bool,
+    "lora_rank": int,
+    "lora_alpha": float,
+    "lora_targets": str,
 }
 
 
