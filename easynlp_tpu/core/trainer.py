@@ -62,7 +62,8 @@ class Trainer:
         global_batch = self.args.micro_batch_size * self.accum
         self.train_loader = DataLoader(
             train_dataset, batch_size=global_batch, shuffle=True,
-            seed=self.args.random_seed)
+            seed=self.args.random_seed,
+            num_workers=getattr(self.args, "data_workers", 0))
         self.steps_per_epoch = max(1, len(self.train_loader))
 
         tx, schedule_fn, t_total = get_optimizer(

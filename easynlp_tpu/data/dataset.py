@@ -192,13 +192,30 @@ class DataLoader:
     """
 
     def __init__(self, dataset, batch_size, shuffle=False, seed=0,
-                 drop_last=None):
+                 drop_last=None, num_workers=0):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.seed = seed
         self.drop_last = shuffle if drop_last is None else drop_last
         self.epoch = 0
+        # parallel per-item featurisation (image decode/resize releases the
+        # GIL in PIL's C core, so threads scale on multi-core hosts — the
+        # replacement for the reference's torch DataLoader num_workers on the
+        # image-heavy apps). 0/1 = synchronous.
+        self.num_workers = int(num_workers or 0)
+        self._pool = None
+
+    def _fetch(self, idx):
+        if self.num_workers > 1:
+            if self._pool is None:
+                from concurrent.futures import ThreadPoolExecutor
+                self._pool = ThreadPoolExecutor(
+                    max_workers=self.num_workers,
+                    thread_name_prefix="dataloader")
+            return list(self._pool.map(
+                lambda i: self.dataset[int(i)], idx))
+        return [self.dataset[int(i)] for i in idx]
 
     def set_epoch(self, epoch):
         self.epoch = epoch
@@ -228,7 +245,7 @@ class DataLoader:
                 pad = np.zeros(bs - len(idx), order.dtype)
                 valid = np.concatenate([valid, np.zeros(bs - len(idx), np.int32)])
                 idx = np.concatenate([idx, pad])
-            examples = [self.dataset[int(i)] for i in idx]
+            examples = self._fetch(idx)
             batch = self.dataset.batch_fn(examples)
             batch["_valid"] = valid
             yield batch

@@ -117,6 +117,10 @@ def _add_easynlp_args(parser: argparse.ArgumentParser) -> None:
                        help="Pallas flash attention (auto: on TPU only)")
     group.add_argument("--num_host_prefetch", default=2, type=int,
                        help="Device prefetch depth for the input pipeline")
+    group.add_argument("--data_workers", default=0, type=int,
+                       help="Threads for per-item featurisation inside the "
+                            "DataLoader (image decode releases the GIL; the "
+                            "num_workers equivalent for image-heavy apps)")
     group.add_argument("--profile_dir", default=None, type=str,
                        help="Capture a jax profiler trace of training steps "
                             "into this directory (view with xprof/tensorboard)")

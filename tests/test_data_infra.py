@@ -475,3 +475,32 @@ def test_general_dataset_label_first_column(tmp_path):
     ids = ex["input_ids"].tolist()
     assert vocab.index("a") in ids and vocab.index("b") in ids
     assert int(ex["label_ids"]) == 1
+
+
+def test_dataloader_parallel_featurisation_matches_sync():
+    """num_workers>1 must yield byte-identical batches in the same order as
+    the synchronous path (thread pool preserves index order via map)."""
+    import numpy as np
+
+    from easynlp_tpu.data.dataset import DataLoader
+
+    class SlowDataset:
+        def __len__(self):
+            return 20
+
+        def __getitem__(self, i):
+            # simulate per-item image decode work
+            rng = np.random.RandomState(i)
+            return {"x": rng.rand(4).astype(np.float32),
+                    "i": np.int32(i)}
+
+        def batch_fn(self, ex):
+            return {k: np.stack([e[k] for e in ex]) for k in ex[0]}
+
+    sync = list(DataLoader(SlowDataset(), 8, shuffle=True, seed=3))
+    par = list(DataLoader(SlowDataset(), 8, shuffle=True, seed=3,
+                          num_workers=4))
+    assert len(sync) == len(par)
+    for a, b in zip(sync, par):
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k])
