@@ -12,6 +12,7 @@ jax.distributed.initialize). Usage:
         --label_name=... --checkpoint_dir=./out
 """
 
+import os
 import sys
 
 from easynlp_tpu.appzoo.api import default_main_fn
@@ -19,6 +20,13 @@ from easynlp_tpu.utils.initializer import initialize_easynlp
 
 
 def main(argv=None):
+    # EASYNLP_PLATFORM=cpu forces the backend before init via jax.config —
+    # needed because on some plugin setups (axon) the JAX_PLATFORMS env var
+    # alone does not take effect. Used by the examples smoke tests.
+    plat = os.environ.get("EASYNLP_PLATFORM")
+    if plat:
+        import jax
+        jax.config.update("jax_platforms", plat)
     args = initialize_easynlp(args_list=argv)
     default_main_fn(args)
     return 0

@@ -50,11 +50,14 @@ class PyModelPredictor(Predictor):
         self._fwd = jax.jit(fwd)
 
     def predict(self, in_data):
-        n = len(next(iter(in_data.values())))
         bs = self.batch_size
         arrays = {k: np.asarray(v, dtype=d)
                   for (k, d), v in ((kd, in_data[kd[0]])
                                     for kd in self.input_keys)}
+        # row count from the MODEL inputs, not whatever passthrough column
+        # happens to iterate first — preprocessors may expand rows (e.g.
+        # data_augmentation replicates each row augment_count times)
+        n = len(next(iter(arrays.values())))
         outs = []
         for start in range(0, n, bs):
             chunk = {k: v[start:start + bs] for k, v in arrays.items()}

@@ -1,0 +1,30 @@
+#!/usr/bin/env bash
+# vectorization tutorial — TPU-native equivalent of the reference
+# examples/appzoo_tutorials/feature_vectorization runner.
+# Defaults use tiny synthetic fixtures (gen_data.py) so this runs anywhere;
+# point MODEL at a zoo name / real dir and *_TABLE at real data for real work.
+set -e
+cd "$(dirname "$0")"
+DATA=${DATA:-./data}
+MODEL=${MODEL:-$DATA/pretrain}
+CKPT=${CKPT:-./ckpt}
+TRAIN_TABLE=${TRAIN_TABLE:-$DATA/train.tsv}
+DEV_TABLE=${DEV_TABLE:-$DATA/dev.tsv}
+SEQ=${SEQ:-16}; BS=${BS:-8}; EPOCHS=${EPOCHS:-1}; LR=${LR:-3e-4}
+EXTRA=${EXTRA:-}
+
+[ -f "$TRAIN_TABLE" ] || python ../gen_data.py vectorization "$DATA"
+
+mkdir -p "$CKPT"
+
+python -m easynlp_tpu.cli \
+  --mode=predict --app_name=vectorization \
+  --tables="$DEV_TABLE" --outputs="$CKPT/pred.tsv" \
+  --input_schema="id:str:1,sent:str:1,label:str:1" \
+  --first_sequence=sent \
+  --output_schema=predictions --append_cols=id \
+  --checkpoint_dir="$MODEL" \
+  --micro_batch_size="$BS" --sequence_length="$SEQ" \
+  $EXTRA
+
+head -2 "$CKPT/pred.tsv"
