@@ -193,29 +193,79 @@ class LatentDiffusion(Application):
 
         def sampler(params, input_ids, attention_mask, negative_input_ids,
                     rng):
-            b = input_ids.shape[0]
-            latent_hw = config.image_size // (
-                2 ** (len(config.vae_channel_mult) - 1))
-            shape = (b, latent_hw, latent_hw, config.latent_channels)
-            context = module.apply({"params": params}, input_ids,
-                                   attention_mask, method=module.encode_text)
-            if guidance_scale > 1.0:
-                uncond = module.apply({"params": params}, negative_input_ids,
-                                      None, method=module.encode_text)
-
-                def denoise(x, t):
-                    eps_c = module.apply({"params": params}, x, t, context,
-                                         method=module.predict_noise)
-                    eps_u = module.apply({"params": params}, x, t, uncond,
-                                         method=module.predict_noise)
-                    return eps_u + guidance_scale * (eps_c - eps_u)
-            else:
-                def denoise(x, t):
-                    return module.apply({"params": params}, x, t, context,
-                                        method=module.predict_noise)
-
+            shape = self._latent_shape(input_ids.shape[0])
+            denoise = self._make_denoise(params, input_ids, attention_mask,
+                                         negative_input_ids, guidance_scale)
             latents = ddim_sample(denoise, shape, schedule,
                                   num_steps=num_steps, rng=rng)
+            images = module.apply({"params": params}, latents,
+                                  method=module.decode_latents)
+            return jnp.clip(images, -1.0, 1.0)
+
+        return sampler
+
+    def _make_denoise(self, params, input_ids, attention_mask,
+                      negative_input_ids, guidance_scale):
+        """CFG-combined eps predictor shared by every sampler."""
+        module = self.module
+        context = module.apply({"params": params}, input_ids,
+                               attention_mask, method=module.encode_text)
+        if guidance_scale > 1.0:
+            uncond = module.apply({"params": params}, negative_input_ids,
+                                  None, method=module.encode_text)
+
+            def denoise(x, t):
+                eps_c = module.apply({"params": params}, x, t, context,
+                                     method=module.predict_noise)
+                eps_u = module.apply({"params": params}, x, t, uncond,
+                                     method=module.predict_noise)
+                return eps_u + guidance_scale * (eps_c - eps_u)
+        else:
+            def denoise(x, t):
+                return module.apply({"params": params}, x, t, context,
+                                    method=module.predict_noise)
+        return denoise
+
+    def _latent_shape(self, batch):
+        hw = self.config.image_size // (
+            2 ** (len(self.config.vae_channel_mult) - 1))
+        return (batch, hw, hw, self.config.latent_channels)
+
+    # -- OLSS learned scheduler (reference diffusion/olss_scheduler) ----------
+    def fit_olss(self, input_ids, attention_mask=None,
+                 negative_input_ids=None, teacher_steps=100, student_steps=10,
+                 guidance_scale=7.5, rng=None):
+        """Learn an N-step scheduler from a DDIM teacher trajectory on the
+        given prompts (reference olss.py SchedulerWrapper.prepare_olss).
+        Returns (timesteps, wx, we) for make_olss_sampler / save_olss."""
+        from easynlp_tpu.modelzoo.models.latent_diffusion.olss import (
+            ddim_collect_path, fit_olss)
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        if negative_input_ids is None:
+            negative_input_ids = jnp.full_like(
+                input_ids, self.config.text_config.pad_token_id)
+        denoise = self._make_denoise(self.params, input_ids, attention_mask,
+                                     negative_input_ids, guidance_scale)
+        t_path, x_path, e_path = ddim_collect_path(
+            denoise, self._latent_shape(input_ids.shape[0]),
+            self.schedule, num_steps=teacher_steps, rng=rng)
+        return fit_olss(t_path, x_path, e_path, student_steps)
+
+    def make_olss_sampler(self, olss_params, guidance_scale=7.5):
+        """sampler(params, input_ids, attention_mask, negative_input_ids,
+        rng) → images, using the learned (timesteps, wx, we)."""
+        from easynlp_tpu.modelzoo.models.latent_diffusion.olss import (
+            olss_sample)
+        timesteps, wx, we = olss_params
+        module = self.module
+
+        def sampler(params, input_ids, attention_mask, negative_input_ids,
+                    rng):
+            denoise = self._make_denoise(params, input_ids, attention_mask,
+                                         negative_input_ids, guidance_scale)
+            xT = jax.random.normal(
+                rng, self._latent_shape(input_ids.shape[0]), jnp.float32)
+            latents = olss_sample(denoise, xT, timesteps, wx, we)
             images = module.apply({"params": params}, latents,
                                   method=module.decode_latents)
             return jnp.clip(images, -1.0, 1.0)

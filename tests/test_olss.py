@@ -1,0 +1,95 @@
+"""OLSS learned scheduler (reference diffusion/olss_scheduler/olss.py,
+arXiv:2305.14677): teacher-path collection, lstsq solve, and the accelerated
+sampler tracking the teacher."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from easynlp_tpu.modelzoo.models.latent_diffusion.ddim import (
+    DiffusionSchedule, ddim_sample)
+from easynlp_tpu.modelzoo.models.latent_diffusion.olss import (
+    ddim_collect_path, fit_olss, load_olss, olss_sample, save_olss)
+
+
+def _toy_denoise(x, t):
+    """A cheap deterministic 'model': eps depends smoothly on (x, t)."""
+    tt = (t.astype(jnp.float32) / 100.0)[:, None, None, None]
+    return jnp.tanh(x) * (0.5 + 0.1 * tt) + 0.05 * tt
+
+
+def test_collect_path_matches_ddim():
+    """The scanned collector's final state equals the plain DDIM sampler."""
+    sched = DiffusionSchedule(100)
+    shape = (2, 4, 4, 2)
+    rng = jax.random.PRNGKey(0)
+    t_path, x_path, e_path = ddim_collect_path(_toy_denoise, shape, sched,
+                                               num_steps=16, rng=rng)
+    ref = ddim_sample(_toy_denoise, shape, sched, num_steps=16, eta=0.0,
+                      rng=rng)
+    assert t_path.shape == (16,) and t_path[0] > t_path[-1]
+    assert x_path.shape == (17,) + shape and e_path.shape == (16,) + shape
+    np.testing.assert_allclose(x_path[-1], np.asarray(ref), atol=1e-5)
+
+
+def test_olss_tracks_teacher_better_than_naive(tmp_path):
+    """4-step OLSS fitted on a 16-step teacher reproduces the teacher's
+    final state far better than naive 4-step DDIM."""
+    sched = DiffusionSchedule(100)
+    shape = (2, 4, 4, 2)
+    rng = jax.random.PRNGKey(1)
+    t_path, x_path, e_path = ddim_collect_path(_toy_denoise, shape, sched,
+                                               num_steps=16, rng=rng)
+    teacher_final = x_path[-1]
+    olss_params = fit_olss(t_path, x_path, e_path, num_accelerate_steps=4)
+    timesteps, wx, we = olss_params
+    assert len(timesteps) <= 4
+
+    xT = jnp.asarray(x_path[0])
+    student = np.asarray(olss_sample(_toy_denoise, xT, timesteps, wx, we))
+    naive = np.asarray(ddim_sample(_toy_denoise, shape, sched, num_steps=4,
+                                   eta=0.0, rng=rng, x_init=xT))
+    err_olss = float(np.mean((student - teacher_final) ** 2))
+    err_naive = float(np.mean((naive - teacher_final) ** 2))
+    assert err_olss < err_naive * 0.5, (err_olss, err_naive)
+    assert err_olss < 1e-3
+
+    # save/load roundtrip
+    p = str(tmp_path / "olss.npz")
+    save_olss(p, *olss_params)
+    t2, wx2, we2 = load_olss(p)
+    np.testing.assert_array_equal(t2, np.asarray(timesteps))
+    np.testing.assert_allclose(wx2, wx)
+    np.testing.assert_allclose(we2, we)
+
+
+def test_app_fit_and_sample_olss():
+    """LatentDiffusion.fit_olss + make_olss_sampler end-to-end on the tiny
+    LDM: finite images at the configured resolution."""
+    from easynlp_tpu.appzoo.latent_diffusion.model import (LatentDiffusion,
+                                                           LDMConfig,
+                                                           LDMModule)
+    from easynlp_tpu.testing import make_args
+    make_args()
+    cfg = LDMConfig(image_size=16, latent_channels=2, model_channels=16,
+                    channel_mult=(1, 2), num_res_blocks=1,
+                    attention_levels=(1,), num_heads=2, context_dim=16,
+                    vae_channels=8, vae_channel_mult=(1, 2),
+                    vae_num_res_blocks=1,
+                    text_config=dict(vocab_size=50, hidden_size=16,
+                                     num_hidden_layers=1,
+                                     num_attention_heads=2,
+                                     intermediate_size=32,
+                                     max_position_embeddings=16))
+    module = LDMModule(config=cfg, dtype=jnp.float32)
+    params = LatentDiffusion.init_params(module, cfg)
+    app = LatentDiffusion(module, params, cfg)
+
+    ids = jnp.ones((1, 8), jnp.int32)
+    olss_params = app.fit_olss(ids, teacher_steps=8, student_steps=3,
+                               guidance_scale=1.0)
+    sampler = jax.jit(app.make_olss_sampler(olss_params, guidance_scale=1.0))
+    img = sampler(app.params, ids, None, jnp.zeros_like(ids),
+                  jax.random.PRNGKey(0))
+    assert img.shape == (1, 16, 16, 3)
+    assert np.isfinite(np.asarray(img)).all()
