@@ -184,11 +184,16 @@ class LatentDiffusion(Application):
             "latent diffusion uses make_train_loss (needs rng/timesteps)")
 
     # -- sampling -------------------------------------------------------------
-    def make_sampler(self, num_steps=50, guidance_scale=7.5):
+    def make_sampler(self, num_steps=50, guidance_scale=7.5, method="ddim"):
         """Returns sampler(params, input_ids, attention_mask,
         negative_input_ids, rng) → images. Params are an ARGUMENT — jitting a
         closure that captures them would bake gigabytes of weights into the
-        compiled program as constants."""
+        compiled program as constants. method: 'ddim' | 'plms' |
+        'dpm++' (DPM-Solver++(2M), good at 15-25 steps)."""
+        from easynlp_tpu.modelzoo.models.latent_diffusion.ddim import (
+            dpm_solver_pp_sample, plms_sample)
+        sample_fn = {"ddim": ddim_sample, "plms": plms_sample,
+                     "dpm++": dpm_solver_pp_sample}[method]
         module, config, schedule = self.module, self.config, self.schedule
 
         def sampler(params, input_ids, attention_mask, negative_input_ids,
@@ -196,8 +201,8 @@ class LatentDiffusion(Application):
             shape = self._latent_shape(input_ids.shape[0])
             denoise = self._make_denoise(params, input_ids, attention_mask,
                                          negative_input_ids, guidance_scale)
-            latents = ddim_sample(denoise, shape, schedule,
-                                  num_steps=num_steps, rng=rng)
+            latents = sample_fn(denoise, shape, schedule,
+                                num_steps=num_steps, rng=rng)
             images = module.apply({"params": params}, latents,
                                   method=module.decode_latents)
             return jnp.clip(images, -1.0, 1.0)
@@ -273,13 +278,16 @@ class LatentDiffusion(Application):
         return sampler
 
     def sample(self, input_ids, attention_mask=None, num_steps=50,
-               guidance_scale=7.5, rng=None, negative_input_ids=None):
-        """Text → images [B, H, W, 3] in [-1, 1] (DDIM + CFG + VAE decode)."""
+               guidance_scale=7.5, rng=None, negative_input_ids=None,
+               method="ddim"):
+        """Text → images [B, H, W, 3] in [-1, 1] (sampler + CFG + VAE
+        decode)."""
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         if negative_input_ids is None:
             negative_input_ids = jnp.full_like(
                 input_ids, self.config.text_config.pad_token_id)
-        sampler = jax.jit(self.make_sampler(num_steps, guidance_scale))
+        sampler = jax.jit(self.make_sampler(num_steps, guidance_scale,
+                                            method=method))
         return sampler(self.params, input_ids, attention_mask,
                        negative_input_ids, rng)
 

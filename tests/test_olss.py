@@ -93,3 +93,51 @@ def test_app_fit_and_sample_olss():
                   jax.random.PRNGKey(0))
     assert img.shape == (1, 16, 16, 3)
     assert np.isfinite(np.asarray(img)).all()
+
+
+def test_dpm_solver_pp_beats_ddim_at_few_steps():
+    """10-step DPM-Solver++(2M) approximates the 100-step DDIM limit better
+    than 10-step DDIM on the toy model (its whole selling point)."""
+    from easynlp_tpu.modelzoo.models.latent_diffusion.ddim import (
+        dpm_solver_pp_sample)
+    sched = DiffusionSchedule(1000)
+    shape = (2, 4, 4, 2)
+    rng = jax.random.PRNGKey(2)
+    xT = jax.random.normal(rng, shape, jnp.float32)
+    ref = np.asarray(ddim_sample(_toy_denoise, shape, sched, num_steps=200,
+                                 eta=0.0, rng=rng, x_init=xT))
+    fast = np.asarray(dpm_solver_pp_sample(_toy_denoise, shape, sched,
+                                           num_steps=10, rng=rng, x_init=xT))
+    slow = np.asarray(ddim_sample(_toy_denoise, shape, sched, num_steps=10,
+                                  eta=0.0, rng=rng, x_init=xT))
+    err_fast = float(np.mean((fast - ref) ** 2))
+    err_slow = float(np.mean((slow - ref) ** 2))
+    assert np.isfinite(fast).all()
+    assert err_fast < err_slow, (err_fast, err_slow)
+
+
+def test_app_sampler_methods():
+    """make_sampler method switch: plms and dpm++ produce finite images."""
+    from easynlp_tpu.appzoo.latent_diffusion.model import (LatentDiffusion,
+                                                           LDMConfig,
+                                                           LDMModule)
+    from easynlp_tpu.testing import make_args
+    make_args()
+    cfg = LDMConfig(image_size=16, latent_channels=2, model_channels=16,
+                    channel_mult=(1, 2), num_res_blocks=1,
+                    attention_levels=(1,), num_heads=2, context_dim=16,
+                    vae_channels=8, vae_channel_mult=(1, 2),
+                    vae_num_res_blocks=1,
+                    text_config=dict(vocab_size=50, hidden_size=16,
+                                     num_hidden_layers=1,
+                                     num_attention_heads=2,
+                                     intermediate_size=32,
+                                     max_position_embeddings=16))
+    module = LDMModule(config=cfg, dtype=jnp.float32)
+    params = LatentDiffusion.init_params(module, cfg)
+    app = LatentDiffusion(module, params, cfg)
+    ids = jnp.ones((1, 8), jnp.int32)
+    for method in ("plms", "dpm++"):
+        img = app.sample(ids, num_steps=3, guidance_scale=1.0, method=method)
+        assert img.shape == (1, 16, 16, 3)
+        assert np.isfinite(np.asarray(img)).all(), method
