@@ -91,9 +91,9 @@ class LDMModule(nn.Module):
         return self.vae_decoder(latents / self.config.scale_factor)
 
     def predict_noise(self, noisy_latents, timesteps, context,
-                      deterministic=True):
+                      deterministic=True, share_self=None):
         return self.unet(noisy_latents, timesteps, context=context,
-                         deterministic=deterministic)
+                         deterministic=deterministic, share_self=share_self)
 
     def __call__(self, pixel_values, input_ids, attention_mask=None,
                  timesteps=None, deterministic=True):
@@ -235,6 +235,64 @@ class LatentDiffusion(Application):
         hw = self.config.image_size // (
             2 ** (len(self.config.vae_channel_mult) - 1))
         return (batch, hw, hw, self.config.latent_channels)
+
+    # -- FreePromptEditing (reference diffusion/FreePromptEditing, CVPR'24) ---
+    def edit(self, source_input_ids, target_input_ids, attention_mask=None,
+             num_steps=50, guidance_scale=7.5, share_frac=0.4, rng=None,
+             negative_input_ids=None):
+        """Prompt-based editing via self-attention-map sharing (FreeSAP):
+        source and target prompts sample from the SAME initial noise, and
+        for the first share_frac of the steps the target branch reuses the
+        source branch's self-attention maps, inheriting its spatial layout
+        while the cross-attention re-paints it with the target prompt.
+        Returns images [2B, H, W, 3]: rows [:B] = source, [B:] = edited."""
+        from easynlp_tpu.modelzoo.models.latent_diffusion.ddim import (
+            ddim_sample)
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        ids = jnp.concatenate([source_input_ids, target_input_ids], axis=0)
+        mask = (jnp.concatenate([attention_mask, attention_mask], axis=0)
+                if attention_mask is not None else None)
+        if negative_input_ids is None:
+            negative_input_ids = jnp.full_like(
+                ids, self.config.text_config.pad_token_id)
+        b = source_input_ids.shape[0]
+        # timesteps descend; sharing is active while t >= t_cutoff
+        import numpy as np
+        steps = np.linspace(0, self.config.num_train_timesteps - 1,
+                            num_steps, dtype=np.int64)[::-1]
+        k = min(int(share_frac * num_steps), num_steps - 1)
+        t_cutoff = int(steps[k])
+        module, schedule = self.module, self.schedule
+
+        def sampler(params, ids, mask, neg, rng):
+            context = module.apply({"params": params}, ids, mask,
+                                   method=module.encode_text)
+            uncond = module.apply({"params": params}, neg, None,
+                                  method=module.encode_text)
+
+            def denoise(x, t):
+                share = t[0] > t_cutoff
+                eps_c = module.apply({"params": params}, x, t, context,
+                                     method=module.predict_noise,
+                                     share_self=share)
+                if guidance_scale <= 1.0:
+                    return eps_c
+                eps_u = module.apply({"params": params}, x, t, uncond,
+                                     method=module.predict_noise,
+                                     share_self=share)
+                return eps_u + guidance_scale * (eps_c - eps_u)
+
+            shape = self._latent_shape(2 * b)
+            x0 = jax.random.normal(rng, self._latent_shape(b), jnp.float32)
+            x0 = jnp.concatenate([x0, x0], axis=0)  # same seed both branches
+            latents = ddim_sample(denoise, shape, schedule,
+                                  num_steps=num_steps, x_init=x0)
+            images = module.apply({"params": params}, latents,
+                                  method=module.decode_latents)
+            return jnp.clip(images, -1.0, 1.0)
+
+        return jax.jit(sampler)(self.params, ids, mask, negative_input_ids,
+                                rng)
 
     # -- OLSS learned scheduler (reference diffusion/olss_scheduler) ----------
     def fit_olss(self, input_ids, attention_mask=None,

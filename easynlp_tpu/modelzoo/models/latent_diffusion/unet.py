@@ -68,7 +68,12 @@ class SpatialTransformer(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, context=None):
+    def __call__(self, x, context=None, share_self=None):
+        """share_self (traced bool scalar or None): when true, the SECOND
+        half of the batch reuses the FIRST half's self-attention maps —
+        the FreeSAP mechanism of FreePromptEditing (reference
+        diffusion/FreePromptEditing, CVPR'24): the target-prompt branch
+        inherits the source branch's spatial structure."""
         b, hh, ww, c = x.shape
         d = c // self.num_heads
         residual_outer = x
@@ -82,7 +87,21 @@ class SpatialTransformer(nn.Module):
         qkv = nn.Dense(3 * c, use_bias=False, dtype=self.dtype,
                        param_dtype=jnp.float32, name="attn1_qkv")(
             normed).reshape(b, hh * ww, 3, self.num_heads, d)
-        ctx = attention(qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2])
+        if share_self is None:
+            ctx = attention(qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2])
+        else:
+            # explicit-probs path so the maps can be swapped across the
+            # source/target batch halves (editing is inference-time only)
+            q = qkv[:, :, 0].transpose(0, 2, 1, 3)
+            k = qkv[:, :, 1].transpose(0, 2, 1, 3)
+            v = qkv[:, :, 2].transpose(0, 2, 1, 3)
+            probs = jax.nn.softmax(
+                (q @ k.transpose(0, 1, 3, 2)).astype(jnp.float32)
+                / jnp.sqrt(jnp.float32(d)), axis=-1)
+            half = b // 2
+            shared = jnp.concatenate([probs[:half], probs[:half]], axis=0)
+            probs = jnp.where(share_self, shared, probs).astype(v.dtype)
+            ctx = (probs @ v).transpose(0, 2, 1, 3)
         h = h + nn.Dense(c, dtype=self.dtype, param_dtype=jnp.float32,
                          name="attn1_out")(ctx.reshape(b, hh * ww, c))
 
@@ -125,7 +144,8 @@ class UNetModel(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, timesteps, context=None, deterministic=True):
+    def __call__(self, x, timesteps, context=None, deterministic=True,
+                 share_self=None):
         c = self.config
         ch = c.model_channels
         temb = timestep_embedding(timesteps, ch)
@@ -146,7 +166,8 @@ class UNetModel(nn.Module):
                 if level in c.attention_levels:
                     h = SpatialTransformer(
                         c.num_heads, dtype=self.dtype,
-                        name="down_%d_attn%d" % (level, blk))(h, context)
+                        name="down_%d_attn%d" % (level, blk))(
+                        h, context, share_self=share_self)
                 skips.append(h)
             if level < len(c.channel_mult) - 1:
                 h = nn.Conv(out_ch, (3, 3), strides=2, padding=1,
@@ -157,7 +178,7 @@ class UNetModel(nn.Module):
         # middle
         h = ResBlock(h.shape[-1], dtype=self.dtype, name="mid_res1")(h, temb)
         h = SpatialTransformer(c.num_heads, dtype=self.dtype,
-                               name="mid_attn")(h, context)
+                               name="mid_attn")(h, context, share_self=share_self)
         h = ResBlock(h.shape[-1], dtype=self.dtype, name="mid_res2")(h, temb)
 
         # up path
@@ -170,7 +191,8 @@ class UNetModel(nn.Module):
                 if level in c.attention_levels:
                     h = SpatialTransformer(
                         c.num_heads, dtype=self.dtype,
-                        name="up_%d_attn%d" % (level, blk))(h, context)
+                        name="up_%d_attn%d" % (level, blk))(
+                        h, context, share_self=share_self)
             if level > 0:
                 b, hh, ww, cc = h.shape
                 h = jax.image.resize(h, (b, hh * 2, ww * 2, cc), "nearest")

@@ -141,3 +141,53 @@ def test_app_sampler_methods():
         img = app.sample(ids, num_steps=3, guidance_scale=1.0, method=method)
         assert img.shape == (1, 16, 16, 3)
         assert np.isfinite(np.asarray(img)).all(), method
+
+
+def _tiny_app_for_edit():
+    from easynlp_tpu.appzoo.latent_diffusion.model import (LatentDiffusion,
+                                                           LDMConfig,
+                                                           LDMModule)
+    from easynlp_tpu.testing import make_args
+    make_args()
+    cfg = LDMConfig(image_size=16, latent_channels=2, model_channels=16,
+                    channel_mult=(1, 2), num_res_blocks=1,
+                    attention_levels=(1,), num_heads=2, context_dim=16,
+                    vae_channels=8, vae_channel_mult=(1, 2),
+                    vae_num_res_blocks=1,
+                    text_config=dict(vocab_size=50, hidden_size=16,
+                                     num_hidden_layers=1,
+                                     num_attention_heads=2,
+                                     intermediate_size=32,
+                                     max_position_embeddings=16))
+    module = LDMModule(config=cfg, dtype=jnp.float32)
+    params = LatentDiffusion.init_params(module, cfg)
+    return LatentDiffusion(module, params, cfg)
+
+
+def test_free_prompt_editing():
+    """FreeSAP editing (reference diffusion/FreePromptEditing): same prompt
+    in both branches + sharing => identical rows; different target prompt
+    => rows differ but sharing keeps the edit closer to the source than an
+    independent generation."""
+    app = _tiny_app_for_edit()
+    rng = jax.random.PRNGKey(0)
+    src = jnp.asarray([[5, 6, 7, 8, 9, 10, 11, 12]], jnp.int32)
+    tgt = jnp.asarray([[5, 6, 20, 8, 9, 10, 11, 12]], jnp.int32)
+
+    same = np.asarray(app.edit(src, src, num_steps=4, guidance_scale=1.0,
+                               share_frac=0.5, rng=rng))
+    np.testing.assert_allclose(same[0], same[1], atol=1e-5)
+
+    out = np.asarray(app.edit(src, tgt, num_steps=4, guidance_scale=1.0,
+                              share_frac=0.75, rng=rng))
+    assert np.isfinite(out).all()
+    d_edit = float(np.mean((out[1] - out[0]) ** 2))
+    assert d_edit > 0  # the target prompt changed the image
+
+    # sharing measurably alters the target branch vs independent generation
+    # (the "stays closer to source" property needs a TRAINED model; on a
+    # random init we assert the mechanism engages, not its perceptual effect)
+    indep = np.asarray(app.edit(src, tgt, num_steps=4, guidance_scale=1.0,
+                                share_frac=0.0, rng=rng))
+    np.testing.assert_allclose(indep[0], out[0], atol=1e-5)  # src unaffected
+    assert float(np.mean((indep[1] - out[1]) ** 2)) > 0
