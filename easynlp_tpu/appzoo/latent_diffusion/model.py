@@ -91,9 +91,10 @@ class LDMModule(nn.Module):
         return self.vae_decoder(latents / self.config.scale_factor)
 
     def predict_noise(self, noisy_latents, timesteps, context,
-                      deterministic=True, share_self=None):
+                      deterministic=True, share_self=None, cross_frame=False):
         return self.unet(noisy_latents, timesteps, context=context,
-                         deterministic=deterministic, share_self=share_self)
+                         deterministic=deterministic, share_self=share_self,
+                         cross_frame=cross_frame)
 
     def __call__(self, pixel_values, input_ids, attention_mask=None,
                  timesteps=None, deterministic=True):
@@ -293,6 +294,68 @@ class LatentDiffusion(Application):
 
         return jax.jit(sampler)(self.params, ids, mask, negative_input_ids,
                                 rng)
+
+    # -- DiffSynth core: cross-frame video stylization ------------------------
+    def stylize_video(self, frames, input_ids, attention_mask=None,
+                      strength=0.7, num_steps=50, guidance_scale=7.5,
+                      rng=None, negative_input_ids=None,
+                      temporal_blend=0.0):
+        """Text-guided video stylization with temporal coherence (reference
+        diffusion/DiffSynth: img2img over all frames with CrossFrameAttention
+        — every frame's self-attention sees every frame, so structure stays
+        consistent; pipeline.py VideoStylizingPipeline minus ControlNet and
+        the external patch-match smoothers).
+
+        frames [F, H, W, 3] in [-1, 1]; the prompt broadcasts to all frames.
+        temporal_blend in [0, 1): optional latent smoother (the reference's
+        pluggable smoother seam) — blends each final latent with its
+        neighbours' mean before decoding. Returns [F, H, W, 3]."""
+        from easynlp_tpu.modelzoo.models.latent_diffusion.ddim import (
+            ddim_img2img)
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        f = frames.shape[0]
+        ids = jnp.broadcast_to(input_ids[0], (f,) + input_ids.shape[1:])
+        mask = (jnp.broadcast_to(attention_mask[0],
+                                 (f,) + attention_mask.shape[1:])
+                if attention_mask is not None else None)
+        if negative_input_ids is None:
+            negative_input_ids = jnp.full_like(
+                ids, self.config.text_config.pad_token_id)
+        module, schedule = self.module, self.schedule
+
+        def pipeline(params, frames, ids, mask, neg, rng):
+            context = module.apply({"params": params}, ids, mask,
+                                   method=module.encode_text)
+            uncond = module.apply({"params": params}, neg, None,
+                                  method=module.encode_text)
+
+            def denoise(x, t):
+                eps_c = module.apply({"params": params}, x, t, context,
+                                     method=module.predict_noise,
+                                     cross_frame=True)
+                if guidance_scale <= 1.0:
+                    return eps_c
+                eps_u = module.apply({"params": params}, x, t, uncond,
+                                     method=module.predict_noise,
+                                     cross_frame=True)
+                return eps_u + guidance_scale * (eps_c - eps_u)
+
+            latents0 = module.apply({"params": params}, frames,
+                                    method=module.encode_image)
+            latents = ddim_img2img(denoise, latents0, schedule,
+                                   strength=strength, num_steps=num_steps,
+                                   rng=rng)
+            if temporal_blend > 0.0:
+                prev = jnp.concatenate([latents[:1], latents[:-1]], axis=0)
+                nxt = jnp.concatenate([latents[1:], latents[-1:]], axis=0)
+                latents = ((1.0 - temporal_blend) * latents
+                           + temporal_blend * 0.5 * (prev + nxt))
+            images = module.apply({"params": params}, latents,
+                                  method=module.decode_latents)
+            return jnp.clip(images, -1.0, 1.0)
+
+        return jax.jit(pipeline)(self.params, frames, ids, mask,
+                                 negative_input_ids, rng)
 
     # -- OLSS learned scheduler (reference diffusion/olss_scheduler) ----------
     def fit_olss(self, input_ids, attention_mask=None,

@@ -157,3 +157,34 @@ def dpm_solver_pp_sample(denoise_fn, shape, schedule, num_steps=20, rng=None,
 
     x, _ = jax.lax.fori_loop(0, num_steps, body, (x, jnp.zeros_like(x)))
     return x
+
+
+def ddim_img2img(denoise_fn, latents0, schedule, strength=0.7, num_steps=50,
+                 rng=None):
+    """img2img: q_sample the input latents to t_start = strength of the
+    schedule, then DDIM-denoise back (reference DiffSynth pipeline.py
+    get_timesteps_for_img2img + the SD img2img convention). strength=1 is
+    full generation, 0 returns the input."""
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    full = np.linspace(0, schedule.num_timesteps - 1, num_steps,
+                       dtype=np.int64)[::-1].copy()
+    n_keep = max(1, int(round(strength * num_steps)))
+    step_indices = jnp.asarray(full[num_steps - n_keep:])
+    t_start = int(full[num_steps - n_keep])
+    noise = jax.random.normal(rng, latents0.shape, jnp.float32)
+    b = latents0.shape[0]
+    x = schedule.q_sample(latents0,
+                          jnp.full((b,), t_start, jnp.int32), noise)
+    acp = schedule.alphas_cumprod
+
+    def body(i, x):
+        t = step_indices[i]
+        t_prev = jnp.where(i + 1 < n_keep,
+                           step_indices[jnp.minimum(i + 1, n_keep - 1)], -1)
+        a_t = acp[t]
+        a_prev = jnp.where(t_prev >= 0, acp[jnp.maximum(t_prev, 0)], 1.0)
+        eps = denoise_fn(x, jnp.full((b,), t, jnp.int32))
+        x0 = (x - jnp.sqrt(1 - a_t) * eps) / jnp.sqrt(a_t)
+        return jnp.sqrt(a_prev) * x0 + jnp.sqrt(1 - a_prev) * eps
+
+    return jax.lax.fori_loop(0, n_keep, body, x)

@@ -68,12 +68,18 @@ class SpatialTransformer(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, context=None, share_self=None):
+    def __call__(self, x, context=None, share_self=None, cross_frame=False):
         """share_self (traced bool scalar or None): when true, the SECOND
         half of the batch reuses the FIRST half's self-attention maps —
         the FreeSAP mechanism of FreePromptEditing (reference
         diffusion/FreePromptEditing, CVPR'24): the target-prompt branch
-        inherits the source branch's spatial structure."""
+        inherits the source branch's spatial structure.
+
+        cross_frame (static bool): self-attention runs jointly over the
+        whole batch-of-frames as ONE sequence (reference
+        diffusion/DiffSynth/DiffSynth/attention.py CrossFrameAttention
+        'B N D -> 1 (B N) D') — the temporal-coherence mechanism for video
+        synthesis."""
         b, hh, ww, c = x.shape
         d = c // self.num_heads
         residual_outer = x
@@ -87,7 +93,12 @@ class SpatialTransformer(nn.Module):
         qkv = nn.Dense(3 * c, use_bias=False, dtype=self.dtype,
                        param_dtype=jnp.float32, name="attn1_qkv")(
             normed).reshape(b, hh * ww, 3, self.num_heads, d)
-        if share_self is None:
+        if cross_frame:
+            # all frames attend to all frames: one joint sequence
+            joint = qkv.reshape(1, b * hh * ww, 3, self.num_heads, d)
+            ctx = attention(joint[:, :, 0], joint[:, :, 1], joint[:, :, 2])
+            ctx = ctx.reshape(b, hh * ww, self.num_heads, d)
+        elif share_self is None:
             ctx = attention(qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2])
         else:
             # explicit-probs path so the maps can be swapped across the
@@ -145,7 +156,7 @@ class UNetModel(nn.Module):
 
     @nn.compact
     def __call__(self, x, timesteps, context=None, deterministic=True,
-                 share_self=None):
+                 share_self=None, cross_frame=False):
         c = self.config
         ch = c.model_channels
         temb = timestep_embedding(timesteps, ch)
@@ -167,7 +178,8 @@ class UNetModel(nn.Module):
                     h = SpatialTransformer(
                         c.num_heads, dtype=self.dtype,
                         name="down_%d_attn%d" % (level, blk))(
-                        h, context, share_self=share_self)
+                        h, context, share_self=share_self,
+                        cross_frame=cross_frame)
                 skips.append(h)
             if level < len(c.channel_mult) - 1:
                 h = nn.Conv(out_ch, (3, 3), strides=2, padding=1,
@@ -178,7 +190,8 @@ class UNetModel(nn.Module):
         # middle
         h = ResBlock(h.shape[-1], dtype=self.dtype, name="mid_res1")(h, temb)
         h = SpatialTransformer(c.num_heads, dtype=self.dtype,
-                               name="mid_attn")(h, context, share_self=share_self)
+                               name="mid_attn")(h, context, share_self=share_self,
+                        cross_frame=cross_frame)
         h = ResBlock(h.shape[-1], dtype=self.dtype, name="mid_res2")(h, temb)
 
         # up path
@@ -192,7 +205,8 @@ class UNetModel(nn.Module):
                     h = SpatialTransformer(
                         c.num_heads, dtype=self.dtype,
                         name="up_%d_attn%d" % (level, blk))(
-                        h, context, share_self=share_self)
+                        h, context, share_self=share_self,
+                        cross_frame=cross_frame)
             if level > 0:
                 b, hh, ww, cc = h.shape
                 h = jax.image.resize(h, (b, hh * 2, ww * 2, cc), "nearest")
