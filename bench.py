@@ -224,6 +224,9 @@ def main(argv=None):
     if only == "clip":
         import bench_clip
         return bench_clip.main()
+    if only == "clip_e2e":
+        import bench_clip
+        return bench_clip.main_e2e()
     if only == "diffusion":
         import bench_diffusion
         return bench_diffusion.main()
@@ -233,6 +236,7 @@ def main(argv=None):
         "bert": [py, "bench.py", "--only", "bert"],
         "e2e": [py, "bench.py", "--only", "e2e"],
         "clip": [py, "bench.py", "--only", "clip"],
+        "clip_e2e": [py, "bench.py", "--only", "clip_e2e"],
         "diffusion": [py, "bench.py", "--only", "diffusion"],
     }
     skip = set(filter(None, os.environ.get("BENCH_SKIP", "").split(",")))
@@ -257,6 +261,12 @@ def main(argv=None):
             "featurisation_samples_per_sec")
     if "value" in results["clip"]:
         extras["clip_train_pairs_per_sec_per_chip"] = results["clip"]["value"]
+    if "value" in results["clip_e2e"]:
+        extras["clip_e2e_train_pairs_per_sec_per_chip"] = \
+            results["clip_e2e"]["value"]
+        if "value" in results["clip"]:
+            extras["clip_e2e_over_device_ratio"] = round(
+                results["clip_e2e"]["value"] / results["clip"]["value"], 3)
     if "value" in results["diffusion"]:
         extras["sd_ddim50_cfg_images_per_min_per_chip"] = \
             results["diffusion"]["value"]

@@ -1,14 +1,133 @@
 """Secondary benchmark: CLIP (ViT-B/32 + BERT-base) contrastive training
 throughput in pairs/s/chip. Prints one JSON line (the driver's primary
-metric stays bench.py)."""
+metric stays bench.py).
+
+`--e2e`: the full host path — base64-PNG TSV on disk → PIL decode/resize on
+a `--data_workers` thread pool → collate → device_prefetch — the image-app
+counterpart of bench.py's e2e leg (host decode is where CLIP training
+starves if anywhere)."""
 
 import json
+import os
 import sys
 import time
 
-BATCH = 128
+TINY = bool(int(os.environ.get("BENCH_TINY", "0")))
+BATCH = 128 if not TINY else 8
 WARMUP = 2
-MEASURE = 8
+MEASURE = 8 if not TINY else 2
+E2E_MEASURE = 8 if not TINY else 2
+IMG = 224 if not TINY else 32
+PATCH = 32 if not TINY else 16
+
+
+def _clip_app(args):
+    import jax.numpy as jnp
+
+    from easynlp_tpu.appzoo.clip.model import CLIPApp
+    from easynlp_tpu.modelzoo.models.clip import CLIPConfig
+
+    if TINY:
+        cfg = CLIPConfig(
+            text_config=dict(vocab_size=21128, hidden_size=32,
+                             num_hidden_layers=2, num_attention_heads=2,
+                             intermediate_size=64,
+                             max_position_embeddings=64),
+            vision_config=dict(image_size=IMG, patch_size=PATCH,
+                               hidden_size=32, num_hidden_layers=2,
+                               num_attention_heads=2, intermediate_size=64),
+            projection_dim=16)
+    else:
+        cfg = CLIPConfig(
+            text_config=dict(vocab_size=21128, hidden_size=768,
+                             num_hidden_layers=12, num_attention_heads=12,
+                             intermediate_size=3072,
+                             max_position_embeddings=512, scan_unroll=12),
+            vision_config=dict(image_size=224, patch_size=32, hidden_size=768,
+                               num_hidden_layers=12, num_attention_heads=12,
+                               intermediate_size=3072, scan_unroll=12),
+            projection_dim=512)
+    module = CLIPApp.build_module(cfg, dtype=jnp.bfloat16)
+    params = CLIPApp.init_params(module, cfg)
+    return CLIPApp(module, params, cfg)
+
+
+def main_e2e():
+    """Trainer-path throughput incl. image decode (see module docstring)."""
+    import base64
+    import io as _io
+    import os
+    import tempfile
+
+    import jax
+    import numpy as np
+
+    from easynlp_tpu.appzoo.clip.data import CLIPDataset
+    from easynlp_tpu.core.trainer import Trainer
+    from easynlp_tpu.data.prefetch import device_prefetch
+    from easynlp_tpu.modelzoo.models.bert.tokenization_bert import (
+        BertTokenizer)
+    from easynlp_tpu.testing import make_args
+    from PIL import Image
+
+    n_rows = BATCH * (WARMUP + E2E_MEASURE)
+    base = tempfile.mkdtemp(prefix="bench_clip_e2e_")
+    vocab = os.path.join(base, "vocab.txt")
+    with open(vocab, "w") as f:
+        f.write("\n".join(["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"]
+                          + ["w%04d" % i for i in range(4000)]))
+    tsv = os.path.join(base, "train.tsv")
+    rng = np.random.RandomState(0)
+    # realistic decode cost: 256px JPEGs resized down to 224
+    with open(tsv, "w") as f:
+        for i in range(n_rows):
+            side = 256 if not TINY else 40
+            arr = rng.randint(0, 255, (side, side, 3), np.uint8)
+            buf = _io.BytesIO()
+            Image.fromarray(arr).save(buf, format="JPEG", quality=85)
+            b64 = base64.urlsafe_b64encode(buf.getvalue()).decode()
+            text = " ".join("w%04d" % j for j in rng.randint(0, 4000, 12))
+            f.write("%d\t%s\t%s\n" % (i, text, b64))
+
+    workers = int(os.environ.get("BENCH_DATA_WORKERS", "8"))
+    args = make_args(micro_batch_size=BATCH, sequence_length=32,
+                     dtype="bfloat16", epoch_num=100.0, logging_steps=10**9,
+                     checkpoint_dir=None, data_workers=workers)
+    ds = CLIPDataset(tsv, BertTokenizer(vocab), max_seq_length=32,
+                     input_schema="id:str:1,text:str:1,image:str:1",
+                     first_sequence="text", second_sequence="image",
+                     image_size=IMG)
+    app = _clip_app(args)
+    trainer = Trainer(app, ds, evaluator=None, args=args)
+
+    def strip(b):
+        b.pop("_valid", None)
+        return b
+
+    trainer.train_loader.set_epoch(0)
+    batches = device_prefetch(iter(trainer.train_loader),
+                              sharding=trainer.batch_shard,
+                              depth=max(1, args.num_host_prefetch),
+                              transform=strip)
+    p, o = trainer.params, trainer.opt_state
+    t0 = dt = None
+    for step, db in enumerate(batches):
+        p, o, m = trainer._train_step(p, o, db, step)
+        if step + 1 == WARMUP:
+            float(m["loss"])
+            t0 = time.perf_counter()
+        if step + 1 == WARMUP + E2E_MEASURE:
+            float(m["loss"])
+            dt = time.perf_counter() - t0
+            break
+    pairs = E2E_MEASURE * BATCH / dt / jax.device_count()
+    print(json.dumps({
+        "metric": "clip_vitb32_bert_e2e_train_pairs_per_sec_per_chip",
+        "value": round(pairs, 2), "unit": "pairs/s/chip",
+        "vs_baseline": round(pairs / 700.0, 4),
+        "data_workers": workers,
+    }))
+    return 0
 
 
 def main():
@@ -21,23 +140,15 @@ def main():
     from easynlp_tpu.modelzoo.models.clip import CLIPConfig
     from easynlp_tpu.testing import make_args
 
+    if "--e2e" in sys.argv:
+        return main_e2e()
+
     args = make_args(micro_batch_size=BATCH, sequence_length=32,
                      dtype="bfloat16", epoch_num=100.0, logging_steps=10**9,
                      checkpoint_dir=None)
     # scan_unroll: full layer unroll in both towers (no while-loop; see
     # modeling_utils.scan_unroll — v5e +13% on the BERT tower)
-    cfg = CLIPConfig(
-        text_config=dict(vocab_size=21128, hidden_size=768,
-                         num_hidden_layers=12, num_attention_heads=12,
-                         intermediate_size=3072,
-                         max_position_embeddings=512, scan_unroll=12),
-        vision_config=dict(image_size=224, patch_size=32, hidden_size=768,
-                           num_hidden_layers=12, num_attention_heads=12,
-                           intermediate_size=3072, scan_unroll=12),
-        projection_dim=512)
-    module = CLIPApp.build_module(cfg, dtype=jnp.bfloat16)
-    params = CLIPApp.init_params(module, cfg)
-    app = CLIPApp(module, params, cfg)
+    app = _clip_app(args)
 
     class SyntheticPairs:
         def __len__(self):
@@ -49,7 +160,7 @@ def main():
                 "input_ids": rng.randint(0, 21128, 32).astype(np.int32),
                 "attention_mask": np.ones(32, np.int32),
                 "token_type_ids": np.zeros(32, np.int32),
-                "pixel_values": rng.rand(224, 224, 3).astype(np.float32),
+                "pixel_values": rng.rand(IMG, IMG, 3).astype(np.float32),
             }
 
         def batch_fn(self, ex):
