@@ -48,9 +48,16 @@ class SequenceGeneration(Application):
 
     @staticmethod
     def loss_fn(outputs, batch):
-        """Teacher-forced CE over decoder labels (-100 on pads)."""
-        return {"loss": losses.cross_entropy(
-            outputs["logits"], batch["labels"], ignore_index=-100)}
+        """Teacher-forced CE over decoder labels (-100 on pads); MoE models
+        add the router load-balancing term (Switch §2.2)."""
+        loss = losses.cross_entropy(outputs["logits"], batch["labels"],
+                                    ignore_index=-100)
+        out = {"loss": loss}
+        if "moe_aux_loss" in outputs:
+            # already scaled by router_aux_loss_coef in the model
+            out["moe_aux_loss"] = outputs["moe_aux_loss"]
+            out["loss"] = loss + outputs["moe_aux_loss"]
+        return out
 
     @classmethod
     def load_config(cls, model_dir, **kwargs):

@@ -13,7 +13,15 @@ class GPT2Config(PretrainedConfig):
                  activation_function="gelu_new", resid_pdrop=0.1,
                  embd_pdrop=0.1, attn_pdrop=0.1, layer_norm_epsilon=1e-5,
                  initializer_range=0.02, bos_token_id=50256,
-                 eos_token_id=50256, **kwargs):
+                 eos_token_id=50256, num_experts=0, moe_top_k=1,
+                 expert_capacity_factor=1.25, router_aux_loss_coef=0.01,
+                 **kwargs):
+        # gpt_moe (in-package Switch-MoE; the reference defers to the closed
+        # rapidformer package — examples/rapidformer/gpt_moe)
+        self.num_experts = num_experts
+        self.moe_top_k = moe_top_k
+        self.expert_capacity_factor = expert_capacity_factor
+        self.router_aux_loss_coef = router_aux_loss_coef
         self.n_positions = n_positions
         self.n_embd = n_embd
         self.n_layer = n_layer

@@ -109,14 +109,30 @@ class GPT2Block(nn.Module):
             name="attn")(normed, kv_mask, layer_cache, cache_index)
         hidden = hidden + attn_out
         normed = _ln(c, name="ln_2")(hidden).astype(self.dtype)
-        mlp = _dense(c.n_inner, c, ("embed", "mlp"), dtype=self.dtype,
-                     name="c_fc")(normed)
-        mlp = ACT2FN[c.activation_function](mlp)
-        mlp = _dense(c.n_embd, c, ("mlp", "embed"), dtype=self.dtype,
-                     name="c_proj")(mlp)
+        aux = jnp.zeros((), jnp.float32)
+        if getattr(c, "num_experts", 0) > 1:
+            # gpt_moe: Switch-MoE FFN replaces the dense MLP (reference
+            # examples/rapidformer/gpt_moe — external rapidformer there;
+            # in-package here, expert-sharded via the `expert` logical axis)
+            from easynlp_tpu.ops.moe import SwitchMoE
+            mlp, aux = SwitchMoE(
+                d_model=c.n_embd, d_ff=c.n_inner,
+                num_experts=c.num_experts,
+                top_k=getattr(c, "moe_top_k", 1),
+                capacity_factor=getattr(c, "expert_capacity_factor", 1.25),
+                activation=ACT2FN[c.activation_function],
+                kernel_init=truncated_normal_init(c.initializer_range),
+                dtype=self.dtype, name="moe")(
+                normed, deterministic=self.deterministic)
+        else:
+            mlp = _dense(c.n_inner, c, ("embed", "mlp"), dtype=self.dtype,
+                         name="c_fc")(normed)
+            mlp = ACT2FN[c.activation_function](mlp)
+            mlp = _dense(c.n_embd, c, ("mlp", "embed"), dtype=self.dtype,
+                         name="c_proj")(mlp)
         mlp = nn.Dropout(c.resid_pdrop)(mlp, deterministic=self.deterministic)
         hidden = hidden + mlp
-        return (hidden, kv_mask, cache_index), new_cache
+        return (hidden, kv_mask, cache_index), (new_cache, aux)
 
 
 class GPT2Model(BaseModule):
@@ -168,12 +184,18 @@ class GPT2Model(BaseModule):
             metadata_params={nn.PARTITION_NAME: "layers"},
             unroll=scan_unroll(c, c.n_layer),
         )
-        (hidden, _, _), new_caches = scan(
+        (hidden, _, _), (new_caches, moe_aux) = scan(
             config=c, dtype=self.dtype, deterministic=deterministic,
             name="h")((hidden, kv_mask, cache_index), xs)
         hidden = _ln(c, name="ln_f")(hidden).astype(self.dtype)
 
         out = {"last_hidden_state": hidden}
+        if getattr(c, "num_experts", 0) > 1:
+            # per-layer Switch load-balance losses, stacked by the scan,
+            # pre-scaled by the router coefficient
+            out["moe_aux_loss"] = (
+                jnp.float32(getattr(c, "router_aux_loss_coef", 0.01))
+                * jnp.mean(moe_aux))
         if cache is not None:
             out["cache"] = {
                 "k": new_caches[0], "v": new_caches[1],

@@ -1,0 +1,90 @@
+"""Pipeline parallelism: GPipe-style microbatch schedule over a `stage`
+mesh axis.
+
+The reference has NO pipeline parallelism anywhere (SURVEY.md §2.7: its
+rapidformer examples defer to the external closed package) — this is a
+beyond-reference capability, built the TPU way: no send/recv threads or
+schedulers; ONE SPMD program under shard_map where every stage runs the same
+code each tick and activations rotate to the next stage with a single
+`ppermute`. The whole schedule is differentiable (ppermute has a transpose),
+so jax.grad gives 1F1B-equivalent-memory GPipe backward for free, and remat
+of stage_fn bounds activation memory.
+
+Layout contract: stage-stacked params — every leaf has leading dim S sharded
+over `stage` (logical axis "stack" maps to the mesh's stage axis via
+parallel/sharding.py rules when models annotate it; plain device_put with a
+leading-dim sharding works too).
+"""
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+
+def gpipe(stage_fn, stacked_params, x, mesh, num_microbatches,
+          stage_axis="stage", batch_axes=("data", "fsdp")):
+    """Run x through S pipeline stages: y = f_{S-1}(... f_0(x)).
+
+    stage_fn(params_one_stage, x_microbatch) -> same-shape activation.
+    stacked_params: pytree, every leaf [S, ...] (stage i uses leaf[i]).
+    x: [B, ...] global batch; B must divide into num_microbatches.
+    Returns y [B, ...].
+
+    Schedule: classic GPipe fill+drain — tick t has stage s working on
+    microbatch (t - s); M + S - 1 ticks total. Inactive (bubble) ticks
+    compute but are masked out, keeping the program SPMD.
+    """
+    s_count = mesh.shape[stage_axis]
+    m_count = int(num_microbatches)
+    assert x.shape[0] % m_count == 0, "batch must divide into microbatches"
+
+    from jax.experimental.shard_map import shard_map
+
+    batch = tuple(a for a in batch_axes
+                  if a in mesh.axis_names and mesh.shape[a] > 1) or None
+
+    def inner(params_local, x_local):
+        # params_local leaves are [1, ...] (this device's stage slice)
+        params_one = jax.tree.map(lambda p: p[0], params_local)
+        stage_id = jax.lax.axis_index(stage_axis)
+        mb = x_local.shape[0] // m_count
+        xs = x_local.reshape((m_count, mb) + x_local.shape[1:])
+        state = jnp.zeros_like(xs[0])
+        outputs = jnp.zeros_like(xs)
+        fwd = [(i, (i + 1) % s_count) for i in range(s_count)]
+
+        for t in range(m_count + s_count - 1):
+            m_in = t - stage_id            # microbatch this stage works on
+            active = (m_in >= 0) & (m_in < m_count)
+            # stage 0 injects a fresh microbatch; others take the rotated
+            # activation from the previous stage
+            feed = xs[jnp.clip(t, 0, m_count - 1)]
+            x_in = jnp.where(stage_id == 0, feed, state)
+            y = stage_fn(params_one, x_in)
+            y = jnp.where(active, y, jnp.zeros_like(y))
+            # last stage banks its finished microbatch
+            done = (stage_id == s_count - 1) & active
+            slot = jax.nn.one_hot(jnp.clip(m_in, 0, m_count - 1), m_count,
+                                  dtype=y.dtype)
+            outputs = outputs + jnp.where(done, 1.0, 0.0) * (
+                slot.reshape((m_count,) + (1,) * y.ndim) * y[None])
+            # rotate activations one stage forward
+            state = jax.lax.ppermute(y, stage_axis, fwd)
+
+        # only the last stage holds real outputs; broadcast over the axis
+        outputs = jax.lax.psum(outputs, stage_axis)
+        return outputs.reshape(x_local.shape)
+
+    param_specs = jax.tree.map(
+        lambda _: P(stage_axis), stacked_params)
+    wrapped = shard_map(
+        inner, mesh=mesh,
+        in_specs=(param_specs, P(batch)),
+        out_specs=P(batch), check_rep=False)
+    return wrapped(stacked_params, x)
+
+
+def place_stage_stacked(stacked_params, mesh, stage_axis="stage"):
+    """Shard every leaf's leading (stage) dim over the stage axis."""
+    sh = NamedSharding(mesh, P(stage_axis))
+    return jax.tree.map(lambda p: jax.device_put(p, sh), stacked_params)
