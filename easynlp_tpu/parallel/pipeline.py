@@ -25,8 +25,11 @@ def gpipe(stage_fn, stacked_params, x, mesh, num_microbatches,
           stage_axis="stage", batch_axes=("data", "fsdp")):
     """Run x through S pipeline stages: y = f_{S-1}(... f_0(x)).
 
-    stage_fn(params_one_stage, x_microbatch) -> same-shape activation.
-    stacked_params: pytree, every leaf [S, ...] (stage i uses leaf[i]).
+    stage_fn(params_slab, x_microbatch) -> same-shape activation, where
+    params_slab leaves have leading dim layers_per_stage = L / S (stage i
+    holds leaf[i*L/S:(i+1)*L/S] — a scanned model's [L, ...] stack pipelines
+    directly; for one layer per stage the slab dim is 1).
+    stacked_params: pytree, every leaf [L, ...] with L divisible by S.
     x: [B, ...] global batch; B must divide into num_microbatches.
     Returns y [B, ...].
 
@@ -44,8 +47,10 @@ def gpipe(stage_fn, stacked_params, x, mesh, num_microbatches,
                   if a in mesh.axis_names and mesh.shape[a] > 1) or None
 
     def inner(params_local, x_local):
-        # params_local leaves are [1, ...] (this device's stage slice)
-        params_one = jax.tree.map(lambda p: p[0], params_local)
+        # params_local leaves keep their leading dim = layers-per-stage
+        # (total leading dim / S) — scanned models' [L, ...] stacks pipeline
+        # directly; stage_fn receives the local slab
+        params_one = params_local
         stage_id = jax.lax.axis_index(stage_axis)
         mb = x_local.shape[0] // m_count
         xs = x_local.reshape((m_count, mb) + x_local.shape[1:])

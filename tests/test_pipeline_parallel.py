@@ -21,8 +21,9 @@ def restore_mesh():
 
 
 def _mlp_stage(params, x):
-    h = jnp.tanh(x @ params["w1"] + params["b1"])
-    return h @ params["w2"] + params["b2"]
+    # slab semantics: one layer per stage → leading dim 1
+    h = jnp.tanh(x @ params["w1"][0] + params["b1"][0])
+    return h @ params["w2"][0] + params["b2"][0]
 
 
 def _stacked_mlp(s=4, d=8, h=16, seed=0):
@@ -37,7 +38,7 @@ def _stacked_mlp(s=4, d=8, h=16, seed=0):
 
 def _sequential(stacked, x, s):
     for i in range(s):
-        x = _mlp_stage(jax.tree.map(lambda p: p[i], stacked), x)
+        x = _mlp_stage(jax.tree.map(lambda p, i=i: p[i:i + 1], stacked), x)
     return x
 
 
@@ -97,8 +98,9 @@ def test_gpipe_transformer_stage(restore_mesh):
     def stage_fn(params, h):
         # mask derives from h's (local microbatch) shape — a closure over
         # the global-batch mask would mismatch inside shard_map
+        one = jax.tree.map(lambda p: p[0], params)
         (h2, _), _ = layer.apply(
-            {"params": params}, (h, jnp.ones(h.shape[:2], bool)))
+            {"params": one}, (h, jnp.ones(h.shape[:2], bool)))
         return h2
 
     # independent per-stage layer params, stacked on a leading S dim
@@ -111,10 +113,37 @@ def test_gpipe_transformer_stage(restore_mesh):
 
     ref = x
     for i in range(s):
-        ref = stage_fn(jax.tree.map(lambda p: p[i], stacked), ref)
+        ref = stage_fn(jax.tree.map(lambda p, i=i: p[i:i + 1], stacked), ref)
 
     mesh = build_mesh({"data": 2, "stage": s})
     set_global_mesh(mesh)
     out = gpipe(stage_fn, place_stage_stacked(stacked, mesh), x, mesh,
                 num_microbatches=2)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_gpipe_multiple_layers_per_stage(restore_mesh):
+    """8 stacked layers over 4 stages (slab of 2 per stage, scanned inside
+    the stage function) — the layout a scanned encoder's [L, ...] params
+    pipeline with zero re-packing."""
+    total_layers, s = 8, 4
+    rng = np.random.RandomState(7)
+    stacked = {"w": jnp.asarray(rng.randn(total_layers, 8, 8) * 0.2,
+                                jnp.float32)}
+    x = jnp.asarray(rng.randn(8, 8), jnp.float32)
+
+    def stage_fn(slab, h):
+        def body(carry, w):
+            return jnp.tanh(carry @ w), None
+        out, _ = jax.lax.scan(body, h, slab["w"])
+        return out
+
+    ref = x
+    for i in range(total_layers):
+        ref = jnp.tanh(ref @ stacked["w"][i])
+
+    mesh = build_mesh({"data": 2, "stage": s})
+    set_global_mesh(mesh)
+    out = gpipe(stage_fn, place_stage_stacked(stacked, mesh), x, mesh,
+                num_microbatches=2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
