@@ -22,7 +22,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 
 def gpipe(stage_fn, stacked_params, x, mesh, num_microbatches,
-          stage_axis="stage", batch_axes=("data", "fsdp")):
+          stage_axis="pipeline", batch_axes=("data", "fsdp")):
     """Run x through S pipeline stages: y = f_{S-1}(... f_0(x)).
 
     stage_fn(params_slab, x_microbatch) -> same-shape activation, where
@@ -89,7 +89,7 @@ def gpipe(stage_fn, stacked_params, x, mesh, num_microbatches,
     return wrapped(stacked_params, x)
 
 
-def place_stage_stacked(stacked_params, mesh, stage_axis="stage"):
+def place_stage_stacked(stacked_params, mesh, stage_axis="pipeline"):
     """Shard every leaf's leading (stage) dim over the stage axis."""
     sh = NamedSharding(mesh, P(stage_axis))
     return jax.tree.map(lambda p: jax.device_put(p, sh), stacked_params)

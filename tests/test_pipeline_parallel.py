@@ -1,4 +1,4 @@
-"""GPipe pipeline parallelism over a `stage` mesh axis — parity vs
+"""GPipe pipeline parallelism over a `pipeline` mesh axis — parity vs
 sequential stage application, gradients through the schedule, and a
 transformer-block stage function. Beyond-reference capability (the
 reference has no PP; SURVEY.md §2.7)."""
@@ -44,7 +44,7 @@ def _sequential(stacked, x, s):
 
 def test_gpipe_matches_sequential(restore_mesh):
     s = 4
-    mesh = build_mesh({"data": 2, "stage": s})
+    mesh = build_mesh({"data": 2, "pipeline": s})
     set_global_mesh(mesh)
     stacked = place_stage_stacked(_stacked_mlp(s), mesh)
     x = jnp.asarray(np.random.RandomState(1).randn(8, 8), jnp.float32)
@@ -57,7 +57,7 @@ def test_gpipe_matches_sequential(restore_mesh):
 
 def test_gpipe_gradients_match(restore_mesh):
     s, m = 4, 2
-    mesh = build_mesh({"data": 2, "stage": s})
+    mesh = build_mesh({"data": 2, "pipeline": s})
     set_global_mesh(mesh)
     stacked_host = _stacked_mlp(s, seed=2)
     x = jnp.asarray(np.random.RandomState(3).randn(8, 8), jnp.float32)
@@ -115,7 +115,7 @@ def test_gpipe_transformer_stage(restore_mesh):
     for i in range(s):
         ref = stage_fn(jax.tree.map(lambda p, i=i: p[i:i + 1], stacked), ref)
 
-    mesh = build_mesh({"data": 2, "stage": s})
+    mesh = build_mesh({"data": 2, "pipeline": s})
     set_global_mesh(mesh)
     out = gpipe(stage_fn, place_stage_stacked(stacked, mesh), x, mesh,
                 num_microbatches=2)
@@ -142,7 +142,7 @@ def test_gpipe_multiple_layers_per_stage(restore_mesh):
     for i in range(total_layers):
         ref = jnp.tanh(ref @ stacked["w"][i])
 
-    mesh = build_mesh({"data": 2, "stage": s})
+    mesh = build_mesh({"data": 2, "pipeline": s})
     set_global_mesh(mesh)
     out = gpipe(stage_fn, place_stage_stacked(stacked, mesh), x, mesh,
                 num_microbatches=2)
