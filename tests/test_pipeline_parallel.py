@@ -147,3 +147,94 @@ def test_gpipe_multiple_layers_per_stage(restore_mesh):
     out = gpipe(stage_fn, place_stage_stacked(stacked, mesh), x, mesh,
                 num_microbatches=2)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_gpipe_full_training_step(restore_mesh):
+    """An actual pipelined TRAIN step: embeddings + classifier head
+    replicated, the encoder-layer stack pipelined over 4 stages; gradients
+    flow through all three segments, loss parity vs the sequential model,
+    and a few adam steps reduce the loss."""
+    import optax
+    from flax import linen as nn
+
+    from easynlp_tpu.modelzoo.models.bert.modeling_bert import (
+        BertEmbeddings, BertLayer)
+    from easynlp_tpu.testing import tiny_bert_config
+
+    s, total_layers = 4, 4
+    cfg = tiny_bert_config(hidden_dropout_prob=0.0,
+                           attention_probs_dropout_prob=0.0)
+    b, sq = 8, 8
+    rng = jax.random.PRNGKey(0)
+    ids = jax.random.randint(jax.random.PRNGKey(1), (b, sq), 1, 900)
+    tt = jnp.zeros((b, sq), jnp.int32)
+    pos = jnp.broadcast_to(jnp.arange(sq), (b, sq))
+    labels = jax.random.randint(jax.random.PRNGKey(2), (b,), 0, 2)
+
+    embed = BertEmbeddings(config=cfg, dtype=jnp.float32)
+    layer = BertLayer(config=cfg, dtype=jnp.float32, deterministic=True)
+    e_params = nn.unbox(embed.init(
+        {"params": rng, "dropout": rng}, ids, tt, pos, True)["params"])
+    x0 = embed.apply({"params": e_params}, ids, tt, pos, True)
+    stacked = jax.tree.map(
+        lambda *ls: jnp.stack(ls),
+        *[nn.unbox(layer.init({"params": jax.random.PRNGKey(20 + i),
+                               "dropout": rng},
+                              (x0, jnp.ones((b, sq), bool)))["params"])
+          for i in range(total_layers)])
+    head = {"w": jnp.zeros((cfg.hidden_size, 2), jnp.float32),
+            "b": jnp.zeros((2,), jnp.float32)}
+
+    def stage_fn(slab, h):
+        def body(carry, lp):
+            (h2, _), _ = layer.apply(
+                {"params": lp}, (carry, jnp.ones(carry.shape[:2], bool)))
+            return h2, None
+        out, _ = jax.lax.scan(body, h, slab)
+        return out
+
+    def ce(logits, labels):
+        logp = jax.nn.log_softmax(logits)
+        return -jnp.mean(logp[jnp.arange(labels.shape[0]), labels])
+
+    mesh = build_mesh({"data": 2, "pipeline": s})
+    set_global_mesh(mesh)
+
+    def loss_pp(params):
+        h = embed.apply({"params": params["embed"]}, ids, tt, pos, True)
+        h = gpipe(stage_fn, params["blocks"], h, mesh, num_microbatches=2)
+        logits = h[:, 0] @ params["head"]["w"] + params["head"]["b"]
+        return ce(logits, labels)
+
+    def loss_seq(params):
+        h = embed.apply({"params": params["embed"]}, ids, tt, pos, True)
+        h = stage_fn(params["blocks"], h)  # scan over ALL layers at once
+        logits = h[:, 0] @ params["head"]["w"] + params["head"]["b"]
+        return ce(logits, labels)
+
+    params = {"embed": e_params, "head": head,
+              "blocks": place_stage_stacked(stacked, mesh)}
+    params_host = {"embed": e_params, "head": head, "blocks": stacked}
+
+    l_pp, g_pp = jax.value_and_grad(loss_pp)(params)
+    l_seq, g_seq = jax.value_and_grad(loss_seq)(params_host)
+    assert abs(float(l_pp) - float(l_seq)) < 1e-6
+    for a, bb in zip(jax.tree.leaves(jax.device_get(g_pp)),
+                     jax.tree.leaves(g_seq)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb), atol=2e-5)
+
+    # train: loss decreases through one jitted pipelined step, repeated
+    tx = optax.adam(5e-3)
+    state = tx.init(params)
+
+    @jax.jit
+    def train_step(p, st):
+        l, g = jax.value_and_grad(loss_pp)(p)
+        updates, st = tx.update(g, st, p)
+        return optax.apply_updates(p, updates), st, l
+
+    p = params
+    l0 = float(loss_pp(p))
+    for _ in range(6):
+        p, state, _ = train_step(p, state)
+    assert float(loss_pp(p)) < l0
