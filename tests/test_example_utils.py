@@ -1,0 +1,66 @@
+"""Utility examples beyond the appzoo tutorials: clip_score (pair cosine
+similarity evaluate mode, reference examples/clip_score) and
+video_frame_extractor (reference examples/video_frame_extractor)."""
+
+import os
+import subprocess
+import sys
+
+REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+EX = os.path.join(REPO, "examples")
+
+
+def _env(**extra):
+    env = dict(os.environ, EASYNLP_PLATFORM="cpu",
+               JAX_COMPILATION_CACHE_DIR="/tmp/easynlp_tpu_jax_cache",
+               PYTHONPATH=os.pathsep.join(
+                   [REPO, os.environ.get("PYTHONPATH", "")]))
+    env.update(extra)
+    return env
+
+
+def test_clip_score_example(tmp_path):
+    res = subprocess.run(
+        ["bash", os.path.join(EX, "clip_score", "clip_score.sh")],
+        env=_env(DATA=str(tmp_path / "data")),
+        capture_output=True, text=True, timeout=600)
+    assert res.returncode == 0, res.stderr[-3000:]
+    assert "averaged cosine similarity" in res.stdout
+
+
+def test_video_frame_extractor(tmp_path):
+    import cv2
+    import numpy as np
+
+    vdir = tmp_path / "videos"
+    vdir.mkdir()
+    w = cv2.VideoWriter(str(vdir / "demo.mp4"),
+                        cv2.VideoWriter_fourcc(*"mp4v"), 4.0, (32, 32))
+    for i in range(20):
+        w.write(np.full((32, 32, 3), i * 10, np.uint8))
+    w.release()
+    res = subprocess.run(
+        ["bash", os.path.join(EX, "video_frame_extractor", "run.sh")],
+        env=_env(VIDEO_DIR=str(vdir), OUT=str(tmp_path / "frames.tsv")),
+        capture_output=True, text=True, timeout=300)
+    assert res.returncode == 0, res.stderr[-3000:]
+    row = (tmp_path / "frames.tsv").read_text().split("\t")
+    assert row[0] == "demo"
+    frames = row[1].strip().split(",")
+    assert len(frames) == 5  # 20 frames @ 4 fps → one per second
+    import base64
+    import io
+
+    from PIL import Image
+    img = Image.open(io.BytesIO(base64.b64decode(frames[0])))
+    assert img.size == (32, 32)
+
+    # fixed-N mode
+    res = subprocess.run(
+        [sys.executable, os.path.join(EX, "video_frame_extractor", "main.py"),
+         "--input", str(tmp_path / "video_paths.tsv"),
+         "--output", str(tmp_path / "frames4.tsv"), "--frame_num", "4"],
+        env=_env(), capture_output=True, text=True, timeout=300)
+    assert res.returncode == 0, res.stderr[-3000:]
+    row = (tmp_path / "frames4.tsv").read_text().split("\t")
+    assert len(row[1].strip().split(",")) == 4
