@@ -72,6 +72,14 @@ def initialize_easynlp(extra_args_provider=None, args_list=None):
     Mirrors the reference call sites: every entry path (CLI main, library use)
     funnels through here exactly once.
     """
+    # EASYNLP_PLATFORM=cpu forces the backend before any jax init — honored
+    # here (not only in cli.main) so user-defined library mains get it too.
+    # jax.config, not JAX_PLATFORMS: on plugin setups (axon) the env var
+    # alone does not take effect once the plugin is discovered.
+    plat = os.environ.get("EASYNLP_PLATFORM")
+    if plat:
+        import jax
+        jax.config.update("jax_platforms", plat)
     args = parse_args(extra_args_provider=extra_args_provider, args_list=args_list)
     set_global_args(args)
     init_logger(args.process_index)

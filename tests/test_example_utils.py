@@ -64,3 +64,17 @@ def test_video_frame_extractor(tmp_path):
     assert res.returncode == 0, res.stderr[-3000:]
     row = (tmp_path / "frames4.tsv").read_text().split("\t")
     assert len(row[1].strip().split(",")) == 4
+
+
+def test_quick_start_user_defined(tmp_path):
+    """Library-API main (reference examples/quick_start_user_defined):
+    train → evaluate → predict assembled by the user, no --app_name."""
+    res = subprocess.run(
+        ["bash", os.path.join(EX, "quick_start_user_defined",
+                              "run_user_defined_local.sh")],
+        env=_env(DATA=str(tmp_path / "data"), CKPT=str(tmp_path / "ckpt")),
+        capture_output=True, text=True, timeout=900)
+    assert res.returncode == 0, (
+        res.stdout[-2000:] + "\n" + res.stderr[-3000:])
+    assert "eval accuracy" in res.stdout
+    assert (tmp_path / "ckpt" / "pred.tsv").exists()
