@@ -445,6 +445,24 @@ def default_main_fn(args=None):
     if args.mode == "predict":
         return _predict_main(args, udp)
 
+    if args.mode == "serve":
+        # HTTP online serving over the pipeline() view of the checkpoint
+        # (easynlp_tpu/serving). udp keys: serve_host/serve_port/
+        # serve_max_delay_ms/serve_blocking.
+        from easynlp_tpu.serving import serve
+        return serve(
+            args.checkpoint_dir,
+            host=udp.get("serve_host", "127.0.0.1"),
+            port=int(udp.get("serve_port", 8080)),
+            max_batch_size=args.micro_batch_size,
+            max_delay_ms=float(udp.get("serve_max_delay_ms", 5.0)),
+            blocking=str(udp.get("serve_blocking", "True")) != "False",
+            first_sequence=args.first_sequence or "first_sequence",
+            second_sequence=args.second_sequence,
+            sequence_length=args.sequence_length,
+            batch_size=args.micro_batch_size,
+            dtype=dtype)
+
     tables = (args.tables or "").split(",")
     model_cls = get_application_model(args.app_name, udp)
     tokenizer = _tokenizer_for(args.pretrained_model_name_or_path

@@ -1,0 +1,238 @@
+"""Dependency-free HTTP prediction server with dynamic micro-batching.
+
+Endpoints:
+    GET  /health            → {"status": "ok"}
+    GET  /info              → task / model_path / batching config
+    POST /predict           → {"inputs": [...]} or {"input": ...};
+                              pair inputs as 2-element lists.
+                              Response: {"outputs": [...]} (or {"output"}).
+
+Batching: requests land in a queue; a single worker thread drains up to
+`max_batch_size` inputs (waiting at most `max_delay_ms` after the first
+arrival) and runs them through the pipeline in ONE call. The pipeline's
+predictor pads to its fixed batch size, so the device sees one stable
+compiled program regardless of arrival pattern — the TPU-idiomatic way to
+serve concurrent small requests. JSON-unserialisable outputs (numpy
+arrays) are converted via .tolist().
+"""
+
+import json
+import queue
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+from easynlp_tpu.utils.logger import logger
+
+
+def _jsonable(x):
+    if isinstance(x, np.ndarray):
+        return x.tolist()
+    if isinstance(x, (np.integer,)):
+        return int(x)
+    if isinstance(x, (np.floating,)):
+        return float(x)
+    if isinstance(x, dict):
+        return {k: _jsonable(v) for k, v in x.items()}
+    if isinstance(x, (list, tuple)):
+        return [_jsonable(v) for v in x]
+    if isinstance(x, bytes):
+        import base64
+        return base64.b64encode(x).decode()
+    return x
+
+
+class _Request:
+    __slots__ = ("inputs", "event", "result", "error")
+
+    def __init__(self, inputs):
+        self.inputs = inputs
+        self.event = threading.Event()
+        self.result = None
+        self.error = None
+
+
+class PredictionServer:
+    """Serve a Pipeline (or any callable mapping list→list) over HTTP."""
+
+    def __init__(self, pipeline, host="127.0.0.1", port=8080,
+                 max_batch_size=32, max_delay_ms=5.0, info=None):
+        self.pipeline = pipeline
+        self.host, self.port = host, port
+        self.max_batch_size = int(max_batch_size)
+        self.max_delay_s = float(max_delay_ms) / 1000.0
+        self.info = dict(info or {})
+        self.info.setdefault("max_batch_size", self.max_batch_size)
+        self.info.setdefault("max_delay_ms", float(max_delay_ms))
+        self._queue = queue.Queue()
+        self._stop = threading.Event()
+        self._worker = None
+        self._httpd = None
+        self.stats = {"requests": 0, "examples": 0, "batches": 0,
+                      "errors": 0}
+
+    # ---------------- batching worker ----------------
+
+    def _drain_batch(self):
+        """Block for the first request, then coalesce for up to max_delay."""
+        try:
+            first = self._queue.get(timeout=0.1)
+        except queue.Empty:
+            return []
+        batch = [first]
+        total = len(first.inputs)
+        deadline = time.monotonic() + self.max_delay_s
+        while total < self.max_batch_size:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                break
+            try:
+                req = self._queue.get(timeout=remaining)
+            except queue.Empty:
+                break
+            batch.append(req)
+            total += len(req.inputs)
+        return batch
+
+    def _worker_loop(self):
+        while not self._stop.is_set():
+            batch = self._drain_batch()
+            if not batch:
+                continue
+            flat = [x for req in batch for x in req.inputs]
+            try:
+                outs = self.pipeline(flat)
+                if not isinstance(outs, list) or len(outs) != len(flat):
+                    raise ValueError(
+                        "pipeline returned %r for %d inputs"
+                        % (type(outs), len(flat)))
+                pos = 0
+                for req in batch:
+                    req.result = outs[pos:pos + len(req.inputs)]
+                    pos += len(req.inputs)
+                self.stats["batches"] += 1
+                self.stats["examples"] += len(flat)
+            except Exception as e:  # surface per-request, keep serving
+                logger.exception("serving batch failed")
+                self.stats["errors"] += 1
+                for req in batch:
+                    req.error = str(e)
+            for req in batch:
+                req.event.set()
+
+    # ---------------- request handling ----------------
+
+    def submit(self, inputs, timeout=60.0):
+        req = _Request(inputs)
+        self._queue.put(req)
+        if not req.event.wait(timeout):
+            raise TimeoutError("prediction timed out")
+        if req.error is not None:
+            raise RuntimeError(req.error)
+        return req.result
+
+    def _make_handler(self):
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            protocol_version = "HTTP/1.1"
+
+            def log_message(self, fmt, *fargs):  # route through our logger
+                logger.debug("serving: " + fmt, *fargs)
+
+            def _send(self, code, payload):
+                body = json.dumps(payload).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                if self.path == "/health":
+                    self._send(200, {"status": "ok"})
+                elif self.path == "/info":
+                    self._send(200, dict(server.info, stats=server.stats))
+                else:
+                    self._send(404, {"error": "unknown path %s" % self.path})
+
+            def do_POST(self):
+                if self.path != "/predict":
+                    self._send(404, {"error": "unknown path %s" % self.path})
+                    return
+                try:
+                    length = int(self.headers.get("Content-Length", 0))
+                    payload = json.loads(self.rfile.read(length) or b"{}")
+                    single = "input" in payload and "inputs" not in payload
+                    inputs = ([payload["input"]] if single
+                              else payload.get("inputs"))
+                    if not isinstance(inputs, list) or not inputs:
+                        self._send(400, {"error":
+                                         "provide 'inputs': [...] or 'input'"})
+                        return
+                    # pair inputs arrive as 2-element lists → tuples
+                    inputs = [tuple(x) if isinstance(x, list) else x
+                              for x in inputs]
+                    server.stats["requests"] += 1
+                    outs = _jsonable(server.submit(inputs))
+                    self._send(200, {"output": outs[0]} if single
+                               else {"outputs": outs})
+                except Exception as e:
+                    self._send(500, {"error": str(e)})
+
+        return Handler
+
+    # ---------------- lifecycle ----------------
+
+    def start(self):
+        """Start worker + HTTP server (non-blocking). Returns self."""
+        self._worker = threading.Thread(target=self._worker_loop, daemon=True)
+        self._worker.start()
+        self._httpd = ThreadingHTTPServer((self.host, self.port),
+                                          self._make_handler())
+        self.port = self._httpd.server_address[1]  # resolve port=0
+        t = threading.Thread(target=self._httpd.serve_forever, daemon=True)
+        t.start()
+        logger.info("serving on http://%s:%d (max_batch=%d, max_delay=%.1fms)",
+                    self.host, self.port, self.max_batch_size,
+                    self.max_delay_s * 1e3)
+        return self
+
+    def stop(self):
+        self._stop.set()
+        if self._httpd is not None:
+            self._httpd.shutdown()
+            self._httpd.server_close()
+        if self._worker is not None:
+            self._worker.join(timeout=5)
+
+    def serve_forever(self):
+        self.start()
+        try:
+            while True:
+                time.sleep(3600)
+        except KeyboardInterrupt:
+            self.stop()
+
+
+def serve(task_or_model_path, host="127.0.0.1", port=8080, max_batch_size=32,
+          max_delay_ms=5.0, blocking=True, **pipeline_kwargs):
+    """Build a pipeline() and serve it over HTTP.
+
+    `task_or_model_path` follows pipeline() semantics: a task name resolves
+    its registered default model; a model dir infers the task from its
+    train_config.json.
+    """
+    from easynlp_tpu.pipelines import pipeline
+    pipe = pipeline(task_or_model_path, **pipeline_kwargs)
+    server = PredictionServer(
+        pipe, host=host, port=port, max_batch_size=max_batch_size,
+        max_delay_ms=max_delay_ms,
+        info={"model": str(task_or_model_path)})
+    if blocking:
+        server.serve_forever()
+    else:
+        server.start()
+    return server

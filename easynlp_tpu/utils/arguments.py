@@ -37,8 +37,10 @@ APP_NAME_CHOICES = [
 def _add_easynlp_args(parser: argparse.ArgumentParser) -> None:
     group = parser.add_argument_group("easynlp", "core arguments")
     group.add_argument("--mode", default="train",
-                       choices=["train", "evaluate", "predict", "export"],
-                       help="Run mode")
+                       choices=["train", "evaluate", "predict", "export",
+                                "serve"],
+                       help="Run mode (serve = HTTP prediction server over "
+                            "the checkpoint, easynlp_tpu.serving)")
     group.add_argument("--app_name", default="text_classify", choices=APP_NAME_CHOICES,
                        help="Application in the AppZoo to dispatch to")
     group.add_argument("--tables", default=None, type=str,
