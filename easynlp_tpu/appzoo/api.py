@@ -445,6 +445,9 @@ def default_main_fn(args=None):
     if args.mode == "predict":
         return _predict_main(args, udp)
 
+    if args.mode == "export":
+        return _export_main(args, udp, dtype)
+
     if args.mode == "serve":
         # HTTP online serving over the pipeline() view of the checkpoint
         # (easynlp_tpu/serving). udp keys: serve_host/serve_port/
@@ -543,6 +546,33 @@ def default_main_fn(args=None):
         return results
 
     raise ValueError("unknown mode %r" % args.mode)
+
+
+def _export_main(args, udp, dtype):
+    """--mode=export: write the trained backbone as a torch / TF checkpoint
+    for cross-ecosystem deployment (reference utils/exporter.py:81-193
+    exports pytorch→TF for EAS serving; here native→{pytorch,tf}).
+    udp: export_format=pytorch|tf (default pytorch)."""
+    from easynlp_tpu.utils.exporter import (export_bert_backbone_to_pytorch,
+                                            export_tf_checkpoint)
+    model_cls = get_application_model(args.app_name, udp)
+    ckpt = args.checkpoint_dir
+    app = model_cls.from_pretrained(ckpt, args=args, dtype=dtype)
+    params = app.params
+    if "backbone" not in params:
+        raise ValueError(
+            "--mode=export currently exports BERT-family backbones; app %r "
+            "has no 'backbone' params subtree" % args.app_name)
+    fmt = str(udp.get("export_format", "pytorch"))
+    if fmt == "pytorch":
+        out = args.outputs or os.path.join(ckpt, "pytorch_model_export.bin")
+        return export_bert_backbone_to_pytorch(params["backbone"],
+                                               app.config, out)
+    if fmt == "tf":
+        out = args.outputs or os.path.join(ckpt, "tf_export", "bert_model.ckpt")
+        os.makedirs(os.path.dirname(out), exist_ok=True)
+        return export_tf_checkpoint(params["backbone"], app.config, out)
+    raise ValueError("unknown export_format %r (pytorch|tf)" % fmt)
 
 
 def _predict_main(args, udp):

@@ -141,3 +141,22 @@ def test_serve_trained_checkpoint(trained_ckpt):
             assert out["predictions"] in ("pos", "neg")
     finally:
         srv.stop()
+
+
+def test_export_mode(trained_ckpt):
+    """--mode=export writes a torch-loadable backbone checkpoint
+    (reference utils/exporter.py:81-193 analogue)."""
+    env = dict(os.environ, EASYNLP_PLATFORM="cpu",
+               JAX_COMPILATION_CACHE_DIR="/tmp/easynlp_tpu_jax_cache",
+               PYTHONPATH=REPO)
+    out = os.path.join(trained_ckpt, "exported.bin")
+    res = subprocess.run(
+        [sys.executable, "-m", "easynlp_tpu.cli", "--mode=export",
+         "--app_name=text_classify", "--checkpoint_dir=" + trained_ckpt,
+         "--outputs=" + out],
+        env=env, capture_output=True, text=True, timeout=600)
+    assert res.returncode == 0, res.stderr[-3000:]
+    import torch
+    sd = torch.load(out, weights_only=True)
+    assert "bert.embeddings.word_embeddings.weight" in sd
+    assert any(k.startswith("bert.encoder.layer.0.") for k in sd)
