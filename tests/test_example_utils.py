@@ -78,3 +78,31 @@ def test_quick_start_user_defined(tmp_path):
         res.stdout[-2000:] + "\n" + res.stderr[-3000:])
     assert "eval accuracy" in res.stdout
     assert (tmp_path / "ckpt" / "pred.tsv").exists()
+
+
+def test_user_script_launch(tmp_path):
+    """CLI --user_script/--user_entry_file bundle launch (reference
+    cli.py:36-81): untar the user bundle and exec its entry with the
+    remaining args."""
+    import tarfile
+
+    (tmp_path / "my_main.py").write_text(
+        "import sys\nprint('USER ENTRY OK', sys.argv[1:])\n")
+    bundle = tmp_path / "bundle.tar.gz"
+    with tarfile.open(bundle, "w:gz") as tf:
+        tf.add(tmp_path / "my_main.py", arcname="my_main.py")
+    res = subprocess.run(
+        [sys.executable, "-m", "easynlp_tpu.cli",
+         "--user_script=" + str(bundle), "--user_entry_file=my_main.py",
+         "--mode=train", "--foo=bar"],
+        env=_env(), capture_output=True, text=True, timeout=120)
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "USER ENTRY OK ['--mode=train', '--foo=bar']" in res.stdout
+
+    # directory form
+    res = subprocess.run(
+        [sys.executable, "-m", "easynlp_tpu.cli",
+         "--user_script", str(tmp_path), "--user_entry_file", "my_main.py"],
+        env=_env(), capture_output=True, text=True, timeout=120)
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "USER ENTRY OK []" in res.stdout
