@@ -82,6 +82,7 @@ class CLIPDataset(BaseDataset):
         self.text_col = first_sequence or "text"
         self.image_col = second_sequence or "image"
         self.image_size = image_size
+        self.texts = texts  # raw captions (feature-extraction outputs)
         enc = self.tokenizer(texts, max_length=max_seq_length)
         self.text_features = {k: np.asarray(v, np.int32)
                               for k, v in enc.items()}

@@ -106,3 +106,22 @@ def test_user_script_launch(tmp_path):
         env=_env(), capture_output=True, text=True, timeout=120)
     assert res.returncode == 0, res.stderr[-2000:]
     assert "USER ENTRY OK []" in res.stdout
+
+
+def test_feature_extractor_webdataset(tmp_path):
+    """CLIP image features from a webdataset shard (reference
+    examples/feature_extractor)."""
+    res = subprocess.run(
+        ["bash", os.path.join(EX, "feature_extractor",
+                              "run_test_webdataset.sh")],
+        env=_env(DATA=str(tmp_path / "data")),
+        capture_output=True, text=True, timeout=600)
+    assert res.returncode == 0, (
+        res.stdout[-2000:] + "\n" + res.stderr[-3000:])
+    rows = [l.split("\t") for l in
+            (tmp_path / "data" / "features.tsv").read_text().splitlines()]
+    assert len(rows) == 12
+    import numpy as np
+    f = np.array([float(x) for x in rows[0][2].split(",")])
+    assert f.shape == (8,)
+    assert abs(np.linalg.norm(f) - 1.0) < 1e-3  # L2-normalised
