@@ -21,14 +21,46 @@ from easynlp_tpu.utils.global_vars import (
 from easynlp_tpu.utils.logger import init_logger, logger
 
 
+def host_cache_fingerprint():
+    """CPU-feature + jaxlib fingerprint for persistent-cache isolation.
+
+    XLA:CPU AOT executables are compiled against the build host's CPU
+    features; loading them on a host with different features can SIGILL /
+    segfault (cpu_aot_loader warns, then crashes in
+    compilation_cache.get_executable_and_time). Sandboxed hosts here
+    migrate between CPU generations, so key the cache dir by the feature
+    set instead of sharing one dir across incompatible machines."""
+    import hashlib
+
+    import jaxlib
+
+    flags = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    flags = " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:
+        pass
+    h = hashlib.md5(("%s|%s" % (flags, getattr(jaxlib, "__version__", "")))
+                    .encode()).hexdigest()[:10]
+    return h
+
+
 def enable_compile_cache():
     """Persistent compile cache: XLA/Mosaic compilation is partly host-side
-    and hosts can be slow; identical programs then load in milliseconds."""
+    and hosts can be slow; identical programs then load in milliseconds.
+    The dir is suffixed with a host-CPU fingerprint (see
+    host_cache_fingerprint) so entries AOT-compiled on a different machine
+    generation are never deserialised."""
     import jax
 
-    cache_dir = os.environ.get("EASYNLP_COMPILE_CACHE",
-                               os.path.expanduser("~/.easynlp_tpu/jax_cache"))
+    cache_dir = (os.environ.get("EASYNLP_COMPILE_CACHE")
+                 or os.environ.get("JAX_COMPILATION_CACHE_DIR")
+                 or os.path.expanduser("~/.easynlp_tpu/jax_cache"))
     if cache_dir:
+        cache_dir = os.path.join(cache_dir, host_cache_fingerprint())
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 

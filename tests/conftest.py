@@ -17,7 +17,13 @@ if _platform == "cpu":
     jax.config.update("jax_num_cpu_devices", 8)
 
 # Persistent compilation cache: single-core CPU compiles here are seconds per
-# op and the suite re-runs constantly during development.
-jax.config.update("jax_compilation_cache_dir", "/tmp/easynlp_tpu_jax_cache")
+# op and the suite re-runs constantly during development. Fingerprinted per
+# host-CPU generation — deserialising an AOT executable compiled on a
+# different machine SIGILLs/segfaults (observed mid-suite when the sandbox
+# host migrated).
+from easynlp_tpu.utils.initializer import host_cache_fingerprint  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir",
+                  "/tmp/easynlp_tpu_jax_cache/" + host_cache_fingerprint())
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
