@@ -697,7 +697,8 @@ def sequence_parallel_attention(q, k, v, kv_mask=None, causal=False,
     mesh = mesh or get_global_mesh()
     if axis_name not in mesh.axis_names or mesh.shape[axis_name] <= 1:
         return attention(q, k, v, kv_mask=kv_mask, causal=causal, scale=scale)
-    from jax.experimental.shard_map import shard_map
+    from easynlp_tpu.parallel.compat import \
+        shard_map_compat as shard_map
     from jax.sharding import PartitionSpec as P
 
     from easynlp_tpu.ops.ring_attention import ring_attention
@@ -711,7 +712,7 @@ def sequence_parallel_attention(q, k, v, kv_mask=None, causal=False,
         fn, mesh=mesh,
         in_specs=(P(batch, axis_name), P(batch, axis_name),
                   P(batch, axis_name), P(batch, axis_name)),
-        out_specs=P(batch, axis_name), check_rep=False)
+        out_specs=P(batch, axis_name), check=False)
     return wrapped(q, k, v, kv_mask).astype(q.dtype)
 
 

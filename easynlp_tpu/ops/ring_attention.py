@@ -81,7 +81,8 @@ def ring_attention(q, k, v, kv_mask=None, axis_name="sequence", causal=False,
 def make_ring_attention(mesh, axis_name="sequence", causal=False):
     """Convenience: a shard_map-wrapped callable over GLOBAL [B,S,H,D]
     arrays sharded on the sequence axis."""
-    from jax.experimental.shard_map import shard_map
+    from easynlp_tpu.parallel.compat import \
+        shard_map_compat as shard_map
     from jax.sharding import PartitionSpec as P
 
     fn = functools.partial(ring_attention, axis_name=axis_name, causal=causal)
@@ -92,4 +93,4 @@ def make_ring_attention(mesh, axis_name="sequence", causal=False):
                   P(None, axis_name, None, None),
                   P(None, axis_name)),
         out_specs=P(None, axis_name, None, None),
-        check_rep=False)
+        check=False)

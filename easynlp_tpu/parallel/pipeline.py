@@ -41,7 +41,8 @@ def gpipe(stage_fn, stacked_params, x, mesh, num_microbatches,
     m_count = int(num_microbatches)
     assert x.shape[0] % m_count == 0, "batch must divide into microbatches"
 
-    from jax.experimental.shard_map import shard_map
+    from easynlp_tpu.parallel.compat import \
+        shard_map_compat as shard_map
 
     batch = tuple(a for a in batch_axes
                   if a in mesh.axis_names and mesh.shape[a] > 1) or None
@@ -85,7 +86,7 @@ def gpipe(stage_fn, stacked_params, x, mesh, num_microbatches,
     wrapped = shard_map(
         inner, mesh=mesh,
         in_specs=(param_specs, P(batch)),
-        out_specs=P(batch), check_rep=False)
+        out_specs=P(batch), check=False)
     return wrapped(stacked_params, x)
 
 

@@ -46,7 +46,7 @@ def test_chunked_ce_grads_match():
 
 
 def test_vocab_parallel_ce():
-    from jax.experimental.shard_map import shard_map
+    from easynlp_tpu.parallel.compat import shard_map_compat
     from easynlp_tpu.parallel import build_mesh
 
     mesh = build_mesh({"tensor": 8})
@@ -56,7 +56,7 @@ def test_vocab_parallel_ce():
     labels = jax.random.randint(k[1], (n,), 0, v).at[2].set(-100)
     expected = losses.cross_entropy(logits, labels)
 
-    fn = shard_map(
+    fn = shard_map_compat(
         lambda lg, lb: vocab_parallel_cross_entropy(lg, lb, "tensor")[None],
         mesh=mesh,
         in_specs=(P(None, "tensor"), P()),
