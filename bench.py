@@ -232,6 +232,29 @@ def main(argv=None):
         return bench_diffusion.main()
 
     py = sys.executable
+    # Pre-flight: a wedged axon tunnel hangs backend init indefinitely; probe
+    # device availability in a bounded subprocess so a dead tunnel fails in
+    # minutes with a clear marker instead of 5 legs x 1500s of hangs.
+    plat = os.environ.get("BENCH_PLATFORM", "")
+    probe_src = (
+        "import jax\n"
+        + ("jax.config.update('jax_platforms', %r)\n" % plat if plat else "")
+        + "print('DEVICES', len(jax.devices()))\n")
+    try:
+        probe = subprocess.run([py, "-c", probe_src], capture_output=True,
+                               text=True, timeout=240)
+        probe_ok = probe.returncode == 0 and "DEVICES" in (probe.stdout or "")
+        probe_err = (probe.stderr or "")[-200:]
+    except subprocess.TimeoutExpired:
+        probe_ok, probe_err = False, "device probe timed out after 240s"
+    if not probe_ok:
+        print(json.dumps({"metric": "bert_base_finetune_samples_per_sec_per_chip",
+                          "value": None, "unit": "samples/s/chip",
+                          "vs_baseline": None,
+                          "extras": {"error": "tpu_unavailable",
+                                     "probe": probe_err}}))
+        return 1
+
     legs = {
         "bert": [py, "bench.py", "--only", "bert"],
         "e2e": [py, "bench.py", "--only", "e2e"],

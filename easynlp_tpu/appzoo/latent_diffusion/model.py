@@ -91,10 +91,11 @@ class LDMModule(nn.Module):
         return self.vae_decoder(latents / self.config.scale_factor)
 
     def predict_noise(self, noisy_latents, timesteps, context,
-                      deterministic=True, share_self=None, cross_frame=False):
+                      deterministic=True, share_self=None, cross_frame=False,
+                      control=None):
         return self.unet(noisy_latents, timesteps, context=context,
                          deterministic=deterministic, share_self=share_self,
-                         cross_frame=cross_frame)
+                         cross_frame=cross_frame, control=control)
 
     def __call__(self, pixel_values, input_ids, attention_mask=None,
                  timesteps=None, deterministic=True):
@@ -231,6 +232,79 @@ class LatentDiffusion(Application):
                 return module.apply({"params": params}, x, t, context,
                                     method=module.predict_noise)
         return denoise
+
+    # -- ControlNet (reference diffusion/chinese_sd_webui: Chinese_Controlnet
+    # models conditioning the PAI diffusion UNet) ------------------------------
+    def make_controlnet_sampler(self, num_steps=50, guidance_scale=7.5,
+                                method="ddim", control_scale=1.0):
+        """Returns sampler(params, control_params, input_ids, attention_mask,
+        negative_input_ids, hint, rng) → images. `hint` is the pixel-space
+        conditioning image [B, H, W, 3] in [0, 1] (e.g. canny/sobel edges);
+        control residuals are applied to BOTH CFG branches (webui behavior)
+        scaled by control_scale."""
+        from easynlp_tpu.modelzoo.models.latent_diffusion.controlnet import (
+            ControlNetModel)
+        from easynlp_tpu.modelzoo.models.latent_diffusion.ddim import (
+            dpm_solver_pp_sample, plms_sample)
+        sample_fn = {"ddim": ddim_sample, "plms": plms_sample,
+                     "dpm++": dpm_solver_pp_sample}[method]
+        module, schedule = self.module, self.schedule
+        cnet = ControlNetModel(config=self.config, dtype=module.dtype)
+
+        def sampler(params, control_params, input_ids, attention_mask,
+                    negative_input_ids, hint, rng):
+            context = module.apply({"params": params}, input_ids,
+                                   attention_mask, method=module.encode_text)
+            uncond = (module.apply({"params": params}, negative_input_ids,
+                                   None, method=module.encode_text)
+                      if guidance_scale > 1.0 else None)
+
+            def eps(x, t, ctx):
+                downs, mid = cnet.apply({"params": control_params},
+                                        x, hint, t, ctx)
+                control = (tuple(control_scale * d for d in downs),
+                           control_scale * mid)
+                return module.apply({"params": params}, x, t, ctx,
+                                    method=module.predict_noise,
+                                    control=control)
+
+            def denoise(x, t):
+                eps_c = eps(x, t, context)
+                if uncond is None:
+                    return eps_c
+                eps_u = eps(x, t, uncond)
+                return eps_u + guidance_scale * (eps_c - eps_u)
+
+            latents = sample_fn(denoise,
+                                self._latent_shape(input_ids.shape[0]),
+                                schedule, num_steps=num_steps, rng=rng)
+            images = module.apply({"params": params}, latents,
+                                  method=module.decode_latents)
+            return jnp.clip(images, -1.0, 1.0)
+
+        return sampler
+
+    def init_controlnet_params(self, seed=0):
+        """Fresh ControlNet: encoder clone initialised FROM the UNet weights
+        (the ControlNet recipe — 'trainable copy'), zero convs at zero so
+        sampling is bit-identical to the base model until finetuned."""
+        from easynlp_tpu.modelzoo.models.latent_diffusion.controlnet import (
+            ControlNetModel)
+        c = self.config
+        hw = c.image_size
+        lat = self._latent_shape(1)
+        cnet = ControlNetModel(config=c, dtype=self.module.dtype)
+        variables = cnet.init(
+            jax.random.PRNGKey(seed), jnp.zeros(lat, jnp.float32),
+            jnp.zeros((1, hw, hw, 3), jnp.float32),
+            jnp.zeros((1,), jnp.int32),
+            jnp.zeros((1, 8, c.context_dim), jnp.float32))
+        p = dict(nn.unbox(variables["params"]))
+        unet = self.params["unet"]
+        for name in p:
+            if name in unet:   # shared encoder submodules copy the UNet
+                p[name] = jax.tree.map(jnp.asarray, unet[name])
+        return p
 
     def _latent_shape(self, batch):
         hw = self.config.image_size // (

@@ -207,6 +207,51 @@ def convert_sd_vae(state_dict, config):
     return enc, dec
 
 
+def convert_controlnet(state_dict, config):
+    """ControlNet checkpoint (lllyasviel/CompVis layout, `control_model.*`
+    keys — the dialect the reference's chinese_sd_webui `Chinese_Controlnet`
+    models ship in when exported from sd-webui) → ControlNetModel params.
+
+    The encoder clone reuses the exact same input_blocks/middle_block
+    mapping as `convert_sd_unet`; on top of that:
+      input_hint_block.{0,2,..,14}  → hint_conv_0..6 + hint_conv_out
+      zero_convs.N.0                → zero_conv_N
+      middle_block_out.0            → mid_out
+    """
+    s = _strip(state_dict, "control_model.")
+    p = {
+        "temb_dense1": _dense(s, "time_embed.0"),
+        "temb_dense2": _dense(s, "time_embed.2"),
+        "conv_in": _conv(s, "input_blocks.0.0"),
+        "mid_res1": _resblock(s, "middle_block.0."),
+        "mid_attn": _spatial_transformer(s, "middle_block.1."),
+        "mid_res2": _resblock(s, "middle_block.2."),
+        "mid_out": _conv(s, "middle_block_out.0"),
+    }
+    for i in range(7):
+        p["hint_conv_%d" % i] = _conv(s, "input_hint_block.%d" % (2 * i))
+    p["hint_conv_out"] = _conv(s, "input_hint_block.14")
+    idx = 1
+    zi = 1
+    for level in range(len(config.channel_mult)):
+        for blk in range(config.num_res_blocks):
+            base = "input_blocks.%d." % idx
+            p["down_%d_res%d" % (level, blk)] = _resblock(s, base + "0.")
+            if level in config.attention_levels:
+                p["down_%d_attn%d" % (level, blk)] = \
+                    _spatial_transformer(s, base + "1.")
+            p["zero_conv_%d" % zi] = _conv(s, "zero_convs.%d.0" % zi)
+            idx += 1
+            zi += 1
+        if level < len(config.channel_mult) - 1:
+            p["down_%d_ds" % level] = _conv(s, "input_blocks.%d.0.op" % idx)
+            p["zero_conv_%d" % zi] = _conv(s, "zero_convs.%d.0" % zi)
+            idx += 1
+            zi += 1
+    p["zero_conv_0"] = _conv(s, "zero_convs.0.0")
+    return p
+
+
 def convert_stable_diffusion(state_dict, config):
     """Full CompVis/PAI-Diffusion state dict → LDMModule params. The text
     encoder (cond_stage_model) converts through the BERT backbone mapping

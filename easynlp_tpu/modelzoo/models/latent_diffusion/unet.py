@@ -156,7 +156,11 @@ class UNetModel(nn.Module):
 
     @nn.compact
     def __call__(self, x, timesteps, context=None, deterministic=True,
-                 share_self=None, cross_frame=False):
+                 share_self=None, cross_frame=False, control=None):
+        """control: optional (down_residuals, mid_residual) from
+        ControlNetModel — added onto the skip connections and the middle
+        output (reference diffusion/chinese_sd_webui ControlNet injection),
+        scaled by the caller beforehand if a control strength is wanted."""
         c = self.config
         ch = c.model_channels
         temb = timestep_embedding(timesteps, ch)
@@ -193,6 +197,13 @@ class UNetModel(nn.Module):
                                name="mid_attn")(h, context, share_self=share_self,
                         cross_frame=cross_frame)
         h = ResBlock(h.shape[-1], dtype=self.dtype, name="mid_res2")(h, temb)
+        if control is not None:
+            down_residuals, mid_residual = control
+            assert len(down_residuals) == len(skips), \
+                "control residuals misaligned with skip connections"
+            skips = [s + r.astype(s.dtype)
+                     for s, r in zip(skips, down_residuals)]
+            h = h + mid_residual.astype(h.dtype)
 
         # up path
         for level, mult in reversed(list(enumerate(c.channel_mult))):
