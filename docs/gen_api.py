@@ -50,6 +50,7 @@ SECTIONS = {
             "easynlp_tpu.appzoo.image2text_generation.model",
             "easynlp_tpu.appzoo.video2text_generation.model",
             "easynlp_tpu.appzoo.latent_diffusion.model",
+            "easynlp_tpu.appzoo.latent_diffusion.controlnet_app",
         ],
     },
     "modelzoo": {
@@ -85,6 +86,7 @@ SECTIONS = {
             "easynlp_tpu.modelzoo.models.latent_diffusion.unet",
             "easynlp_tpu.modelzoo.models.latent_diffusion.autoencoder",
             "easynlp_tpu.modelzoo.models.latent_diffusion.ddim",
+            "easynlp_tpu.modelzoo.models.latent_diffusion.controlnet",
         ],
     },
     "fewshot": {

@@ -509,7 +509,15 @@ def default_main_fn(args=None):
             num_labels=max(len(train_dataset.label_enumerate_values), 2),
             label_mapping=train_dataset.label_mapping
             if hasattr(train_dataset, "label_mapping") else None)
-        if udp.get("enable_lora"):
+        if udp.get("enable_controlnet"):
+            # train the conditioning clone, base frozen (reference
+            # diffusion/chinese_sd_webui infers with such checkpoints; the
+            # wrapper supplies the training recipe that produces them)
+            from easynlp_tpu.appzoo.latent_diffusion.controlnet_app import (
+                ControlNetApplication)
+            app = ControlNetApplication(
+                app, hint_type=udp.get("controlnet_hint", "edge"))
+        elif udp.get("enable_lora"):
             # adapter-only finetune (reference diffusion/diffusers_api LoRA);
             # generic — any app family accepts it
             from easynlp_tpu.core.lora_app import LoRAApplication

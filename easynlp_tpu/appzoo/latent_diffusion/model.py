@@ -303,7 +303,11 @@ class LatentDiffusion(Application):
         unet = self.params["unet"]
         for name in p:
             if name in unet:   # shared encoder submodules copy the UNet
-                p[name] = jax.tree.map(jnp.asarray, unet[name])
+                # real copies, not aliases: base and control live in one
+                # donated params tree, and XLA rejects donating the same
+                # buffer twice in Execute()
+                p[name] = jax.tree.map(lambda x: jnp.array(x, copy=True),
+                                       unet[name])
         return p
 
     def _latent_shape(self, batch):

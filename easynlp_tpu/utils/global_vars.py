@@ -42,6 +42,8 @@ USER_DEFINED_PARAMETERS_TYPES = {
     "lora_rank": int,
     "lora_alpha": float,
     "lora_targets": str,
+    "enable_controlnet": bool,
+    "controlnet_hint": str,
 }
 
 

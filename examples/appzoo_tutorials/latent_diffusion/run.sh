@@ -3,6 +3,11 @@
 # examples/appzoo_tutorials/latent_diffusion (PAI-Diffusion) runner.
 # Defaults use tiny synthetic fixtures (gen_data.py) so this runs anywhere;
 # point MODEL at a zoo name / real dir and *_TABLE at real data for real work.
+# Variants via EXTRA:
+#   adapter finetune:     EXTRA='enable_lora=True lora_rank=4' (in the UDP)
+#   ControlNet finetune:  append 'enable_controlnet=True' to
+#                         --user_defined_parameters (trains the conditioning
+#                         clone, base frozen; hint = in-graph edge map)
 set -e
 cd "$(dirname "$0")"
 DATA=${DATA:-./data}

@@ -129,6 +129,111 @@ def test_controlnet_grad_flows():
     assert float(optax.global_norm(g)) > 0
 
 
+def test_controlnet_trainer_freezes_base(tmp_path):
+    """ControlNetApplication through the Trainer: base bit-exact frozen,
+    control params move, checkpoint carries base + control artifacts, and
+    load_control on a fresh base samples from the trained ControlNet."""
+    import os
+
+    from easynlp_tpu.appzoo.latent_diffusion.controlnet_app import (
+        ControlNetApplication)
+    from easynlp_tpu.core.trainer import Trainer
+
+    inner = _tiny_app()
+    app = ControlNetApplication(inner)
+    base_before = jax.device_get(app.params["base"])
+    ctrl_before = jax.device_get(app.params["control"])
+
+    class DS:
+        def __len__(self):
+            return 16
+
+        def __getitem__(self, i):
+            rng = np.random.RandomState(i)
+            return {"pixel_values": (rng.rand(16, 16, 3) * 2 - 1
+                                     ).astype(np.float32),
+                    "input_ids": rng.randint(1, 40, 8).astype(np.int32)}
+
+        def batch_fn(self, ex):
+            return {k: np.stack([e[k] for e in ex]) for k in ex[0]}
+
+    out = str(tmp_path / "ck")
+    args = make_args(micro_batch_size=8, sequence_length=8, dtype="float32",
+                     epoch_num=1.0, logging_steps=10**9, checkpoint_dir=out,
+                     learning_rate=1e-3)
+    tr = Trainer(app, DS(), evaluator=None, args=args)
+    tr.train()
+
+    after = jax.device_get(tr.params)
+    for a, b in zip(jax.tree.leaves(base_before),
+                    jax.tree.leaves(after["base"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    moved = any(
+        float(np.abs(np.asarray(a) - np.asarray(b)).max()) > 0
+        for a, b in zip(jax.tree.leaves(ctrl_before),
+                        jax.tree.leaves(after["control"])))
+    assert moved, "no control parameter moved"
+    for fname in ("flax_params.msgpack", "flax_params_control.msgpack"):
+        assert os.path.exists(os.path.join(out, fname)), fname
+
+    fresh = _tiny_app()
+    capp = ControlNetApplication.load_control(fresh, out)
+    for a, b in zip(jax.tree.leaves(jax.device_get(capp.params["control"])),
+                    jax.tree.leaves(after["control"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+    imgs = capp.sample(jnp.ones((1, 6), jnp.int32), None,
+                       jnp.zeros((1, 6), jnp.int32),
+                       jnp.ones((1, 16, 16, 3), jnp.float32),
+                       jax.random.PRNGKey(0), num_steps=2,
+                       guidance_scale=1.0)
+    assert np.isfinite(np.asarray(imgs)).all()
+
+
+def test_controlnet_cli_end_to_end(tmp_path):
+    """--enable_controlnet through the CLI on latent_diffusion."""
+    import json
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "fixtures"))
+    from make_fixtures import make_image_b64, make_vocab
+
+    base = str(tmp_path)
+    tsv = os.path.join(base, "ldm.tsv")
+    with open(tsv, "w") as f:
+        for i in range(8):
+            f.write("%d\tnice picture %d\t%s\n"
+                    % (i, i, make_image_b64(seed=i, size=16)))
+    model = os.path.join(base, "tiny-ldm")
+    os.makedirs(model)
+    v = make_vocab(os.path.join(model, "vocab.txt"))
+    cfg = dict(TINY, model_type="latent_diffusion")
+    cfg["text_config"] = dict(cfg["text_config"], vocab_size=v)
+    with open(os.path.join(model, "config.json"), "w") as f:
+        json.dump(cfg, f)
+
+    from easynlp_tpu import cli
+    from easynlp_tpu.utils import global_vars
+    out = os.path.join(base, "ck")
+    global_vars._GLOBAL_ARGS = None
+    rc = cli.main([
+        "--mode=train", "--app_name=latent_diffusion",
+        "--tables=%s" % tsv,
+        "--input_schema=id:str:1,text:str:1,image:str:1",
+        "--first_sequence=text", "--second_sequence=image",
+        "--checkpoint_dir=" + out, "--epoch_num=1",
+        "--micro_batch_size=8", "--sequence_length=8",
+        "--learning_rate=1e-4", "--dtype=float32",
+        "--user_defined_parameters="
+        "pretrain_model_name_or_path=%s enable_controlnet=True "
+        "image_size=16" % model,
+    ])
+    assert rc == 0
+    assert os.path.exists(os.path.join(out, "flax_params_control.msgpack"))
+    global_vars._GLOBAL_ARGS = None
+    make_args()
+
+
 def test_controlnet_sampler_end_to_end():
     app = _tiny_app()
     cparams = app.init_controlnet_params(seed=0)
