@@ -82,7 +82,10 @@ class ControlNetApplication:
             t = jax.random.randint(r_t, (b,), 0, config.num_train_timesteps)
             noise = jax.random.normal(r_noise, latents.shape, jnp.float32)
             noisy = schedule.q_sample(latents, t, noise)
-            hint = hint_fn(batch["pixel_values"])
+            # precomputed conditioning map (e.g. depth, controlnet_hint_column)
+            # wins over the in-graph edge derivation
+            hint = batch["hint_values"] if "hint_values" in batch \
+                else hint_fn(batch["pixel_values"])
             downs, mid = cnet.apply({"params": control}, noisy, hint, t,
                                     context)
             pred = module.apply({"params": base}, noisy, t, context,

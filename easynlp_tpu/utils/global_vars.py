@@ -44,6 +44,7 @@ USER_DEFINED_PARAMETERS_TYPES = {
     "lora_targets": str,
     "enable_controlnet": bool,
     "controlnet_hint": str,
+    "controlnet_hint_column": str,
 }
 
 

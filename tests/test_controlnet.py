@@ -202,8 +202,10 @@ def test_controlnet_cli_end_to_end(tmp_path):
     tsv = os.path.join(base, "ldm.tsv")
     with open(tsv, "w") as f:
         for i in range(8):
-            f.write("%d\tnice picture %d\t%s\n"
-                    % (i, i, make_image_b64(seed=i, size=16)))
+            # 4th column = precomputed conditioning map (depth-style hint)
+            f.write("%d\tnice picture %d\t%s\t%s\n"
+                    % (i, i, make_image_b64(seed=i, size=16),
+                       make_image_b64(seed=100 + i, size=16)))
     model = os.path.join(base, "tiny-ldm")
     os.makedirs(model)
     v = make_vocab(os.path.join(model, "vocab.txt"))
@@ -219,14 +221,14 @@ def test_controlnet_cli_end_to_end(tmp_path):
     rc = cli.main([
         "--mode=train", "--app_name=latent_diffusion",
         "--tables=%s" % tsv,
-        "--input_schema=id:str:1,text:str:1,image:str:1",
+        "--input_schema=id:str:1,text:str:1,image:str:1,hint:str:1",
         "--first_sequence=text", "--second_sequence=image",
         "--checkpoint_dir=" + out, "--epoch_num=1",
         "--micro_batch_size=8", "--sequence_length=8",
         "--learning_rate=1e-4", "--dtype=float32",
         "--user_defined_parameters="
         "pretrain_model_name_or_path=%s enable_controlnet=True "
-        "image_size=16" % model,
+        "controlnet_hint_column=hint image_size=16" % model,
     ])
     assert rc == 0
     assert os.path.exists(os.path.join(out, "flax_params_control.msgpack"))
