@@ -65,6 +65,7 @@ SECTIONS = {
             "easynlp_tpu.modelzoo.tokenization_utils",
             "easynlp_tpu.modelzoo.tokenization_sentencepiece",
             "easynlp_tpu.modelzoo.generation_utils",
+            "easynlp_tpu.modelzoo.quantization",
             "easynlp_tpu.modelzoo.models.auto.auto_factory",
             "easynlp_tpu.modelzoo.models.bert.modeling_bert",
             "easynlp_tpu.modelzoo.models.gpt2.modeling_gpt2",

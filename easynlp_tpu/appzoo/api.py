@@ -464,7 +464,8 @@ def default_main_fn(args=None):
             second_sequence=args.second_sequence,
             sequence_length=args.sequence_length,
             batch_size=args.micro_batch_size,
-            dtype=dtype)
+            dtype=dtype,
+            quantize=udp.get("serve_quantize") or None)
 
     tables = (args.tables or "").split(",")
     model_cls = get_application_model(args.app_name, udp)

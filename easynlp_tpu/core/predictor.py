@@ -44,9 +44,13 @@ class PyModelPredictor(Predictor):
         module, keys = app.module, [k for k, _ in input_keys]
 
         def fwd(params, batch):
+            # int8 serving: dequant INSIDE the jit so weights stay int8 in
+            # HBM and XLA fuses convert*scale into each consumer matmul
+            # (identity on unquantized trees)
+            from easynlp_tpu.modelzoo.quantization import dequantize_params
             inputs = {k: batch[k] for k in keys if k in batch}
-            return module.apply({"params": params}, **inputs,
-                                deterministic=True)
+            return module.apply({"params": dequantize_params(params)},
+                                **inputs, deterministic=True)
         self._fwd = jax.jit(fwd)
 
     def predict(self, in_data):

@@ -15,7 +15,7 @@ from easynlp_tpu.utils.io_utils import io
 class Pipeline:
     def __init__(self, task, model_path, first_sequence="first_sequence",
                  second_sequence=None, sequence_length=128, batch_size=32,
-                 dtype=jnp.bfloat16):
+                 dtype=jnp.bfloat16, quantize=None):
         from easynlp_tpu.pipelines import SUPPORTED_TASKS
         if not has_args():
             from easynlp_tpu.testing import make_args
@@ -51,6 +51,17 @@ class Pipeline:
                 num_labels = max(len(json.load(f)), 2)
         app = app_cls.from_pretrained(model_path, dtype=dtype,
                                       num_labels=num_labels)
+        if quantize:
+            if quantize != "int8":
+                raise ValueError("quantize must be 'int8' (got %r)"
+                                 % (quantize,))
+            from easynlp_tpu.modelzoo.quantization import (
+                quantization_report, quantize_params)
+            app.params = quantize_params(app.params)
+            qb, ob, n = quantization_report(app.params)
+            from easynlp_tpu.utils.logger import logger
+            logger.info("int8 weight quantization: %d kernels, params "
+                        "%.1f MB -> %.1f MB", n, ob / 1e6, qb / 1e6)
         self.first_sequence = first_sequence
         self.second_sequence = second_sequence
         self.predictor = predictor_cls(

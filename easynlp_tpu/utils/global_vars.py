@@ -45,6 +45,7 @@ USER_DEFINED_PARAMETERS_TYPES = {
     "enable_controlnet": bool,
     "controlnet_hint": str,
     "controlnet_hint_column": str,
+    "serve_quantize": str,
 }
 
 

@@ -1,0 +1,156 @@
+"""Weight-only int8 quantization for inference/serving: round-trip error
+bound, logits parity on a classify app, predictor + pipeline integration.
+
+Capability beyond the reference (its serving is torch eager fp32/fp16);
+TPU rationale in modelzoo/quantization.py."""
+
+import json
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "fixtures"))
+from make_fixtures import make_pretrained  # noqa: E402
+
+from easynlp_tpu.modelzoo.quantization import (  # noqa: E402
+    dequantize_params,
+    is_quantized,
+    quantization_report,
+    quantize_params,
+)
+from easynlp_tpu.testing import make_args  # noqa: E402
+
+
+def test_roundtrip_error_bound():
+    rng = np.random.RandomState(0)
+    w = jnp.asarray(rng.randn(64, 128).astype(np.float32))
+    q = quantize_params({"dense": {"kernel": w}})
+    assert is_quantized(q)
+    back = dequantize_params(q)["dense"]["kernel"]
+    # symmetric per-channel int8: worst-case error is scale/2 = absmax/254
+    col_absmax = np.max(np.abs(np.asarray(w)), axis=0)
+    err = np.max(np.abs(np.asarray(back) - np.asarray(w)), axis=0)
+    assert np.all(err <= col_absmax / 254.0 + 1e-7)
+
+
+def test_identity_on_unquantized_and_skips():
+    rng = np.random.RandomState(1)
+    params = {
+        "embeddings": {"word_embeddings":
+                       jnp.asarray(rng.randn(100, 64), jnp.float32)},
+        "layer_norm": {"scale": jnp.ones((64,), jnp.float32)},
+        "small": {"kernel": jnp.asarray(rng.randn(4, 4), jnp.float32)},
+        "dense": {"kernel": jnp.asarray(rng.randn(64, 128), jnp.float32),
+                  "bias": jnp.zeros((128,), jnp.float32)},
+    }
+    q = quantize_params(params)
+    # embeddings / norms / small / bias untouched
+    assert not is_quantized({"e": q["embeddings"]})
+    assert not is_quantized({"l": q["layer_norm"]})
+    assert not is_quantized({"s": q["small"]})
+    assert q["dense"]["bias"] is params["dense"]["bias"]
+    assert is_quantized({"d": q["dense"]})
+    # dequantize is identity on plain trees
+    plain = dequantize_params(params)
+    for a, b in zip(jax.tree.leaves(plain), jax.tree.leaves(params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.fixture(scope="module")
+def classify_app(tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("quant"))
+    model_dir = make_pretrained(os.path.join(base, "tiny-bert"))
+    make_args()
+    from easynlp_tpu.appzoo.sequence_classification.model import (
+        SequenceClassification)
+    app = SequenceClassification.from_pretrained(
+        model_dir, dtype=jnp.float32, num_labels=3)
+    return app, model_dir
+
+
+def test_logits_parity_on_classify(classify_app):
+    app, _ = classify_app
+    rng = np.random.RandomState(2)
+    ids = rng.randint(1, 70, (4, 16)).astype(np.int32)
+    mask = np.ones_like(ids)
+    full = app.module.apply({"params": app.params}, input_ids=ids,
+                            attention_mask=mask, deterministic=True)
+    qparams = quantize_params(app.params)
+    qb, ob, n = quantization_report(qparams)
+    assert n > 0 and qb < 0.5 * ob
+
+    @jax.jit
+    def qfwd(p, ids, mask):
+        return app.module.apply({"params": dequantize_params(p)},
+                                input_ids=ids, attention_mask=mask,
+                                deterministic=True)
+
+    ql = qfwd(qparams, ids, mask)
+    a = np.asarray(full["logits"], np.float64)
+    b = np.asarray(ql["logits"], np.float64)
+    cos = np.sum(a * b) / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12)
+    assert cos > 0.999, cos
+    # argmax predictions unchanged on this margin-y random model
+    assert np.array_equal(a.argmax(-1), b.argmax(-1))
+
+
+def test_predictor_runs_quantized(classify_app):
+    app, model_dir = classify_app
+    from easynlp_tpu.core.predictor import PyModelPredictor
+    plain = PyModelPredictor(app, [("input_ids", np.int32),
+                                   ("attention_mask", np.int32)],
+                             ["logits"], batch_size=4)
+    rng = np.random.RandomState(3)
+    data = {"input_ids": rng.randint(1, 70, (6, 16)).astype(np.int32),
+            "attention_mask": np.ones((6, 16), np.int32)}
+    ref = plain.predict(dict(data))["logits"]
+
+    import copy
+    qapp = copy.copy(app)
+    qapp.params = quantize_params(app.params)
+    qpred = PyModelPredictor(qapp, [("input_ids", np.int32),
+                                    ("attention_mask", np.int32)],
+                             ["logits"], batch_size=4)
+    out = qpred.predict(dict(data))["logits"]
+    assert out.shape == ref.shape
+    assert np.array_equal(np.asarray(ref).argmax(-1),
+                          np.asarray(out).argmax(-1))
+
+
+def test_pipeline_quantize_int8(tmp_path):
+    """pipeline(model_dir, quantize='int8') end-to-end on a saved classify
+    checkpoint."""
+    base = str(tmp_path)
+    model_dir = make_pretrained(os.path.join(base, "tiny-bert"))
+    make_args()
+    from easynlp_tpu.appzoo.sequence_classification.model import (
+        SequenceClassification)
+    app = SequenceClassification.from_pretrained(
+        model_dir, dtype=jnp.float32, num_labels=2)
+    ckpt = os.path.join(base, "ck")
+    os.makedirs(ckpt)
+    from easynlp_tpu.modelzoo.modeling_utils import save_params
+    save_params(app.params, ckpt)
+    for extra in ("vocab.txt", "config.json"):
+        with open(os.path.join(model_dir, extra)) as f:
+            data = f.read()
+        with open(os.path.join(ckpt, extra), "w") as f:
+            f.write(data)
+    with open(os.path.join(ckpt, "label_mapping.json"), "w") as f:
+        json.dump({"neg": 0, "pos": 1}, f)
+    with open(os.path.join(ckpt, "train_config.json"), "w") as f:
+        json.dump({"app_name": "text_classify"}, f)
+
+    from easynlp_tpu.pipelines import pipeline
+    pipe = pipeline("text_classify", ckpt, quantize="int8",
+                    dtype=jnp.float32, sequence_length=16, batch_size=4)
+    from easynlp_tpu.modelzoo.quantization import is_quantized as isq
+    assert isq(pipe.predictor.model_predictor.app.params)
+    out = pipe(["good stuff", "bad stuff", "meh"])
+    assert len(out) == 3
+    assert all("predictions" in r or "label" in r or "logits" in r
+               for r in out)
