@@ -11,6 +11,7 @@ requests; the server coalesces them into device batches (max_batch_size =
 coalesced throughput — the point of the batcher.
 
 BENCH_TINY=1 shrinks the model for CPU smoke runs.
+BENCH_QUANTIZE=int8 serves the weight-only-quantized model (A/B the uplift).
 """
 
 import json
@@ -65,6 +66,14 @@ def main():
                                           num_labels=2)
     params = SequenceClassification.init_params(module, config)
     app = SequenceClassification(module, params, config)
+    quantize = os.environ.get("BENCH_QUANTIZE", "")  # "int8" to measure the
+    if quantize:                                     # weight-only serving path
+        from easynlp_tpu.modelzoo.quantization import (quantization_report,
+                                                       quantize_params)
+        app.params = quantize_params(app.params)
+        qb, ob, _ = quantization_report(app.params)
+        print("# int8: params %.1f MB -> %.1f MB" % (ob / 1e6, qb / 1e6),
+              file=sys.stderr)
     predictor = SequenceClassificationPredictor(
         base, app, first_sequence="sent", sequence_length=SEQ_LEN,
         batch_size=MAX_BATCH)
@@ -117,6 +126,7 @@ def main():
         "unit": "examples/s (closed-loop, %d clients)" % CLIENTS,
         "vs_baseline": None,
         "extras": {
+            "quantize": quantize or "none",
             "p50_ms": round(lat[len(lat) // 2], 2),
             "p99_ms": round(lat[int(len(lat) * 0.99) - 1], 2),
             "device_batches": stats["batches"],

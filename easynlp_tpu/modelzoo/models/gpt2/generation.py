@@ -7,24 +7,30 @@ import jax.numpy as jnp
 
 def make_gpt2_generation_fns(module, max_length, cache_dtype=None):
     """Returns (prefill, decode) closures over a GPT2LMHeadModel module."""
+    from easynlp_tpu.modelzoo.quantization import dequantize_params
 
     def prefill(params, input_ids, attention_mask):
         b, p = input_ids.shape
         cache = module.init_cache(b, max_length, dtype=cache_dtype)
         cache["mask"] = jax.lax.dynamic_update_slice(
             cache["mask"], attention_mask.astype(jnp.int32), (0, 0))
-        out = module.apply({"params": params}, input_ids=input_ids,
+        out = module.apply({"params": dequantize_params(params)},
+                           input_ids=input_ids,
                            attention_mask=attention_mask, cache=cache,
                            deterministic=True)
         return out["logits"][:, -1].astype(jnp.float32), out["cache"]
 
     def decode(params, token, cache):
+        # int8 serving: dequant here, inside the decode-loop trace, so
+        # weights stay int8 in HBM across steps and XLA fuses convert*scale
+        # into each matmul (identity on unquantized trees)
         b = token.shape[0]
         positions = jnp.sum(cache["mask"], axis=-1, keepdims=True)  # [B,1]
         cache = dict(cache)
         cache["mask"] = jax.lax.dynamic_update_slice(
             cache["mask"], jnp.ones((b, 1), jnp.int32), (0, cache["index"]))
-        out = module.apply({"params": params}, input_ids=token,
+        out = module.apply({"params": dequantize_params(params)},
+                           input_ids=token,
                            position_ids=positions, cache=cache,
                            deterministic=True)
         return out["logits"][:, -1].astype(jnp.float32), out["cache"]

@@ -11,7 +11,11 @@ import jax.numpy as jnp
 
 def make_encoder_decoder_fns(module, max_length, src_ids, src_mask,
                            cache_dtype=None):
-    def prefill(params, decoder_start_ids, decoder_start_mask):
+    from easynlp_tpu.modelzoo.quantization import dequantize_params
+
+    def prefill(raw_params, decoder_start_ids, decoder_start_mask):
+        # int8 serving: dequant inside the trace (identity when unquantized)
+        params = dequantize_params(raw_params)
         bk = decoder_start_ids.shape[0]
         b = src_ids.shape[0]
         k = bk // b
@@ -36,7 +40,8 @@ def make_encoder_decoder_fns(module, max_length, src_ids, src_mask,
                  "index": jnp.ones((), jnp.int32)}
         return logits[:, -1].astype(jnp.float32), state
 
-    def decode(params, token, state):
+    def decode(raw_params, token, state):
+        params = dequantize_params(raw_params)
         logits, self_cache = module.apply(
             {"params": params}, token, state["enc"], state["enc_mask"],
             cache=state["self"], cache_index=state["index"],

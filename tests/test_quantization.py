@@ -121,6 +121,49 @@ def test_predictor_runs_quantized(classify_app):
                           np.asarray(out).argmax(-1))
 
 
+def test_seq2seq_generation_with_quantized_params():
+    """Encoder-decoder generation runs with an int8 params tree (dequant
+    inside prefill/decode), and prefill logits match full precision."""
+    from easynlp_tpu.appzoo.sequence_generation.model import (
+        SequenceGeneration)
+    from easynlp_tpu.modelzoo.models.bart import BartConfig
+    from easynlp_tpu.modelzoo.seq2seq_generation import (
+        encoder_decoder_generate, make_encoder_decoder_fns)
+
+    make_args()
+    cfg = BartConfig(vocab_size=120, d_model=32, encoder_layers=2,
+                     decoder_layers=2, encoder_attention_heads=4,
+                     decoder_attention_heads=4, encoder_ffn_dim=64,
+                     decoder_ffn_dim=64, max_position_embeddings=64,
+                     dropout=0.0, attention_dropout=0.0,
+                     activation_dropout=0.0)
+    m = SequenceGeneration.build_module(cfg, dtype=jnp.float32)
+    params = SequenceGeneration.init_params(m, cfg)
+    ids = np.random.RandomState(3).randint(3, 120, (2, 7))
+    mask = np.ones((2, 7), np.int32)
+    qparams = quantize_params(params, min_size=512)
+    assert is_quantized(qparams)
+
+    # prefill logits parity (deterministic; no decode-divergence flakiness)
+    prefill, _ = make_encoder_decoder_fns(m, 12, jnp.asarray(ids),
+                                          jnp.asarray(mask))
+    start = jnp.full((2, 1), 2, jnp.int32)
+    smask = jnp.ones((2, 1), jnp.int32)
+    lf, _ = prefill(params, start, smask)
+    lq, _ = prefill(qparams, start, smask)
+    a, b = np.asarray(lf, np.float64), np.asarray(lq, np.float64)
+    cos = np.sum(a * b) / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12)
+    assert cos > 0.999, cos
+
+    # full greedy + beam decode execute on the quantized tree
+    for beams in (1, 2):
+        seqs = np.asarray(encoder_decoder_generate(
+            m, qparams, jnp.asarray(ids), jnp.asarray(mask), max_length=8,
+            num_beams=beams))
+        assert seqs.shape[0] == 2
+        assert (seqs >= 0).all() and (seqs < 120).all()
+
+
 def test_pipeline_quantize_int8(tmp_path):
     """pipeline(model_dir, quantize='int8') end-to-end on a saved classify
     checkpoint."""
