@@ -135,7 +135,10 @@ class SequenceGeneration(Application):
         from easynlp_tpu.modelzoo.generation_utils import generate
         from easynlp_tpu.modelzoo.models.gpt2.generation import (
             make_gpt2_generation_fns)
-        prefill, decode = make_gpt2_generation_fns(self.module, max_length)
+        slack = (kwargs.get("num_draft_tokens", 8) + 1
+                 if kwargs.get("speculative") else 0)
+        prefill, decode = make_gpt2_generation_fns(self.module, max_length,
+                                                   cache_slack=slack)
         kwargs.setdefault("eos_token_id", self.config.eos_token_id)
         kwargs.setdefault("pad_token_id", self.config.pad_token_id or 0)
         return generate(prefill, decode, self.params, src_ids, src_mask,

@@ -1,5 +1,13 @@
 """Generation predictor: source text → generated text (reference
-easynlp/appzoo/sequence_generation/predictor.py)."""
+easynlp/appzoo/sequence_generation/predictor.py).
+
+Decode parameters follow the reference's user_defined_parameters contract
+(reference predictor.py:81-88): max_encoder_length, min_decoder_length,
+max_decoder_length, no_repeat_ngram_size, num_beams, num_beam_groups,
+diversity_penalty. TPU-native extras: speculative_decoding=prompt_lookup
+(+ num_draft_tokens, lookup_ngram_size) — draft-model-free speculative
+greedy decoding (modelzoo/speculative.py), token-exact, used when beams=1.
+"""
 
 import numpy as np
 
@@ -8,16 +16,44 @@ from easynlp_tpu.core.predictor import Predictor
 
 class SequenceGenerationPredictor(Predictor):
     def __init__(self, model_dir, app, first_sequence=None,
-                 sequence_length=128, batch_size=8, max_decode_length=64,
-                 num_beams=1, **_):
+                 sequence_length=128, batch_size=8, max_decode_length=None,
+                 num_beams=None, user_defined_parameters=None, **_):
         from easynlp_tpu.modelzoo.models.auto import AutoTokenizer
+        udp = user_defined_parameters or {}
         self.tokenizer = AutoTokenizer.from_pretrained(model_dir)
         self.first_sequence = first_sequence
-        self.sequence_length = sequence_length
-        self.max_decode_length = max_decode_length
-        self.num_beams = num_beams
+        self.sequence_length = int(udp.get("max_encoder_length",
+                                           sequence_length))
+        self.max_decode_length = int(
+            max_decode_length if max_decode_length is not None
+            else udp.get("max_decoder_length", 64))
+        self.min_decode_length = int(udp.get("min_decoder_length", 0))
+        self.num_beams = int(num_beams if num_beams is not None
+                             else udp.get("num_beams", 1))
+        self.no_repeat_ngram_size = int(udp.get("no_repeat_ngram_size", 0))
+        self.num_beam_groups = int(udp.get("num_beam_groups", 1)) or 1
+        self.diversity_penalty = float(udp.get("diversity_penalty", 0.0))
+        self.speculative = udp.get("speculative_decoding") or None
+        self.num_draft_tokens = int(udp.get("num_draft_tokens", 8))
+        self.lookup_ngram_size = int(udp.get("lookup_ngram_size", 2))
         self.app = app
         self.batch_size = batch_size
+
+    def _generate_kwargs(self):
+        kw = {"max_length": self.max_decode_length,
+              "num_beams": self.num_beams}
+        if self.min_decode_length:
+            kw["min_length"] = self.min_decode_length
+        if self.no_repeat_ngram_size:
+            kw["no_repeat_ngram_size"] = self.no_repeat_ngram_size
+        if self.num_beam_groups > 1:
+            kw["num_beam_groups"] = self.num_beam_groups
+            kw["diversity_penalty"] = self.diversity_penalty or 1.0
+        if self.speculative:
+            kw["speculative"] = self.speculative
+            kw["num_draft_tokens"] = self.num_draft_tokens
+            kw["ngram_size"] = self.lookup_ngram_size
+        return kw
 
     def preprocess(self, in_data):
         enc = self.tokenizer([str(t) for t in in_data[self.first_sequence]],
@@ -30,6 +66,7 @@ class SequenceGenerationPredictor(Predictor):
         import jax.numpy as jnp
         n = len(in_data["input_ids"])
         bs = self.batch_size
+        kw = self._generate_kwargs()
         outs = []
         for start in range(0, n, bs):
             ids = in_data["input_ids"][start:start + bs]
@@ -39,8 +76,7 @@ class SequenceGenerationPredictor(Predictor):
                 ids = np.concatenate([ids, np.repeat(ids[-1:], bs - real, 0)])
                 mask = np.concatenate([mask, np.repeat(mask[-1:], bs - real, 0)])
             seqs = np.asarray(self.app.generate(
-                jnp.asarray(ids), jnp.asarray(mask),
-                max_length=self.max_decode_length, num_beams=self.num_beams))
+                jnp.asarray(ids), jnp.asarray(mask), **kw))
             outs.append(seqs[:real])
         result = dict(in_data)
         result["generated_ids"] = np.concatenate(outs)

@@ -88,6 +88,7 @@ class BartAttention(nn.Module):
                        name="v_proj")(kv_hidden).reshape(b, skv, h, d)
         new_cache = None
         causal = self.causal
+        bias = None
         if cache is not None:
             k_cache, v_cache = cache
             k = jax.lax.dynamic_update_slice(
@@ -95,8 +96,17 @@ class BartAttention(nn.Module):
             v = jax.lax.dynamic_update_slice(
                 v_cache, v.astype(v_cache.dtype), (0, cache_index, 0, 0))
             new_cache = (k, v)
-            causal = False  # kv_mask already restricts to <= current pos
-        ctx = attention(q, k, v, kv_mask=kv_mask, causal=causal)
+            # s == 1: kv_mask (arange < index + s) already restricts to
+            # <= current pos. s > 1 (speculative verify chunks): add
+            # intra-chunk causality by absolute position.
+            causal = False
+            if self.causal and s > 1:
+                q_pos = cache_index + jnp.arange(s)
+                k_pos = jnp.arange(k.shape[1])
+                bias = jnp.where(
+                    (k_pos[None, :] <= q_pos[:, None])[None, None],
+                    0.0, -1e30)
+        ctx = attention(q, k, v, kv_mask=kv_mask, causal=causal, bias=bias)
         ctx = ctx.reshape(b, s, h * d)
         out = _dense(c.d_model, ("joined_kv", "embed"), dtype=self.dtype,
                      name="out_proj")(ctx)

@@ -5,13 +5,19 @@ import jax
 import jax.numpy as jnp
 
 
-def make_gpt2_generation_fns(module, max_length, cache_dtype=None):
-    """Returns (prefill, decode) closures over a GPT2LMHeadModel module."""
+def make_gpt2_generation_fns(module, max_length, cache_dtype=None,
+                             cache_slack=0):
+    """Returns (prefill, decode) closures over a GPT2LMHeadModel module.
+
+    cache_slack: extra KV slots past max_length — speculative decoding
+    (modelzoo/speculative.py) writes K+1-token verify chunks that may
+    straddle the max_length boundary before being rolled back."""
     from easynlp_tpu.modelzoo.quantization import dequantize_params
 
     def prefill(params, input_ids, attention_mask):
         b, p = input_ids.shape
-        cache = module.init_cache(b, max_length, dtype=cache_dtype)
+        cache = module.init_cache(b, max_length + cache_slack,
+                                  dtype=cache_dtype)
         cache["mask"] = jax.lax.dynamic_update_slice(
             cache["mask"], attention_mask.astype(jnp.int32), (0, 0))
         out = module.apply({"params": dequantize_params(params)},
@@ -35,6 +41,35 @@ def make_gpt2_generation_fns(module, max_length, cache_dtype=None):
                            deterministic=True)
         return out["logits"][:, -1].astype(jnp.float32), out["cache"]
 
+    def decode_chunk(params, tokens, cache):
+        """Verify forward for speculative decoding: feed [B, S] tokens at the
+        cache's write index, return logits for ALL S positions [B, S, V].
+        Intra-chunk causality is handled by the s>1 path in GPT2Attention
+        (modeling_gpt2.py:76-84)."""
+        b, s = tokens.shape
+        # position ids = running count of real tokens per row (left-padded
+        # prompts), matching the single-token decode's sum-of-mask semantics
+        base = jnp.sum(cache["mask"], axis=-1, keepdims=True)       # [B, 1]
+        positions = base + jnp.arange(s)[None, :]                   # [B, S]
+        cache = dict(cache)
+        cache["mask"] = jax.lax.dynamic_update_slice(
+            cache["mask"], jnp.ones((b, s), jnp.int32), (0, cache["index"]))
+        out = module.apply({"params": dequantize_params(params)},
+                           input_ids=tokens,
+                           position_ids=positions, cache=cache,
+                           deterministic=True)
+        return out["logits"].astype(jnp.float32), out["cache"]
+
+    def rollback(cache, drop):
+        """Invalidate the last `drop` cache entries (rejected draft tokens):
+        pull the write index back and re-mask so they are invisible — the
+        next chunk write overwrites them in place (gap-free cache)."""
+        new_index = cache["index"] - drop
+        t = cache["mask"].shape[1]
+        mask = jnp.where(jnp.arange(t)[None, :] >= new_index, 0,
+                         cache["mask"])
+        return dict(cache, index=new_index, mask=mask)
+
     def reindex_cache(cache, flat_beam):
         """Beam gather with explicit batch axes: k/v are layer-stacked
         [L, B*K, T, H, D] → axis 1; mask is [B*K, T] → axis 0; index is a
@@ -47,4 +82,6 @@ def make_gpt2_generation_fns(module, max_length, cache_dtype=None):
         }
 
     prefill.reindex_cache = reindex_cache
+    decode.chunk = decode_chunk
+    decode.rollback = rollback
     return prefill, decode

@@ -243,6 +243,12 @@ class T5Stack(nn.Module):
             s = hidden.shape[1]
             causal = jnp.tril(jnp.ones((s, s), bool))
             bias = jnp.where(causal[None, None], bias, -1e30)
+        elif self.is_decoder and hidden.shape[1] > 1:
+            # cached multi-token decode (speculative verify chunks): the
+            # kv_mask only restricts to < index + s, so intra-chunk
+            # causality must come from absolute positions (no-op for s=1)
+            bias = jnp.where((kpos[None, :] <= qpos[:, None])[None, None],
+                             bias, -1e30)
         n_layers = c.num_decoder_layers if self.is_decoder else c.num_layers
         block_cls = T5Block
         if self.remat in REMAT_POLICIES:

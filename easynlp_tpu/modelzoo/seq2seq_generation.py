@@ -10,7 +10,7 @@ import jax.numpy as jnp
 
 
 def make_encoder_decoder_fns(module, max_length, src_ids, src_mask,
-                           cache_dtype=None):
+                           cache_dtype=None, cache_slack=0):
     from easynlp_tpu.modelzoo.quantization import dequantize_params
 
     def prefill(raw_params, decoder_start_ids, decoder_start_mask):
@@ -25,7 +25,8 @@ def make_encoder_decoder_fns(module, max_length, src_ids, src_mask,
         if k > 1:
             enc = jnp.repeat(enc, k, axis=0)
             enc_mask = jnp.repeat(src_mask, k, axis=0)
-        self_cache = module.apply({"params": params}, bk, max_length,
+        self_cache = module.apply({"params": params}, bk,
+                                  max_length + cache_slack,
                                   method=module.init_cache)
         if hasattr(module, "precompute_cross_kv"):
             cross_k, cross_v = module.apply({"params": params}, enc,
@@ -52,6 +53,28 @@ def make_encoder_decoder_fns(module, max_length, src_ids, src_mask,
                      "index": state["index"] + 1}
         return logits[:, -1].astype(jnp.float32), new_state
 
+    def decode_chunk(raw_params, tokens, state):
+        """Verify forward for speculative decoding: [B, S] tokens at the
+        decoder cache index, logits for ALL S positions. Intra-chunk
+        causality is folded into the cached-decode masks/bias by the
+        modeling code (bart/t5 s>1 paths)."""
+        params = dequantize_params(raw_params)
+        s = tokens.shape[1]
+        logits, self_cache = module.apply(
+            {"params": params}, tokens, state["enc"], state["enc_mask"],
+            cache=state["self"], cache_index=state["index"],
+            positions=state["index"] + jnp.arange(s),
+            method=module.decode)
+        new_state = {"self": self_cache, "enc": state["enc"],
+                     "enc_mask": state["enc_mask"],
+                     "index": state["index"] + s}
+        return logits.astype(jnp.float32), new_state
+
+    def rollback(state, drop):
+        # decoder visibility is derived from the index (arange < index + s),
+        # so pulling the index back is the whole rollback
+        return dict(state, index=state["index"] - drop)
+
     def reindex_cache(state, flat_beam):
         """Beam gather with explicit batch axes: self-attn KV (and precomputed
         cross KV) are layer-stacked [L, B*K, ...] → axis 1; enc/enc_mask are
@@ -65,6 +88,8 @@ def make_encoder_decoder_fns(module, max_length, src_ids, src_mask,
         }
 
     prefill.reindex_cache = reindex_cache
+    decode.chunk = decode_chunk
+    decode.rollback = rollback
     return prefill, decode
 
 
@@ -78,8 +103,10 @@ def encoder_decoder_generate(module, params, src_ids, src_mask, max_length=64,
     b = src_ids.shape[0]
     start = jnp.full((b, 1), module.config.decoder_start_token_id, jnp.int32)
     start_mask = jnp.ones((b, 1), jnp.int32)
+    slack = (kwargs.get("num_draft_tokens", 8) + 1
+             if kwargs.get("speculative") else 0)
     prefill, decode = make_encoder_decoder_fns(module, max_length, src_ids,
-                                             src_mask)
+                                             src_mask, cache_slack=slack)
     kwargs.setdefault("eos_token_id", module.config.eos_token_id)
     kwargs.setdefault("pad_token_id", module.config.pad_token_id)
     return generate(prefill, decode, params, start, start_mask,

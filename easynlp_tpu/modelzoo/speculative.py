@@ -1,0 +1,207 @@
+"""Prompt-lookup speculative decoding (greedy-exact, static shapes).
+
+Serving-side decode accelerator beyond the reference's capability set
+(reference generation is strictly one-token-per-forward,
+easynlp/modelzoo/generation_utils.py:644): draft tokens are proposed by
+matching the trailing n-gram of the generated buffer against earlier
+occurrences (prompt lookup — no draft model needed), then ONE chunked
+forward over [last_token, d_1..d_K] scores all drafts in parallel and the
+longest prefix that agrees with the model's own greedy choices is accepted.
+Output is token-exact vs plain greedy decoding; throughput gain comes from
+committing up to K+1 tokens per forward on copy-heavy tasks (summarization,
+dialogue, code).
+
+TPU-first design notes:
+- the verify forward is a fixed [B, K+1] chunk — batched matmuls on the MXU
+  instead of K+1 bandwidth-bound single-token steps; weight streaming from
+  HBM per committed token drops by the acceptance factor;
+- everything runs in ONE `lax.while_loop`: the draft search is vectorized
+  over the static [B, T] buffer (no host round-trips), acceptance is a
+  traced scalar, cache rollback is an index/mask update;
+- the accepted length is shared across the batch (min over rows) so the KV
+  cache keeps ONE scalar write index and stays gap-free — per-row indices
+  would turn every cache write into a scatter. Serving decode is small-batch,
+  where the shared min costs little.
+
+Model protocol (attached to the adapter's `decode` fn by
+models/gpt2/generation.py and seq2seq_generation.py):
+- decode.chunk(params, tokens[B,S], cache) -> (logits[B,S,V] fp32, cache)
+  with the cache's write index advanced by S;
+- decode.rollback(cache, drop) -> cache with the last `drop` of the
+  just-written S entries invalidated (index -= drop, visibility re-masked).
+
+Only position-static logits processors are supported under speculation
+(min_length, bad_words_mask, eos); repetition_penalty / no_repeat_ngram
+depend on the evolving sequence content per position and force a fallback
+to plain greedy in `generate()`.
+"""
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from easynlp_tpu.modelzoo.generation_utils import NEG_INF
+
+
+def prompt_lookup_drafts(sequences, valid, cur_len, num_draft_tokens,
+                         ngram_size, pad_token_id=0):
+    """Propose [B, K] draft tokens: find the most recent earlier occurrence
+    of the trailing `ngram_size`-gram and copy the tokens that followed it.
+
+    Pure/jit-safe: O(B*T) comparisons over the static buffer. A row with no
+    match drafts `pad_token_id` repeats — drafts never affect correctness
+    (the verify pass rejects them), only the acceptance rate.
+    """
+    b, t = sequences.shape
+    n = ngram_size
+    k = num_draft_tokens
+    # trailing n-gram = last n committed tokens [cur_len-n, cur_len)
+    ngram = jax.lax.dynamic_slice(
+        sequences, (0, jnp.maximum(cur_len - n, 0)), (b, n))      # [B, n]
+    # windows[b, p, j] = sequences[b, p + j] for window starts p
+    starts = jnp.arange(t - n + 1)
+    win_idx = starts[:, None] + jnp.arange(n)[None, :]            # [P, n]
+    windows = sequences[:, win_idx]                                # [B, P, n]
+    win_valid = jnp.all(valid[:, win_idx] == 1, axis=-1)           # [B, P]
+    eq = jnp.all(windows == ngram[:, None, :], axis=-1)            # [B, P]
+    # a match must be strictly earlier than the trailing n-gram itself and
+    # have at least one committed token after it to copy from
+    usable = (starts + n) <= (cur_len - 1)
+    score = jnp.where(eq & win_valid & usable[None, :], starts, -1)
+    p_best = jnp.max(score, axis=-1)                               # [B]
+    found = p_best >= 0
+    src = jnp.clip(p_best + n, 0, t - 1)
+    draft_idx = jnp.clip(src[:, None] + jnp.arange(k)[None, :], 0, t - 1)
+    draft = jnp.take_along_axis(sequences, draft_idx, axis=1)      # [B, K]
+    return jnp.where(found[:, None], draft,
+                     jnp.full_like(draft, pad_token_id)).astype(jnp.int32)
+
+
+class SpecState(NamedTuple):
+    step: Any        # scalar: next write position (committed length)
+    sequences: Any   # [B, Tb]
+    valid: Any       # [B, Tb]
+    cache: Any
+    pending: Any     # [B] last committed token, not yet fed to the model
+    finished: Any    # [B] bool
+    accepted: Any    # scalar: total accepted draft tokens (stats)
+    rounds: Any      # scalar: verify forwards run (stats)
+
+
+def _process_chunk_logits(logits, step, config):
+    """Position-static processors on chunk logits [B, S, V]; position i of
+    the chunk decodes buffer position step + i."""
+    logits = logits.astype(jnp.float32)
+    bad = config.get("bad_words_mask")
+    if bad is not None:
+        logits = jnp.where(bad if bad.ndim == 1 else bad[:, None, :],
+                           NEG_INF, logits)
+    min_length = config.get("min_length")
+    eos = config.get("eos_token_id")
+    if min_length and eos is not None:
+        pos = step + jnp.arange(logits.shape[1])                   # [S]
+        ban = (pos < min_length)[None, :, None] & (
+            jnp.arange(logits.shape[-1]) == eos)[None, None, :]
+        logits = jnp.where(ban, NEG_INF, logits)
+    return logits
+
+
+def speculative_greedy(prefill, decode_chunk, rollback, params, input_ids,
+                       attention_mask, max_length, num_draft_tokens=8,
+                       ngram_size=2, eos_token_id=None, pad_token_id=0,
+                       **proc_config):
+    """Greedy decoding with prompt-lookup speculation.
+
+    input_ids LEFT-padded [B, P]. Returns (sequences [B, max_length],
+    valid [B, max_length], stats dict of traced scalars). The adapter's
+    cache must have >= max_length + num_draft_tokens + 1 slots (pass
+    cache_slack to the adapter constructor).
+    """
+    for unsupported in ("repetition_penalty", "no_repeat_ngram_size"):
+        if proc_config.get(unsupported):
+            raise ValueError(
+                f"{unsupported} is sequence-content-dependent per position "
+                "and not supported under speculative decoding; use plain "
+                "greedy (generate() falls back automatically)")
+    b, p = input_ids.shape
+    t = max_length
+    k = num_draft_tokens
+    tb = t + k + 1                       # buffer slack: a chunk written at
+    assert t > p                         # step <= t-1 spans k+1 slots
+    proc = dict(proc_config, eos_token_id=eos_token_id)
+
+    sequences = jnp.full((b, tb), pad_token_id, jnp.int32)
+    sequences = jax.lax.dynamic_update_slice(sequences, input_ids, (0, 0))
+    valid = jnp.zeros((b, tb), jnp.int32)
+    valid = jax.lax.dynamic_update_slice(valid, attention_mask, (0, 0))
+
+    # prefill consumes the whole prompt; its logits greedily commit the first
+    # generated token, which becomes the pending (not-yet-fed) token
+    logits0, cache = prefill(params, input_ids, attention_mask)
+    g0 = jnp.argmax(
+        _process_chunk_logits(logits0[:, None], jnp.asarray(p), proc)[:, 0],
+        axis=-1).astype(jnp.int32)
+    finished0 = (g0 == eos_token_id) if eos_token_id is not None \
+        else jnp.zeros((b,), bool)
+    sequences = jax.lax.dynamic_update_slice(sequences, g0[:, None], (0, p))
+    valid = jax.lax.dynamic_update_slice(
+        valid, jnp.ones((b, 1), jnp.int32), (0, p))
+    state = SpecState(jnp.asarray(p + 1), sequences, valid, cache,
+                      jnp.where(finished0, pad_token_id, g0).astype(jnp.int32),
+                      finished0, jnp.zeros((), jnp.int32),
+                      jnp.zeros((), jnp.int32))
+
+    def cond(s):
+        return (s.step < t) & ~jnp.all(s.finished)
+
+    def body(s):
+        draft = prompt_lookup_drafts(s.sequences, s.valid, s.step, k,
+                                     ngram_size, pad_token_id)
+        tokens_in = jnp.concatenate([s.pending[:, None], draft], axis=1)
+        logits, cache = decode_chunk(params, tokens_in, s.cache)  # [B,K+1,V]
+        g = jnp.argmax(_process_chunk_logits(logits, s.step, proc),
+                       axis=-1).astype(jnp.int32)                  # [B,K+1]
+        # d_i is accepted iff it equals the model's greedy choice g_{i-1}
+        match = draft == g[:, :-1]                                 # [B, K]
+        acc_row = jnp.sum(jnp.cumprod(match.astype(jnp.int32), axis=1), 1)
+        acc_row = jnp.where(s.finished, k, acc_row)  # dead rows don't bind
+        a = jnp.min(acc_row)                         # shared accept (scalar)
+
+        # committed tokens this round: g_0..g_a (g_0..g_{a-1} == d_1..d_a,
+        # whose KV the verify pass already wrote; g_a is the free bonus token
+        # and becomes the next pending)
+        cidx = jnp.arange(k + 1)
+        committed = cidx <= a                                       # [K+1]
+        is_eos = (g == eos_token_id) & committed[None] \
+            if eos_token_id is not None \
+            else jnp.zeros_like(g, dtype=bool)
+        eos_before = jnp.concatenate(
+            [jnp.zeros((b, 1), bool),
+             jnp.cumsum(is_eos.astype(jnp.int32), axis=1)[:, :-1] > 0], 1)
+        dead = s.finished[:, None] | eos_before                     # [B,K+1]
+        write_live = committed[None] & ~dead
+        tok_write = jnp.where(write_live, g, pad_token_id).astype(jnp.int32)
+        sequences = jax.lax.dynamic_update_slice(
+            s.sequences, tok_write, (0, s.step))
+        valid = jax.lax.dynamic_update_slice(
+            s.valid, write_live.astype(jnp.int32), (0, s.step))
+        finished = s.finished | jnp.any(is_eos & ~dead, axis=1)
+
+        # of the K+1 cache entries just written ([pending, d_1..d_K]), keep
+        # pending + the a accepted drafts; drop the rest
+        cache = rollback(cache, k - a)
+        bonus = jnp.take_along_axis(g, jnp.full((b, 1), a), axis=1)[:, 0]
+        pending = jnp.where(finished, pad_token_id, bonus).astype(jnp.int32)
+        return SpecState(s.step + 1 + a, sequences, valid, cache, pending,
+                         finished, s.accepted + a, s.rounds + 1)
+
+    final = jax.lax.while_loop(cond, body, state)
+    seqs = final.sequences[:, :t]
+    val = final.valid[:, :t]
+    # positions past a committed EOS (or past max_length inside the last
+    # chunk) carry pad with valid=0 — normalize exactly like plain greedy
+    seqs = jnp.where(val == 1, seqs, pad_token_id)
+    stats = {"accepted_drafts": final.accepted, "verify_rounds": final.rounds,
+             "generated": final.step - p}
+    return seqs, val, stats

@@ -1,0 +1,223 @@
+"""Prompt-lookup speculative decoding: chunk-forward correctness (incl. the
+bart/t5 intra-chunk causality paths) and token-exactness vs plain greedy."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from easynlp_tpu.modelzoo.generation_utils import (generate, greedy_or_sample,
+                                                   left_pad)
+from easynlp_tpu.modelzoo.models.gpt2 import GPT2Config, GPT2LMHeadModel
+from easynlp_tpu.modelzoo.models.gpt2.generation import (
+    make_gpt2_generation_fns)
+from easynlp_tpu.modelzoo.speculative import (prompt_lookup_drafts,
+                                              speculative_greedy)
+
+GPT2_TINY = dict(vocab_size=97, n_positions=96, n_embd=32, n_layer=2,
+                 n_head=2, resid_pdrop=0.0, embd_pdrop=0.0, attn_pdrop=0.0)
+BART_TINY = dict(vocab_size=120, d_model=32, encoder_layers=2,
+                 decoder_layers=2, encoder_attention_heads=4,
+                 decoder_attention_heads=4, encoder_ffn_dim=64,
+                 decoder_ffn_dim=64, max_position_embeddings=96, dropout=0.0,
+                 attention_dropout=0.0, activation_dropout=0.0)
+T5_TINY = dict(vocab_size=120, d_model=32, d_kv=8, d_ff=64, num_layers=2,
+               num_heads=4, dropout_rate=0.0)
+
+
+def _tiny_gpt2(seed=0):
+    cfg = GPT2Config(**GPT2_TINY)
+    m = GPT2LMHeadModel.from_config(cfg, dtype=jnp.float32)
+    rng = jax.random.PRNGKey(seed)
+    params = m.init({"params": rng, "dropout": rng},
+                    input_ids=jnp.ones((1, 4), jnp.int32),
+                    deterministic=True)["params"]
+    from flax import linen as nn
+    return m, nn.unbox(params)
+
+
+def _tiny_seq2seq(kind, seed=0):
+    if kind == "bart":
+        from easynlp_tpu.modelzoo.models.bart import (
+            BartConfig, BartForConditionalGeneration)
+        cfg = BartConfig(**BART_TINY)
+        m = BartForConditionalGeneration.from_config(cfg, dtype=jnp.float32)
+    else:
+        from easynlp_tpu.modelzoo.models.t5 import (
+            T5Config, T5ForConditionalGeneration)
+        cfg = T5Config(**T5_TINY)
+        m = T5ForConditionalGeneration.from_config(cfg, dtype=jnp.float32)
+    rng = jax.random.PRNGKey(seed)
+    params = m.init({"params": rng, "dropout": rng},
+                    input_ids=jnp.ones((1, 6), jnp.int32),
+                    decoder_input_ids=jnp.ones((1, 3), jnp.int32),
+                    deterministic=True)["params"]
+    from flax import linen as nn
+    return m, nn.unbox(params)
+
+
+def test_prompt_lookup_drafts_copies_continuation():
+    # buffer: [7 8 9 1 2 7 8 | ...], cur_len=7, bigram (7,8) matched at 0 →
+    # drafts copy the tokens that followed: 9 1 2
+    seqs = jnp.asarray([[7, 8, 9, 1, 2, 7, 8, 0, 0, 0]], jnp.int32)
+    valid = jnp.asarray([[1, 1, 1, 1, 1, 1, 1, 0, 0, 0]], jnp.int32)
+    draft = np.asarray(prompt_lookup_drafts(seqs, valid, jnp.asarray(7), 3, 2))
+    np.testing.assert_array_equal(draft, [[9, 1, 2]])
+
+    # no earlier occurrence → pad drafts
+    seqs2 = jnp.asarray([[3, 4, 5, 6, 0, 0]], jnp.int32)
+    valid2 = jnp.asarray([[1, 1, 1, 1, 0, 0]], jnp.int32)
+    draft2 = np.asarray(prompt_lookup_drafts(seqs2, valid2, jnp.asarray(4),
+                                             2, 2, pad_token_id=0))
+    np.testing.assert_array_equal(draft2, [[0, 0]])
+
+
+def test_gpt2_chunk_decode_matches_sequential():
+    """decode_chunk over S tokens must reproduce S sequential decode calls
+    (positions, intra-chunk causality, cache writes)."""
+    m, params = _tiny_gpt2()
+    ids, mask = left_pad([[5, 6, 7, 8], [9, 10]], pad_token_id=0, length=5)
+    prefill, decode = make_gpt2_generation_fns(m, max_length=24)
+    _, cache_seq = prefill(params, jnp.asarray(ids), jnp.asarray(mask))
+    _, cache_chunk = prefill(params, jnp.asarray(ids), jnp.asarray(mask))
+
+    toks = np.random.RandomState(3).randint(1, 97, (2, 4)).astype(np.int32)
+    seq_logits = []
+    for i in range(4):
+        lg, cache_seq = decode(params, jnp.asarray(toks[:, i:i + 1]),
+                               cache_seq)
+        seq_logits.append(np.asarray(lg))
+    chunk_logits, cache_chunk = decode.chunk(params, jnp.asarray(toks),
+                                             cache_chunk)
+    chunk_logits = np.asarray(chunk_logits)
+    for i in range(4):
+        np.testing.assert_allclose(chunk_logits[:, i], seq_logits[i],
+                                   atol=2e-4)
+    # caches agree after the chunk
+    np.testing.assert_allclose(np.asarray(cache_seq["k"]),
+                               np.asarray(cache_chunk["k"]), atol=1e-5)
+    assert int(cache_seq["index"]) == int(cache_chunk["index"])
+
+
+@pytest.mark.parametrize("kind", ["bart", "t5"])
+def test_seq2seq_chunk_decode_matches_sequential(kind):
+    """Regression for the cached-decode intra-chunk causality fix: without
+    the positional bias, later chunk tokens would attend to earlier logits'
+    futures and the chunk would diverge from sequential decoding."""
+    from easynlp_tpu.modelzoo.seq2seq_generation import (
+        make_encoder_decoder_fns)
+    m, params = _tiny_seq2seq(kind)
+    src = np.random.RandomState(0).randint(3, 120, (2, 7)).astype(np.int32)
+    smask = np.ones((2, 7), np.int32)
+    prefill, decode = make_encoder_decoder_fns(m, 24, jnp.asarray(src),
+                                               jnp.asarray(smask))
+    start = jnp.full((2, 1), 2, jnp.int32)
+    sm = jnp.ones((2, 1), jnp.int32)
+    _, st_seq = prefill(params, start, sm)
+    _, st_chunk = prefill(params, start, sm)
+
+    toks = np.random.RandomState(5).randint(3, 120, (2, 4)).astype(np.int32)
+    seq_logits = []
+    for i in range(4):
+        lg, st_seq = decode(params, jnp.asarray(toks[:, i:i + 1]), st_seq)
+        seq_logits.append(np.asarray(lg))
+    chunk_logits, st_chunk = decode.chunk(params, jnp.asarray(toks), st_chunk)
+    chunk_logits = np.asarray(chunk_logits)
+    for i in range(4):
+        np.testing.assert_allclose(chunk_logits[:, i], seq_logits[i],
+                                   atol=3e-4)
+    assert int(st_seq["index"]) == int(st_chunk["index"])
+
+
+def _greedy_reference(m, params, pids, pmask, max_length, **kw):
+    prefill, decode = make_gpt2_generation_fns(m, max_length)
+    seqs, valid = greedy_or_sample(prefill, decode, params,
+                                   jnp.asarray(pids), jnp.asarray(pmask),
+                                   max_length, **kw)
+    return np.asarray(seqs), np.asarray(valid)
+
+
+def _speculative(m, params, pids, pmask, max_length, k=4, n=2, **kw):
+    prefill, decode = make_gpt2_generation_fns(m, max_length,
+                                               cache_slack=k + 1)
+    seqs, valid, stats = speculative_greedy(
+        prefill, decode.chunk, decode.rollback, params, jnp.asarray(pids),
+        jnp.asarray(pmask), max_length, num_draft_tokens=k, ngram_size=n,
+        **kw)
+    return np.asarray(seqs), np.asarray(valid), stats
+
+
+def test_gpt2_speculative_token_exact():
+    m, params = _tiny_gpt2()
+    # repetitive prompt (prompt lookup gets real matches) + irregular prompt
+    prompts = [[5, 6, 7, 5, 6, 7, 5, 6], [11, 23, 42]]
+    pids, pmask = left_pad(prompts, pad_token_id=0, length=8)
+    for kw in ({}, {"eos_token_id": 96}, {"min_length": 12,
+                                          "eos_token_id": 96}):
+        ref_seqs, ref_valid = _greedy_reference(m, params, pids, pmask, 32,
+                                                pad_token_id=0, **kw)
+        spec_seqs, spec_valid, _ = _speculative(m, params, pids, pmask, 32,
+                                                pad_token_id=0, **kw)
+        np.testing.assert_array_equal(spec_seqs, ref_seqs)
+        np.testing.assert_array_equal(spec_valid, ref_valid)
+
+
+def test_gpt2_speculative_accepts_drafts():
+    """Tiny random LMs loop quickly, so the lookup must accept drafts on a
+    self-repeating continuation; stats must reflect fewer verify rounds than
+    generated tokens."""
+    m, params = _tiny_gpt2()
+    pids, pmask = left_pad([[5, 6, 7, 5, 6, 7, 5, 6]], pad_token_id=0,
+                           length=8)
+    _, _, stats = _speculative(m, params, pids, pmask, 48, k=6)
+    accepted = int(stats["accepted_drafts"])
+    rounds = int(stats["verify_rounds"])
+    generated = int(stats["generated"])
+    assert accepted > 0, (accepted, rounds, generated)
+    assert rounds < generated
+
+
+def test_generate_dispatch_speculative_and_fallback():
+    m, params = _tiny_gpt2()
+    pids, pmask = left_pad([[5, 6, 7, 5, 6, 7]], pad_token_id=0, length=6)
+    prefill, decode = make_gpt2_generation_fns(m, 24, cache_slack=5)
+    ref = np.asarray(generate(prefill, decode, params, jnp.asarray(pids),
+                              jnp.asarray(pmask), max_length=24,
+                              pad_token_id=0))
+    spec = np.asarray(generate(prefill, decode, params, jnp.asarray(pids),
+                               jnp.asarray(pmask), max_length=24,
+                               pad_token_id=0, speculative="prompt_lookup",
+                               num_draft_tokens=4))
+    np.testing.assert_array_equal(spec, ref)
+    # content-dependent processor → silent fallback to plain greedy
+    fb = np.asarray(generate(prefill, decode, params, jnp.asarray(pids),
+                             jnp.asarray(pmask), max_length=24,
+                             pad_token_id=0, speculative="prompt_lookup",
+                             repetition_penalty=1.2))
+    assert fb.shape == ref.shape
+
+
+@pytest.mark.parametrize("kind", ["bart", "t5"])
+def test_seq2seq_speculative_token_exact(kind):
+    from easynlp_tpu.modelzoo.seq2seq_generation import (
+        encoder_decoder_generate)
+    m, params = _tiny_seq2seq(kind)
+    src = np.random.RandomState(1).randint(3, 120, (2, 8)).astype(np.int32)
+    smask = np.ones((2, 8), np.int32)
+    ref = np.asarray(encoder_decoder_generate(
+        m, params, jnp.asarray(src), jnp.asarray(smask), max_length=24))
+    spec = np.asarray(encoder_decoder_generate(
+        m, params, jnp.asarray(src), jnp.asarray(smask), max_length=24,
+        speculative="prompt_lookup", num_draft_tokens=4))
+    np.testing.assert_array_equal(spec, ref)
+
+
+def test_speculative_with_quantized_params():
+    from easynlp_tpu.modelzoo.quantization import is_quantized, quantize_params
+    m, params = _tiny_gpt2()
+    q = quantize_params(params, min_size=512)
+    assert is_quantized(q)
+    pids, pmask = left_pad([[5, 6, 7, 5, 6, 7]], pad_token_id=0, length=6)
+    seqs, valid, _ = _speculative(m, q, pids, pmask, 20, k=4)
+    assert seqs.shape == (1, 20)
+    assert (seqs >= 0).all() and (seqs < 97).all()
