@@ -33,6 +33,8 @@ class SequenceGenerationPredictor(Predictor):
         self.no_repeat_ngram_size = int(udp.get("no_repeat_ngram_size", 0))
         self.num_beam_groups = int(udp.get("num_beam_groups", 1)) or 1
         self.diversity_penalty = float(udp.get("diversity_penalty", 0.0))
+        self.num_return_sequences = min(
+            int(udp.get("num_return_sequences", 1)), max(self.num_beams, 1))
         self.speculative = udp.get("speculative_decoding") or None
         self.num_draft_tokens = int(udp.get("num_draft_tokens", 8))
         self.lookup_ngram_size = int(udp.get("lookup_ngram_size", 2))
@@ -49,6 +51,8 @@ class SequenceGenerationPredictor(Predictor):
         if self.num_beam_groups > 1:
             kw["num_beam_groups"] = self.num_beam_groups
             kw["diversity_penalty"] = self.diversity_penalty or 1.0
+        if self.num_return_sequences > 1 and self.num_beams > 1:
+            kw["num_return_sequences"] = self.num_return_sequences
         if self.speculative:
             kw["speculative"] = self.speculative
             kw["num_draft_tokens"] = self.num_draft_tokens
@@ -84,9 +88,21 @@ class SequenceGenerationPredictor(Predictor):
 
     def postprocess(self, result):
         result = dict(result)
+        gen = result["generated_ids"]
+        if gen.ndim == 3:
+            # [B, N, T] beam lists (reference predictor.py:176-179:
+            # predictions = best beam, beams = "||"-joined top N)
+            beam_texts = [[self.tokenizer.decode(b, skip_special_tokens=True)
+                           for b in row] for row in gen]
+            result["predictions"] = [row[0] for row in beam_texts]
+            result["beams"] = ["||".join(row) for row in beam_texts]
+            result["generated_ids"] = [
+                " ".join(str(x) for x in row[0]) for row in gen]
+            return result
         texts = [self.tokenizer.decode(row, skip_special_tokens=True)
-                 for row in result["generated_ids"]]
+                 for row in gen]
         result["predictions"] = texts
+        result["beams"] = texts
         result["generated_ids"] = [" ".join(str(x) for x in row)
-                                   for row in result["generated_ids"]]
+                                   for row in gen]
         return result

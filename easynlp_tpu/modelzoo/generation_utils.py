@@ -240,8 +240,12 @@ def beam_search(prefill, decode, params, input_ids, attention_mask,
                 eos_token_id=None, pad_token_id=0, early_stopping=True,
                 reindex_cache=None, do_sample=False, temperature=1.0,
                 top_k=0, top_p=1.0, rng=None, num_beam_groups=1,
-                diversity_penalty=0.0, **proc_config):
-    """Static-shape beam search; returns best sequences [B, max_length].
+                diversity_penalty=0.0, num_return_sequences=1,
+                **proc_config):
+    """Static-shape beam search; returns best sequences [B, max_length], or
+    the top `num_return_sequences` hypotheses [B, N, max_length] when N > 1
+    (reference num_return_sequences semantics: finished hypotheses outrank
+    live ones, as in the BeamSearchScorer finalize).
 
     reindex_cache(cache, flat_beam) must gather every per-beam cache leaf
     along its batch axis (flat_beam: int32 [B*K] of flat source lanes).
@@ -394,6 +398,20 @@ def beam_search(prefill, decode, params, input_ids, attention_mask,
 
     final = jax.lax.while_loop(cond, body, state)
 
+    if num_return_sequences > 1:
+        # reference finalize semantics: the pool is the finished hypotheses,
+        # topped up with live beams (normalized) only below every finished
+        # one — boost valid finished scores past any reachable live score
+        n = min(num_return_sequences, k)
+        live_norm = final.live_scores / brevity(
+            jnp.maximum(final.step - p, 1))
+        fin_keys = jnp.where(final.fin_scores > NEG_INF / 2,
+                             final.fin_scores + 1e9, final.fin_scores)
+        keys = jnp.concatenate([fin_keys, live_norm], axis=1)   # [B, 2K]
+        seqs = jnp.concatenate([final.fin_seqs, final.live_seqs], axis=1)
+        _, sel = jax.lax.top_k(keys, n)
+        return jnp.take_along_axis(seqs, sel[..., None], axis=1)  # [B,N,T]
+
     # fall back to best live beam when nothing finished
     none_fin = jnp.all(final.fin_scores <= NEG_INF, axis=1)
     best_live = jnp.take_along_axis(
@@ -425,7 +443,8 @@ def generate(prefill, decode, params, input_ids, attention_mask,
         from easynlp_tpu.modelzoo.speculative import speculative_greedy
         for k in ("rng", "temperature", "top_k", "top_p", "length_penalty",
                   "num_beam_groups", "diversity_penalty",
-                  "repetition_penalty", "no_repeat_ngram_size"):
+                  "repetition_penalty", "no_repeat_ngram_size",
+                  "num_return_sequences"):
             kwargs.pop(k, None)
         seqs, _, _ = speculative_greedy(
             prefill, decode.chunk, decode.rollback, params, input_ids,
@@ -444,6 +463,7 @@ def generate(prefill, decode, params, input_ids, attention_mask,
     kwargs.pop("num_beam_groups", None)
     kwargs.pop("diversity_penalty", None)
     kwargs.pop("length_penalty", None)
+    kwargs.pop("num_return_sequences", None)
     seqs, _ = greedy_or_sample(prefill, decode, params, input_ids,
                                attention_mask, max_length,
                                do_sample=do_sample, **kwargs)

@@ -54,6 +54,21 @@ SUPPORTED_TASKS = {
         "app": "image2text_generation",
         "default": "clip-gpt-i2t-base-zh",
     },
+    # text generation is not a reference pipeline task (reference
+    # pipelines/__init__.py:39-110 stops at the multimodal apps) but the
+    # serving path (--mode=serve) rides pipeline(), so registering it makes
+    # generation checkpoints servable with the full decode-parameter UDP
+    # contract (incl. speculative_decoding)
+    "sequence_generation": {
+        "impl": "easynlp_tpu.appzoo.sequence_generation.predictor:"
+                "SequenceGenerationPredictor",
+        "app": "sequence_generation",
+    },
+    "open_domain_dialogue": {
+        "impl": "easynlp_tpu.appzoo.sequence_generation.predictor:"
+                "SequenceGenerationPredictor",
+        "app": "open_domain_dialogue",
+    },
 }
 
 # The reference registers its PAI-Diffusion model family as pipeline tasks

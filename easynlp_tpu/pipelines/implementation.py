@@ -67,7 +67,7 @@ class Pipeline:
         self.predictor = predictor_cls(
             model_path, app, first_sequence=first_sequence,
             second_sequence=second_sequence, sequence_length=sequence_length,
-            batch_size=batch_size)
+            batch_size=batch_size, user_defined_parameters=udp)
 
     def __call__(self, inputs):
         """inputs: str | list[str] | list[(a, b)] → list of result dicts."""

@@ -94,6 +94,26 @@ def test_beam_generation_runs():
     assert seqs.shape == (2, 16)
 
 
+def test_beam_num_return_sequences():
+    """num_return_sequences > 1 returns [B, N, T] with beam 0 equal to the
+    single-best result (reference num_return_sequences semantics)."""
+    m, params = _tiny_model()
+    prefill, decode = make_gpt2_generation_fns(m, max_length=16)
+    pids, pmask = left_pad([[5, 6, 7], [8, 9]], pad_token_id=0, length=4)
+    best = np.asarray(generate(prefill, decode, params, jnp.asarray(pids),
+                               jnp.asarray(pmask), max_length=16,
+                               num_beams=3, eos_token_id=96, pad_token_id=0))
+    top = np.asarray(generate(prefill, decode, params, jnp.asarray(pids),
+                              jnp.asarray(pmask), max_length=16, num_beams=3,
+                              eos_token_id=96, pad_token_id=0,
+                              num_return_sequences=3))
+    assert top.shape == (2, 3, 16)
+    np.testing.assert_array_equal(top[:, 0], best)
+    # hypotheses within a row are distinct beams
+    assert not np.array_equal(top[0, 0], top[0, 1]) or \
+        not np.array_equal(top[0, 0], top[0, 2])
+
+
 def test_gpt2_parity_vs_torch():
     torch = pytest.importorskip("torch")
     transformers = pytest.importorskip("transformers")
