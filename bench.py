@@ -230,6 +230,9 @@ def main(argv=None):
     if only == "diffusion":
         import bench_diffusion
         return bench_diffusion.main()
+    if only == "decode":
+        import bench_decode
+        return bench_decode.main()
 
     py = sys.executable
     # Pre-flight: a wedged axon tunnel hangs backend init indefinitely; probe
@@ -261,6 +264,7 @@ def main(argv=None):
         "clip": [py, "bench.py", "--only", "clip"],
         "clip_e2e": [py, "bench.py", "--only", "clip_e2e"],
         "diffusion": [py, "bench.py", "--only", "diffusion"],
+        "decode": [py, "bench.py", "--only", "decode"],
     }
     skip = set(filter(None, os.environ.get("BENCH_SKIP", "").split(",")))
     results = {name: ({"error": "skipped"} if name in skip
@@ -293,6 +297,11 @@ def main(argv=None):
     if "value" in results["diffusion"]:
         extras["sd_ddim50_cfg_images_per_min_per_chip"] = \
             results["diffusion"]["value"]
+    if "value" in results["decode"]:
+        extras["gpt2_decode_tokens_per_sec_per_chip"] = \
+            results["decode"]["value"]
+        extras["speculative_decode_speedup"] = results["decode"].get(
+            "extras", {}).get("speculative_speedup")
     failed = {k: v.get("error") for k, v in results.items() if "error" in v}
     if failed:
         extras["legs_failed"] = failed
