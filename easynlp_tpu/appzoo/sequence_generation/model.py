@@ -108,10 +108,17 @@ class SequenceGeneration(Application):
 
     # -- generation -----------------------------------------------------------
     def generate(self, src_ids, src_mask, max_length=64, num_beams=1,
-                 do_sample=False, copy_constrained=False, **kwargs):
+                 do_sample=False, copy_constrained=False, jit_compile=True,
+                 **kwargs):
         """copy_constrained: restrict the output vocabulary to tokens present
         in the source (+ specials) — the reference's copy-restricted beam
-        search as a static vocab mask."""
+        search as a static vocab mask.
+
+        jit_compile: trace the whole generation (prefill + while-loop decode)
+        into ONE compiled dispatch, cached per (shapes, decode config) — the
+        predictor pads batches to a fixed size so serving hits one cache
+        entry. Eager generation pays per-op dispatch overhead (~2ms/op
+        through the axon tunnel) on every prefill."""
         if copy_constrained:
             v = self.config.vocab_size
             allowed = np.zeros((src_ids.shape[0], v), bool)
@@ -125,11 +132,44 @@ class SequenceGeneration(Application):
             if num_beams > 1:  # beam search flattens to [B*K, V]
                 allowed = np.repeat(allowed, num_beams, axis=0)
             kwargs["bad_words_mask"] = jnp.asarray(~allowed)
+        static = dict(kwargs, max_length=max_length, num_beams=num_beams,
+                      do_sample=do_sample)
+        traced = {k: static.pop(k) for k in ("bad_words_mask", "rng")
+                  if k in static and static[k] is not None}
+        if not jit_compile or any(not isinstance(v, (int, float, bool, str,
+                                                     type(None)))
+                                  for v in static.values()):
+            return self._generate_impl(self.params, src_ids, src_mask,
+                                       **static, **traced)
+        key = (src_ids.shape, tuple(sorted(traced)),
+               tuple(sorted(static.items())))
+        fn = self._gen_cache.get(key)
+        if fn is None:
+            names = tuple(sorted(traced))
+
+            def _run(params, ids, mask, extra):
+                return self._generate_impl(
+                    params, ids, mask, **static,
+                    **dict(zip(names, extra)))
+
+            fn = jax.jit(_run)
+            self._gen_cache[key] = fn
+        return fn(self.params, src_ids, src_mask,
+                  tuple(traced[k] for k in sorted(traced)))
+
+    @property
+    def _gen_cache(self):
+        if not hasattr(self, "_gen_cache_dict"):
+            self._gen_cache_dict = {}
+        return self._gen_cache_dict
+
+    def _generate_impl(self, params, src_ids, src_mask, max_length=64,
+                       num_beams=1, do_sample=False, **kwargs):
         if self.config.is_encoder_decoder:
             from easynlp_tpu.modelzoo.seq2seq_generation import (
                 encoder_decoder_generate)
             return encoder_decoder_generate(
-                self.module, self.params, src_ids, src_mask,
+                self.module, params, src_ids, src_mask,
                 max_length=max_length, num_beams=num_beams,
                 do_sample=do_sample, **kwargs)
         from easynlp_tpu.modelzoo.generation_utils import generate
@@ -141,6 +181,6 @@ class SequenceGeneration(Application):
                                                    cache_slack=slack)
         kwargs.setdefault("eos_token_id", self.config.eos_token_id)
         kwargs.setdefault("pad_token_id", self.config.pad_token_id or 0)
-        return generate(prefill, decode, self.params, src_ids, src_mask,
+        return generate(prefill, decode, params, src_ids, src_mask,
                         max_length=max_length, num_beams=num_beams,
                         do_sample=do_sample, **kwargs)

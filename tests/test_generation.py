@@ -215,3 +215,43 @@ def test_copy_restricted_decoding_app_level():
         assert set(row[4:].tolist()).issubset(allowed), (row, allowed)
     # rows restrict independently: row 0 may not emit row 1's tokens
     assert not (set(out[0, 4:].tolist()) & {21, 22, 23, 24})
+
+
+def test_app_generate_jit_cache():
+    """app.generate traces the whole generation once per (shape, config) and
+    returns the same tokens as the eager path."""
+    from easynlp_tpu.appzoo.sequence_generation.model import (
+        SequenceGeneration)
+    from easynlp_tpu.testing import make_args
+
+    make_args()
+    cfg = GPT2Config(**dict(TINY, eos_token_id=96, bos_token_id=96,
+                            pad_token_id=0))
+    cfg.is_encoder_decoder = False
+    module = SequenceGeneration.build_module(cfg, dtype=jnp.float32)
+    params = SequenceGeneration.init_params(module, cfg)
+    app = SequenceGeneration(module, params, cfg)
+
+    src = np.array([[11, 12, 13, 14], [21, 22, 23, 24]], np.int32)
+    mask = np.ones_like(src)
+    eager = np.asarray(app.generate(jnp.asarray(src), jnp.asarray(mask),
+                                    max_length=12, jit_compile=False))
+    jit1 = np.asarray(app.generate(jnp.asarray(src), jnp.asarray(mask),
+                                   max_length=12))
+    np.testing.assert_array_equal(jit1, eager)
+    assert len(app._gen_cache) == 1
+    # same shapes + config → cache hit, no new entry
+    jit2 = np.asarray(app.generate(jnp.asarray(src), jnp.asarray(mask),
+                                   max_length=12))
+    np.testing.assert_array_equal(jit2, eager)
+    assert len(app._gen_cache) == 1
+    # different decode config → second entry
+    app.generate(jnp.asarray(src), jnp.asarray(mask), max_length=12,
+                 num_beams=2)
+    assert len(app._gen_cache) == 2
+    # copy-constrained path jits too (mask is a traced argument)
+    out = np.asarray(app.generate(jnp.asarray(src), jnp.asarray(mask),
+                                  max_length=12, copy_constrained=True))
+    specials = {96, 0}
+    for row, source in zip(out, src):
+        assert set(row[4:].tolist()).issubset(set(source.tolist()) | specials)
