@@ -207,3 +207,46 @@ def test_beam_decode_under_sharded_mesh(restore_mesh):
     out = np.asarray(generate(prefill, decode, placed, jnp.asarray(pids),
                               jnp.asarray(pmask), **kw))
     np.testing.assert_array_equal(out, ref)
+
+
+def test_speculative_decode_under_sharded_mesh(restore_mesh):
+    """Speculative greedy (chunked verify + shared-accept rollback) must
+    produce identical tokens when params are TP/DP-sharded — the accept min
+    becomes a cross-device reduction under GSPMD."""
+    from flax import linen as nn
+
+    from easynlp_tpu.modelzoo.generation_utils import generate
+    from easynlp_tpu.modelzoo.models.gpt2 import GPT2Config, GPT2LMHeadModel
+    from easynlp_tpu.modelzoo.models.gpt2.generation import (
+        make_gpt2_generation_fns)
+    from easynlp_tpu.parallel.sharding import logical_to_sharding
+
+    cfg = GPT2Config(vocab_size=96, n_positions=64, n_embd=32, n_layer=2,
+                     n_head=2, resid_pdrop=0.0, embd_pdrop=0.0,
+                     attn_pdrop=0.0)
+    m = GPT2LMHeadModel.from_config(cfg, dtype=jnp.float32)
+    rng = jax.random.PRNGKey(0)
+    boxed = m.init({"params": rng, "dropout": rng},
+                   input_ids=jnp.ones((1, 4), jnp.int32),
+                   deterministic=True)
+    from easynlp_tpu.appzoo.application import extract_logical_axes
+    axes = extract_logical_axes(boxed["params"])
+    params = nn.unbox(boxed["params"])
+    prefill, decode = make_gpt2_generation_fns(m, 20, cache_slack=5)
+
+    # repetitive prompts so drafts actually get accepted
+    pids = np.array([[5, 6, 5, 6], [9, 10, 9, 10]], np.int32)
+    pmask = np.ones_like(pids)
+    kw = dict(max_length=20, pad_token_id=0, eos_token_id=95,
+              speculative="prompt_lookup", num_draft_tokens=4)
+    ref = np.asarray(generate(prefill, decode, params, jnp.asarray(pids),
+                              jnp.asarray(pmask), **kw))
+
+    mesh = build_mesh({"data": 2, "tensor": 2}, devices=jax.devices()[:4])
+    set_global_mesh(mesh)
+    placed = jax.tree.map(
+        lambda p, a: jax.device_put(p, logical_to_sharding(a or (), mesh)),
+        params, axes, is_leaf=lambda x: x is None)
+    out = np.asarray(generate(prefill, decode, placed, jnp.asarray(pids),
+                              jnp.asarray(pmask), **kw))
+    np.testing.assert_array_equal(out, ref)
