@@ -168,3 +168,43 @@ if __name__ == "__main__":
     base = sys.argv[1] if len(sys.argv) > 1 else "/tmp/easynlp_fixtures"
     build_all(base)
     print(base)
+
+
+def make_bart_ckpt(ckpt, user_defined_parameters=""):
+    """Servable tiny BART sequence_generation checkpoint: byte-level BPE
+    tokenizer files (no merges), config, initialized params, train_config."""
+    os.makedirs(ckpt, exist_ok=True)
+    from easynlp_tpu.modelzoo.models.gpt2.tokenization_gpt2 import (
+        bytes_to_unicode)
+    symbols = list(bytes_to_unicode().values())
+    vocab = {s: i for i, s in enumerate(symbols)}
+    vocab["<|endoftext|>"] = len(vocab)
+    with open(os.path.join(ckpt, "vocab.json"), "w") as f:
+        json.dump(vocab, f)
+    with open(os.path.join(ckpt, "merges.txt"), "w") as f:
+        f.write("#version: 0.2\n")
+    special = len(vocab) - 1
+    cfg = dict(model_type="bart", vocab_size=len(vocab), d_model=32,
+               encoder_layers=1, decoder_layers=1, encoder_attention_heads=2,
+               decoder_attention_heads=2, encoder_ffn_dim=64,
+               decoder_ffn_dim=64, max_position_embeddings=64,
+               pad_token_id=special, bos_token_id=special,
+               eos_token_id=special, decoder_start_token_id=special,
+               forced_eos_token_id=None)
+    with open(os.path.join(ckpt, "config.json"), "w") as f:
+        json.dump(cfg, f)
+    with open(os.path.join(ckpt, "train_config.json"), "w") as f:
+        json.dump({"app_name": "sequence_generation",
+                   "user_defined_parameters": user_defined_parameters}, f)
+
+    import jax.numpy as jnp
+
+    from easynlp_tpu.appzoo.sequence_generation.model import (
+        SequenceGeneration)
+    from easynlp_tpu.modelzoo.modeling_utils import save_params
+    from easynlp_tpu.modelzoo.models.auto import AutoConfig
+    config = AutoConfig.from_pretrained(ckpt)
+    module = SequenceGeneration.build_module(config, dtype=jnp.float32)
+    params = SequenceGeneration.init_params(module, config)
+    save_params(params, ckpt)
+    return ckpt

@@ -160,3 +160,39 @@ def test_export_mode(trained_ckpt):
     sd = torch.load(out, weights_only=True)
     assert "bert.embeddings.word_embeddings.weight" in sd
     assert any(k.startswith("bert.encoder.layer.0.") for k in sd)
+
+
+def test_serve_generation_checkpoint(tmp_path):
+    """--mode=serve on a sequence_generation checkpoint: the pipeline task
+    registration + UDP decode contract (incl. speculative) behind HTTP."""
+    import jax.numpy as jnp  # noqa: F401 (forces jax init before server)
+
+    import os as _os
+    import sys as _sys
+    _sys.path.insert(0, _os.path.join(_os.path.dirname(__file__),
+                                      "fixtures"))
+    from make_fixtures import make_bart_ckpt
+
+    from easynlp_tpu.serving import serve
+    from easynlp_tpu.testing import make_args
+
+    make_args()
+    ckpt = make_bart_ckpt(
+        str(tmp_path / "genck"),
+        user_defined_parameters="max_decoder_length=10 num_beams=1 "
+                                "speculative_decoding=prompt_lookup "
+                                "num_draft_tokens=4")
+    srv = serve(ckpt, port=0, max_batch_size=4, max_delay_ms=20,
+                blocking=False, first_sequence="src", sequence_length=16,
+                batch_size=4, dtype=jnp.float32)
+    try:
+        status, body = _post(
+            srv.port, {"inputs": ["the good day the good day", "a bad time"]})
+        assert status == 200, body
+        outs = body["outputs"]
+        assert len(outs) == 2
+        for out in outs:
+            assert "predictions" in out
+            assert isinstance(out["predictions"], str)
+    finally:
+        srv.stop()

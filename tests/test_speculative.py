@@ -227,50 +227,19 @@ def test_pipeline_sequence_generation_speculative(tmp_path):
     """pipeline('sequence_generation', ckpt) honors the decode-parameter UDP
     contract from train_config.json (incl. speculative_decoding) — the
     --mode=serve path rides exactly this."""
-    import json
-    import os
-
-    import jax
+    import os as _os
+    import sys as _sys
+    _sys.path.insert(0, _os.path.join(_os.path.dirname(__file__),
+                                      "fixtures"))
+    from make_fixtures import make_bart_ckpt
 
     from easynlp_tpu.testing import make_args
     make_args()
-    from easynlp_tpu.appzoo.sequence_generation.model import (
-        SequenceGeneration)
-    from easynlp_tpu.modelzoo.models.gpt2.tokenization_gpt2 import (
-        bytes_to_unicode)
-
-    ckpt = str(tmp_path / "ck")
-    os.makedirs(ckpt)
-    symbols = list(bytes_to_unicode().values())
-    vocab = {s: i for i, s in enumerate(symbols)}
-    vocab["<|endoftext|>"] = len(vocab)
-    with open(os.path.join(ckpt, "vocab.json"), "w") as f:
-        json.dump(vocab, f)
-    with open(os.path.join(ckpt, "merges.txt"), "w") as f:
-        f.write("#version: 0.2\n")
-    special = len(vocab) - 1
-    cfg = dict(model_type="bart", vocab_size=len(vocab), d_model=32,
-               encoder_layers=1, decoder_layers=1, encoder_attention_heads=2,
-               decoder_attention_heads=2, encoder_ffn_dim=64,
-               decoder_ffn_dim=64, max_position_embeddings=64,
-               pad_token_id=special, bos_token_id=special,
-               eos_token_id=special, decoder_start_token_id=special,
-               forced_eos_token_id=None)
-    with open(os.path.join(ckpt, "config.json"), "w") as f:
-        json.dump(cfg, f)
-    with open(os.path.join(ckpt, "train_config.json"), "w") as f:
-        json.dump({"app_name": "sequence_generation",
-                   "user_defined_parameters":
-                       "max_decoder_length=12 num_beams=1 "
-                       "speculative_decoding=prompt_lookup "
-                       "num_draft_tokens=4"}, f)
-
-    from easynlp_tpu.modelzoo.modeling_utils import save_params
-    from easynlp_tpu.modelzoo.models.auto import AutoConfig
-    config = AutoConfig.from_pretrained(ckpt)
-    module = SequenceGeneration.build_module(config, dtype=jnp.float32)
-    params = SequenceGeneration.init_params(module, config)
-    save_params(params, ckpt)
+    ckpt = make_bart_ckpt(
+        str(tmp_path / "ck"),
+        user_defined_parameters="max_decoder_length=12 num_beams=1 "
+                                "speculative_decoding=prompt_lookup "
+                                "num_draft_tokens=4")
 
     from easynlp_tpu.pipelines import pipeline
     pipe = pipeline("sequence_generation", ckpt, dtype=jnp.float32,
