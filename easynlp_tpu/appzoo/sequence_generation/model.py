@@ -168,6 +168,7 @@ class SequenceGeneration(Application):
         if self.config.is_encoder_decoder:
             from easynlp_tpu.modelzoo.seq2seq_generation import (
                 encoder_decoder_generate)
+            kwargs.pop("kv_cache", None)  # int8 KV is decoder-only for now
             return encoder_decoder_generate(
                 self.module, params, src_ids, src_mask,
                 max_length=max_length, num_beams=num_beams,
@@ -177,8 +178,9 @@ class SequenceGeneration(Application):
             make_gpt2_generation_fns)
         slack = (kwargs.get("num_draft_tokens", 8) + 1
                  if kwargs.get("speculative") else 0)
-        prefill, decode = make_gpt2_generation_fns(self.module, max_length,
-                                                   cache_slack=slack)
+        prefill, decode = make_gpt2_generation_fns(
+            self.module, max_length, cache_slack=slack,
+            kv_cache=kwargs.pop("kv_cache", None))
         kwargs.setdefault("eos_token_id", self.config.eos_token_id)
         kwargs.setdefault("pad_token_id", self.config.pad_token_id or 0)
         return generate(prefill, decode, params, src_ids, src_mask,

@@ -38,6 +38,7 @@ class SequenceGenerationPredictor(Predictor):
         self.speculative = udp.get("speculative_decoding") or None
         self.num_draft_tokens = int(udp.get("num_draft_tokens", 8))
         self.lookup_ngram_size = int(udp.get("lookup_ngram_size", 2))
+        self.kv_cache = udp.get("kv_cache_dtype") or None  # 'int8'
         self.app = app
         self.batch_size = batch_size
 
@@ -57,6 +58,8 @@ class SequenceGenerationPredictor(Predictor):
             kw["speculative"] = self.speculative
             kw["num_draft_tokens"] = self.num_draft_tokens
             kw["ngram_size"] = self.lookup_ngram_size
+        if self.kv_cache:
+            kw["kv_cache"] = self.kv_cache
         return kw
 
     def preprocess(self, in_data):

@@ -6,18 +6,24 @@ import jax.numpy as jnp
 
 
 def make_gpt2_generation_fns(module, max_length, cache_dtype=None,
-                             cache_slack=0):
+                             cache_slack=0, kv_cache=None):
     """Returns (prefill, decode) closures over a GPT2LMHeadModel module.
 
     cache_slack: extra KV slots past max_length — speculative decoding
     (modelzoo/speculative.py) writes K+1-token verify chunks that may
-    straddle the max_length boundary before being rolled back."""
+    straddle the max_length boundary before being rolled back.
+    kv_cache='int8': quantized KV cache (per-token-per-head scales) —
+    halves the cache HBM stream for long-context serving."""
     from easynlp_tpu.modelzoo.quantization import dequantize_params
+    if kv_cache not in (None, "int8"):
+        raise ValueError("kv_cache must be None or 'int8' (got %r)"
+                         % (kv_cache,))
 
     def prefill(params, input_ids, attention_mask):
         b, p = input_ids.shape
         cache = module.init_cache(b, max_length + cache_slack,
-                                  dtype=cache_dtype)
+                                  dtype=cache_dtype,
+                                  quantize=kv_cache == "int8")
         cache["mask"] = jax.lax.dynamic_update_slice(
             cache["mask"], attention_mask.astype(jnp.int32), (0, 0))
         out = module.apply({"params": dequantize_params(params)},
@@ -71,15 +77,19 @@ def make_gpt2_generation_fns(module, max_length, cache_dtype=None,
         return dict(cache, index=new_index, mask=mask)
 
     def reindex_cache(cache, flat_beam):
-        """Beam gather with explicit batch axes: k/v are layer-stacked
-        [L, B*K, T, H, D] → axis 1; mask is [B*K, T] → axis 0; index is a
-        shared scalar."""
-        return {
+        """Beam gather with explicit batch axes: k/v (and int8 scales) are
+        layer-stacked [L, B*K, ...] → axis 1; mask is [B*K, T] → axis 0;
+        index is a shared scalar."""
+        out = {
             "k": jnp.take(cache["k"], flat_beam, axis=1),
             "v": jnp.take(cache["v"], flat_beam, axis=1),
             "mask": jnp.take(cache["mask"], flat_beam, axis=0),
             "index": cache["index"],
         }
+        if "k_scale" in cache:
+            out["k_scale"] = jnp.take(cache["k_scale"], flat_beam, axis=1)
+            out["v_scale"] = jnp.take(cache["v_scale"], flat_beam, axis=1)
+        return out
 
     prefill.reindex_cache = reindex_cache
     decode.chunk = decode_chunk

@@ -65,24 +65,51 @@ class GPT2Attention(nn.Module):
             ctx = attention(q, k, v, kv_mask=kv_mask, causal=True, impl=impl)
             new_cache = None
         else:
-            k_cache, v_cache = layer_cache
-            k_cache = jax.lax.dynamic_update_slice(
-                k_cache, k.astype(k_cache.dtype), (0, cache_index, 0, 0))
-            v_cache = jax.lax.dynamic_update_slice(
-                v_cache, v.astype(v_cache.dtype), (0, cache_index, 0, 0))
+            if len(layer_cache) == 4:
+                # int8 KV cache: per-(token, head) symmetric scales — halves
+                # the decode-loop's cache HBM traffic (the dominant stream at
+                # long context); XLA fuses convert*scale into the attention
+                # einsum's operand read
+                k_cache, v_cache, k_scale, v_scale = layer_cache
+                ks = jnp.maximum(jnp.max(jnp.abs(k), axis=-1) / 127.0, 1e-8)
+                vs = jnp.maximum(jnp.max(jnp.abs(v), axis=-1) / 127.0, 1e-8)
+                k8 = jnp.clip(jnp.round(k / ks[..., None]),
+                              -127, 127).astype(jnp.int8)
+                v8 = jnp.clip(jnp.round(v / vs[..., None]),
+                              -127, 127).astype(jnp.int8)
+                k_cache = jax.lax.dynamic_update_slice(
+                    k_cache, k8, (0, cache_index, 0, 0))
+                v_cache = jax.lax.dynamic_update_slice(
+                    v_cache, v8, (0, cache_index, 0, 0))
+                k_scale = jax.lax.dynamic_update_slice(
+                    k_scale, ks.astype(k_scale.dtype), (0, cache_index, 0))
+                v_scale = jax.lax.dynamic_update_slice(
+                    v_scale, vs.astype(v_scale.dtype), (0, cache_index, 0))
+                new_cache = (k_cache, v_cache, k_scale, v_scale)
+                k_read = k_cache.astype(self.dtype) \
+                    * k_scale[..., None].astype(self.dtype)
+                v_read = v_cache.astype(self.dtype) \
+                    * v_scale[..., None].astype(self.dtype)
+            else:
+                k_cache, v_cache = layer_cache
+                k_cache = jax.lax.dynamic_update_slice(
+                    k_cache, k.astype(k_cache.dtype), (0, cache_index, 0, 0))
+                v_cache = jax.lax.dynamic_update_slice(
+                    v_cache, v.astype(v_cache.dtype), (0, cache_index, 0, 0))
+                new_cache = (k_cache, v_cache)
+                k_read, v_read = k_cache, v_cache
             if s == 1:
                 # single-token decode: every valid cached position is visible
-                ctx = attention(q, k_cache, v_cache, kv_mask=kv_mask)
+                ctx = attention(q, k_read, v_read, kv_mask=kv_mask)
             else:
                 # chunked prefill at offset cache_index: causality handled by
                 # masking cache positions > current q position
-                t = k_cache.shape[1]
+                t = k_read.shape[1]
                 q_pos = cache_index + jnp.arange(s)
                 k_pos = jnp.arange(t)
                 bias = jnp.where(
                     (k_pos[None, :] <= q_pos[:, None])[None, None], 0.0, -1e30)
-                ctx = attention(q, k_cache, v_cache, kv_mask=kv_mask, bias=bias)
-            new_cache = (k_cache, v_cache)
+                ctx = attention(q, k_read, v_read, kv_mask=kv_mask, bias=bias)
 
         ctx = ctx.reshape(b, s, h * d)
         out = _dense(c.n_embd, c, ("joined_kv", "embed"), dtype=self.dtype,
@@ -170,6 +197,8 @@ class GPT2Model(BaseModule):
         else:
             kv_mask = cache["mask"].astype(bool)
             xs = (cache["k"], cache["v"])
+            if "k_scale" in cache:
+                xs = xs + (cache["k_scale"], cache["v_scale"])
             cache_index = cache["index"]
 
         block_cls = GPT2Block
@@ -202,6 +231,9 @@ class GPT2Model(BaseModule):
                 "index": cache_index + s,
                 "mask": cache["mask"],
             }
+            if len(new_caches) == 4:
+                out["cache"]["k_scale"] = new_caches[2]
+                out["cache"]["v_scale"] = new_caches[3]
         return out
 
 
@@ -212,16 +244,25 @@ class GPT2LMHeadModel(BaseModule):
         self.transformer = GPT2Model(self.config, dtype=self.dtype,
                                      remat=self.remat)
 
-    def init_cache(self, batch_size, max_length, dtype=None):
+    def init_cache(self, batch_size, max_length, dtype=None, quantize=False):
         c = self.config
         h, d = c.n_head, c.n_embd // c.n_head
         dtype = dtype or self.dtype
-        return {
-            "k": jnp.zeros((c.n_layer, batch_size, max_length, h, d), dtype),
-            "v": jnp.zeros((c.n_layer, batch_size, max_length, h, d), dtype),
+        shape = (c.n_layer, batch_size, max_length, h, d)
+        cache = {
             "index": jnp.zeros((), jnp.int32),
             "mask": jnp.zeros((batch_size, max_length), jnp.int32),
         }
+        if quantize:
+            # int8 KV + per-(token, head) scales (see GPT2Attention)
+            cache["k"] = jnp.zeros(shape, jnp.int8)
+            cache["v"] = jnp.zeros(shape, jnp.int8)
+            cache["k_scale"] = jnp.zeros(shape[:-1], jnp.float32)
+            cache["v_scale"] = jnp.zeros(shape[:-1], jnp.float32)
+        else:
+            cache["k"] = jnp.zeros(shape, dtype)
+            cache["v"] = jnp.zeros(shape, dtype)
+        return cache
 
     def __call__(self, input_ids, attention_mask=None, position_ids=None,
                  cache=None, deterministic=True):

@@ -197,3 +197,63 @@ def test_pipeline_quantize_int8(tmp_path):
     assert len(out) == 3
     assert all("predictions" in r or "label" in r or "logits" in r
                for r in out)
+
+
+def test_int8_kv_cache_generation():
+    """int8 KV cache (per-token-per-head scales): decode logits stay close
+    to the full-precision cache, and greedy/beam/speculative all run on the
+    quantized cache (beam reindex gathers the scales)."""
+    import jax
+
+    from easynlp_tpu.modelzoo.generation_utils import generate, left_pad
+    from easynlp_tpu.modelzoo.models.gpt2 import GPT2Config, GPT2LMHeadModel
+    from easynlp_tpu.modelzoo.models.gpt2.generation import (
+        make_gpt2_generation_fns)
+
+    cfg = GPT2Config(vocab_size=97, n_positions=64, n_embd=32, n_layer=2,
+                     n_head=2, resid_pdrop=0.0, embd_pdrop=0.0,
+                     attn_pdrop=0.0)
+    m = GPT2LMHeadModel.from_config(cfg, dtype=jnp.float32)
+    rng = jax.random.PRNGKey(0)
+    params = m.init({"params": rng, "dropout": rng},
+                    input_ids=jnp.ones((1, 4), jnp.int32),
+                    deterministic=True)["params"]
+    from flax import linen as nn
+    params = nn.unbox(params)
+
+    pids, pmask = left_pad([[5, 6, 7, 8], [9, 10, 11]], pad_token_id=0,
+                           length=5)
+    fp_prefill, fp_decode = make_gpt2_generation_fns(m, 16)
+    q_prefill, q_decode = make_gpt2_generation_fns(m, 16, kv_cache="int8")
+
+    lf, cf = fp_prefill(params, jnp.asarray(pids), jnp.asarray(pmask))
+    lq, cq = q_prefill(params, jnp.asarray(pids), jnp.asarray(pmask))
+    assert cq["k"].dtype == jnp.int8 and "k_scale" in cq
+    a, b = np.asarray(lf, np.float64), np.asarray(lq, np.float64)
+    cos = (a * b).sum() / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12)
+    assert cos > 0.99, cos
+
+    tok = jnp.argmax(lq, -1)[:, None].astype(jnp.int32)
+    ld_f, _ = fp_decode(params, tok, cf)
+    ld_q, _ = q_decode(params, tok, cq)
+    a, b = np.asarray(ld_f, np.float64), np.asarray(ld_q, np.float64)
+    cos = (a * b).sum() / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12)
+    assert cos > 0.99, cos
+
+    greedy = np.asarray(generate(q_prefill, q_decode, params,
+                                 jnp.asarray(pids), jnp.asarray(pmask),
+                                 max_length=16, pad_token_id=0))
+    assert greedy.shape == (2, 16)
+    beams = np.asarray(generate(q_prefill, q_decode, params,
+                                jnp.asarray(pids), jnp.asarray(pmask),
+                                max_length=16, num_beams=3, eos_token_id=96,
+                                pad_token_id=0))
+    assert beams.shape == (2, 16)
+
+    sp, sd = make_gpt2_generation_fns(m, 16, kv_cache="int8", cache_slack=5)
+    spec = np.asarray(generate(sp, sd, params, jnp.asarray(pids),
+                               jnp.asarray(pmask), max_length=16,
+                               pad_token_id=0, speculative="prompt_lookup",
+                               num_draft_tokens=4))
+    assert spec.shape == (2, 16)
+    assert (spec >= 0).all() and (spec < 97).all()
