@@ -64,6 +64,20 @@ class GPT2Attention(nn.Module):
                 else "auto"
             ctx = attention(q, k, v, kv_mask=kv_mask, causal=True, impl=impl)
             new_cache = None
+        elif cache_index is not None and getattr(cache_index, "ndim", 0) == 1:
+            # per-SLOT write indices (continuous-batching decode): each row
+            # advances independently, so the single-token write is a scatter
+            # instead of a shared dynamic_update_slice. Visibility is still
+            # the per-row kv_mask.
+            assert s == 1, "per-row cache_index requires single-token decode"
+            bidx = jnp.arange(b)
+            k_cache, v_cache = layer_cache
+            k_cache = k_cache.at[bidx, cache_index].set(
+                k[:, 0].astype(k_cache.dtype))
+            v_cache = v_cache.at[bidx, cache_index].set(
+                v[:, 0].astype(v_cache.dtype))
+            new_cache = (k_cache, v_cache)
+            ctx = attention(q, k_cache, v_cache, kv_mask=kv_mask)
         else:
             if len(layer_cache) == 4:
                 # int8 KV cache: per-(token, head) symmetric scales — halves
