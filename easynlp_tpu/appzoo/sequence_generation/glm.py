@@ -96,14 +96,17 @@ class GLMSequenceGenerationDataset(BaseDataset):
         return {k: np.stack([e[k] for e in examples]) for k in examples[0]}
 
 
-def make_glm_generation_fns(module, max_length, cache_dtype=None):
+def make_glm_generation_fns(module, max_length, cache_dtype=None,
+                            cache_slack=0):
     """(prefill, decode) for prompts laid out [pad…, src, gMASK, sop]
     (LEFT-padded). Part B positions: position_id = the gMASK position,
-    block_position_id = 1, 2, … (reference finetune_glm sampling)."""
+    block_position_id = 1, 2, … (reference finetune_glm sampling).
+    cache_slack: extra KV slots for speculative verify chunks."""
 
     def prefill(params, input_ids, attention_mask):
         b, p = input_ids.shape
-        cache = module.init_cache(b, max_length, dtype=cache_dtype)
+        cache = module.init_cache(b, max_length + cache_slack,
+                                  dtype=cache_dtype)
         cache["mask"] = jax.lax.dynamic_update_slice(
             cache["mask"], attention_mask.astype(jnp.int32), (0, 0))
         counts = attention_mask.sum(-1)            # n + 2 (gmask + sop)
@@ -145,6 +148,36 @@ def make_glm_generation_fns(module, max_length, cache_dtype=None):
         new_cache["glm_prompt_len"] = cache["glm_prompt_len"]
         return out["logits"][:, -1].astype(jnp.float32), new_cache
 
+    def decode_chunk(params, tokens, cache):
+        """Speculative verify chunk: the GLM cached bias already encodes
+        intra-chunk causality per query position (modeling_glm.py:199-206);
+        Part B 2D positions extend per chunk offset."""
+        b, s = tokens.shape
+        idx = cache["index"]
+        cache = dict(cache)
+        cache["mask"] = jax.lax.dynamic_update_slice(
+            cache["mask"], jnp.ones((b, s), jnp.int32), (0, idx))
+        positions = jnp.broadcast_to(cache["glm_mask_pos"][:, None], (b, s))
+        blocks = (idx + jnp.arange(s))[None, :] \
+            - cache["glm_prompt_len"][:, None] + 2
+        out = module.apply(
+            {"params": params}, input_ids=tokens, position_ids=positions,
+            block_position_ids=blocks,
+            prefix_lengths=cache["glm_prompt_len"] - 1,
+            cache={k: cache[k] for k in ("k", "v", "index", "mask")},
+            deterministic=True)
+        new_cache = dict(out["cache"])
+        new_cache["glm_mask_pos"] = cache["glm_mask_pos"]
+        new_cache["glm_prompt_len"] = cache["glm_prompt_len"]
+        return out["logits"].astype(jnp.float32), new_cache
+
+    def rollback(cache, drop):
+        new_index = cache["index"] - drop
+        t = cache["mask"].shape[1]
+        mask = jnp.where(jnp.arange(t)[None, :] >= new_index, 0,
+                         cache["mask"])
+        return dict(cache, index=new_index, mask=mask)
+
     def reindex_cache(cache, flat_beam):
         return {
             "k": jnp.take(cache["k"], flat_beam, axis=1),
@@ -157,6 +190,8 @@ def make_glm_generation_fns(module, max_length, cache_dtype=None):
         }
 
     prefill.reindex_cache = reindex_cache
+    decode.chunk = decode_chunk
+    decode.rollback = rollback
     return prefill, decode
 
 
@@ -202,7 +237,10 @@ class GLMSequenceGeneration(Application):
             prompts.append(toks + [gmask_id, sop_id])
         ids, mask = left_pad(prompts, pad_id)
         total = ids.shape[1] + max_length
-        prefill, decode = make_glm_generation_fns(self.module, total)
+        slack = (kwargs.get("num_draft_tokens", 8) + 1
+                 if kwargs.get("speculative") else 0)
+        prefill, decode = make_glm_generation_fns(self.module, total,
+                                                  cache_slack=slack)
         seqs = generate(prefill, decode, self.params, jnp.asarray(ids),
                         jnp.asarray(mask), max_length=total,
                         num_beams=num_beams, do_sample=do_sample,

@@ -145,3 +145,17 @@ def test_glm_cached_generation_token_exact(glm_ds):
         # after the first EOP both are padding
         cut = min(len(generated), max_gen)
         assert got[:cut] == want[:cut], (i, got, want)
+
+
+def test_glm_speculative_token_exact():
+    """Prompt-lookup speculative Part-B decode equals plain cached greedy
+    (GLM 2D positions + blank-infilling bias through the chunk path)."""
+    app = _app()
+    src = jnp.asarray([[5, 6, 5, 6], [8, 9, 8, 9]], jnp.int32)
+    mask = jnp.ones((2, 4), jnp.int32)
+    kw = dict(gmask_id=GMASK, sop_id=SOP, eop_id=EOP, pad_id=PAD)
+    ref = np.asarray(app.generate(src, mask, max_length=8, **kw))
+    spec = np.asarray(app.generate(src, mask, max_length=8,
+                                   speculative="prompt_lookup",
+                                   num_draft_tokens=3, **kw))
+    np.testing.assert_array_equal(spec, ref)
