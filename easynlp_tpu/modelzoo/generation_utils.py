@@ -431,25 +431,28 @@ def generate(prefill, decode, params, input_ids, attention_mask,
     """Dispatch to greedy / sample / beam / beam-sample / group-beam
     (reference generate :644, beam_sample :1373, group_beam_search :1148).
 
-    speculative='prompt_lookup' enables draft-model-free speculative greedy
-    decoding (modelzoo/speculative.py) — token-exact vs plain greedy. Falls
-    back silently when the mode (sampling/beams) or a sequence-content-
-    dependent processor (repetition penalty, no-repeat-ngram) rules it out,
-    or when the adapter lacks chunk support."""
-    if (speculative == "prompt_lookup" and num_beams == 1 and not do_sample
+    speculative='prompt_lookup' enables draft-model-free speculative
+    decoding (modelzoo/speculative.py) — token-exact vs plain greedy, and
+    distribution-exact under sampling (ancestral conditionals, see the
+    module docstring). Falls back silently when beams or a sequence-
+    content-dependent processor (repetition penalty, no-repeat-ngram)
+    rules it out, or when the adapter lacks chunk support."""
+    if (speculative == "prompt_lookup" and num_beams == 1
             and hasattr(decode, "chunk")
             and not kwargs.get("repetition_penalty")
             and not kwargs.get("no_repeat_ngram_size")):
         from easynlp_tpu.modelzoo.speculative import speculative_greedy
-        for k in ("rng", "temperature", "top_k", "top_p", "length_penalty",
-                  "num_beam_groups", "diversity_penalty",
+        for k in ("length_penalty", "num_beam_groups", "diversity_penalty",
                   "repetition_penalty", "no_repeat_ngram_size",
                   "num_return_sequences"):
             kwargs.pop(k, None)
+        if not do_sample:
+            for k in ("rng", "temperature", "top_k", "top_p"):
+                kwargs.pop(k, None)
         seqs, _, _ = speculative_greedy(
             prefill, decode.chunk, decode.rollback, params, input_ids,
             attention_mask, max_length, num_draft_tokens=num_draft_tokens,
-            ngram_size=ngram_size, **kwargs)
+            ngram_size=ngram_size, do_sample=do_sample, **kwargs)
         return seqs
     if num_beams > 1:
         if not do_sample:

@@ -31,9 +31,19 @@ models/gpt2/generation.py and seq2seq_generation.py):
   just-written S entries invalidated (index -= drop, visibility re-masked).
 
 Only position-static logits processors are supported under speculation
-(min_length, bad_words_mask, eos); repetition_penalty / no_repeat_ngram
-depend on the evolving sequence content per position and force a fallback
-to plain greedy in `generate()`.
+(min_length, bad_words_mask, eos, and the sampling warps temperature /
+top-k / top-p); repetition_penalty / no_repeat_ngram depend on the
+evolving sequence content per position and force a fallback to the plain
+loop in `generate()`.
+
+Sampling (`do_sample=True`) stays DISTRIBUTION-exact: position i of the
+verify chunk is conditioned on the draft prefix d_1..d_i, so as long as
+every earlier draft matched the token actually sampled, the chunk's
+logits ARE the true ancestral conditionals — sample g_i from each, accept
+while d_i == g_{i-1} (the standard speculative-sampling accept rule
+specialized to a deterministic drafter). The realization differs from the
+one-token-per-step sampler (different rng consumption order), but the
+distribution is identical; top_k=1 collapses to greedy and is token-exact.
 """
 
 from typing import Any, NamedTuple
@@ -41,7 +51,8 @@ from typing import Any, NamedTuple
 import jax
 import jax.numpy as jnp
 
-from easynlp_tpu.modelzoo.generation_utils import NEG_INF
+from easynlp_tpu.modelzoo.generation_utils import (NEG_INF, apply_temperature,
+                                                   apply_top_k, apply_top_p)
 
 
 def prompt_lookup_drafts(sequences, valid, cur_len, num_draft_tokens,
@@ -85,6 +96,7 @@ class SpecState(NamedTuple):
     cache: Any
     pending: Any     # [B] last committed token, not yet fed to the model
     finished: Any    # [B] bool
+    rng: Any         # PRNG key (sampling)
     accepted: Any    # scalar: total accepted draft tokens (stats)
     rounds: Any      # scalar: verify forwards run (stats)
 
@@ -110,8 +122,10 @@ def _process_chunk_logits(logits, step, config):
 def speculative_greedy(prefill, decode_chunk, rollback, params, input_ids,
                        attention_mask, max_length, num_draft_tokens=8,
                        ngram_size=2, eos_token_id=None, pad_token_id=0,
-                       **proc_config):
-    """Greedy decoding with prompt-lookup speculation.
+                       do_sample=False, temperature=1.0, top_k=0, top_p=1.0,
+                       rng=None, **proc_config):
+    """Greedy (or ancestral-sampling) decoding with prompt-lookup
+    speculation — see the module docstring for the sampling accept rule.
 
     input_ids LEFT-padded [B, P]. Returns (sequences [B, max_length],
     valid [B, max_length], stats dict of traced scalars). The adapter's
@@ -130,18 +144,29 @@ def speculative_greedy(prefill, decode_chunk, rollback, params, input_ids,
     tb = t + k + 1                       # buffer slack: a chunk written at
     assert t > p                         # step <= t-1 spans k+1 slots
     proc = dict(proc_config, eos_token_id=eos_token_id)
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+
+    def _choose(logits3, key):
+        """[B, S, V] processed logits → [B, S] tokens."""
+        if not do_sample:
+            return jnp.argmax(logits3, axis=-1).astype(jnp.int32)
+        warped = apply_temperature(logits3, temperature)
+        warped = apply_top_k(warped, top_k)
+        warped = apply_top_p(warped, top_p)
+        return jax.random.categorical(key, warped, axis=-1).astype(jnp.int32)
 
     sequences = jnp.full((b, tb), pad_token_id, jnp.int32)
     sequences = jax.lax.dynamic_update_slice(sequences, input_ids, (0, 0))
     valid = jnp.zeros((b, tb), jnp.int32)
     valid = jax.lax.dynamic_update_slice(valid, attention_mask, (0, 0))
 
-    # prefill consumes the whole prompt; its logits greedily commit the first
+    # prefill consumes the whole prompt; its logits commit the first
     # generated token, which becomes the pending (not-yet-fed) token
     logits0, cache = prefill(params, input_ids, attention_mask)
-    g0 = jnp.argmax(
-        _process_chunk_logits(logits0[:, None], jnp.asarray(p), proc)[:, 0],
-        axis=-1).astype(jnp.int32)
+    rng, sub0 = jax.random.split(rng)
+    g0 = _choose(
+        _process_chunk_logits(logits0[:, None], jnp.asarray(p), proc),
+        sub0)[:, 0]
     finished0 = (g0 == eos_token_id) if eos_token_id is not None \
         else jnp.zeros((b,), bool)
     sequences = jax.lax.dynamic_update_slice(sequences, g0[:, None], (0, p))
@@ -149,7 +174,7 @@ def speculative_greedy(prefill, decode_chunk, rollback, params, input_ids,
         valid, jnp.ones((b, 1), jnp.int32), (0, p))
     state = SpecState(jnp.asarray(p + 1), sequences, valid, cache,
                       jnp.where(finished0, pad_token_id, g0).astype(jnp.int32),
-                      finished0, jnp.zeros((), jnp.int32),
+                      finished0, rng, jnp.zeros((), jnp.int32),
                       jnp.zeros((), jnp.int32))
 
     def cond(s):
@@ -160,8 +185,9 @@ def speculative_greedy(prefill, decode_chunk, rollback, params, input_ids,
                                      ngram_size, pad_token_id)
         tokens_in = jnp.concatenate([s.pending[:, None], draft], axis=1)
         logits, cache = decode_chunk(params, tokens_in, s.cache)  # [B,K+1,V]
-        g = jnp.argmax(_process_chunk_logits(logits, s.step, proc),
-                       axis=-1).astype(jnp.int32)                  # [B,K+1]
+        new_rng, sub = jax.random.split(s.rng)
+        g = _choose(_process_chunk_logits(logits, s.step, proc),
+                    sub)                                           # [B,K+1]
         # d_i is accepted iff it equals the model's greedy choice g_{i-1}
         match = draft == g[:, :-1]                                 # [B, K]
         acc_row = jnp.sum(jnp.cumprod(match.astype(jnp.int32), axis=1), 1)
@@ -194,7 +220,7 @@ def speculative_greedy(prefill, decode_chunk, rollback, params, input_ids,
         bonus = jnp.take_along_axis(g, jnp.full((b, 1), a), axis=1)[:, 0]
         pending = jnp.where(finished, pad_token_id, bonus).astype(jnp.int32)
         return SpecState(s.step + 1 + a, sequences, valid, cache, pending,
-                         finished, s.accepted + a, s.rounds + 1)
+                         finished, new_rng, s.accepted + a, s.rounds + 1)
 
     final = jax.lax.while_loop(cond, body, state)
     seqs = final.sequences[:, :t]

@@ -248,3 +248,35 @@ def test_pipeline_sequence_generation_speculative(tmp_path):
     out = pipe(["the good day the good day", "a bad time"])
     assert len(out) == 2
     assert all("predictions" in r for r in out)
+
+
+def test_speculative_sampling():
+    """Sampling under speculation: top_k=1 collapses to greedy exactly;
+    general sampling is rng-deterministic and rng-sensitive."""
+    m, params = _tiny_gpt2()
+    pids, pmask = left_pad([[5, 6, 7, 5, 6, 7], [11, 23, 42]],
+                           pad_token_id=0, length=6)
+    prefill, decode = make_gpt2_generation_fns(m, 24, cache_slack=5)
+
+    greedy = np.asarray(generate(prefill, decode, params, jnp.asarray(pids),
+                                 jnp.asarray(pmask), max_length=24,
+                                 pad_token_id=0, speculative="prompt_lookup",
+                                 num_draft_tokens=4))
+    collapsed = np.asarray(generate(
+        prefill, decode, params, jnp.asarray(pids), jnp.asarray(pmask),
+        max_length=24, pad_token_id=0, speculative="prompt_lookup",
+        num_draft_tokens=4, do_sample=True, top_k=1,
+        rng=jax.random.PRNGKey(7)))
+    np.testing.assert_array_equal(collapsed, greedy)
+
+    def sample(seed):
+        return np.asarray(generate(
+            prefill, decode, params, jnp.asarray(pids), jnp.asarray(pmask),
+            max_length=24, pad_token_id=0, speculative="prompt_lookup",
+            num_draft_tokens=4, do_sample=True, temperature=1.3, top_k=50,
+            rng=jax.random.PRNGKey(seed)))
+
+    a, b, c = sample(0), sample(0), sample(1)
+    np.testing.assert_array_equal(a, b)
+    assert not np.array_equal(a, c)
+    assert (a >= 0).all() and (a < 97).all()
