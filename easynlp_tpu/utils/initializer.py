@@ -34,16 +34,28 @@ def host_cache_fingerprint():
 
     import jaxlib
 
+    ident = []
     flags = ""
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith(("flags", "Features")):
+                key = line.split(":", 1)[0].strip()
+                if key in ("flags", "Features") and not flags:
                     flags = " ".join(sorted(line.split(":", 1)[1].split()))
+                # model identity matters beyond the flag list: XLA derives
+                # per-model tuning features (e.g. prefer-no-scatter) from
+                # cpuid, and two hosts with identical flag lists can still
+                # produce mutually SIGILL-ing AOT executables
+                elif key in ("vendor_id", "cpu family", "model",
+                             "model name", "stepping") \
+                        and len(ident) < 5:
+                    ident.append(line.split(":", 1)[1].strip())
+                if key == "power management":  # end of first cpu block
                     break
     except OSError:
         pass
-    h = hashlib.md5(("%s|%s" % (flags, getattr(jaxlib, "__version__", "")))
+    h = hashlib.md5(("%s|%s|%s" % (flags, ";".join(ident),
+                                   getattr(jaxlib, "__version__", "")))
                     .encode()).hexdigest()[:10]
     return h
 
@@ -60,7 +72,12 @@ def enable_compile_cache():
                  or os.environ.get("JAX_COMPILATION_CACHE_DIR")
                  or os.path.expanduser("~/.easynlp_tpu/jax_cache"))
     if cache_dir:
-        cache_dir = os.path.join(cache_dir, host_cache_fingerprint())
+        # keyed by platform too: under the axon relay, compilation happens
+        # on the relay's machine — its CPU AOT artifacts must never be
+        # shared with pure-CPU runs on this host (SIGILL/segfault risk)
+        platform = (jax.config.jax_platforms or "default").split(",")[0]
+        cache_dir = os.path.join(cache_dir,
+                                 host_cache_fingerprint() + "-" + platform)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 

@@ -24,6 +24,7 @@ if _platform == "cpu":
 from easynlp_tpu.utils.initializer import host_cache_fingerprint  # noqa: E402
 
 jax.config.update("jax_compilation_cache_dir",
-                  "/tmp/easynlp_tpu_jax_cache/" + host_cache_fingerprint())
+                  "/tmp/easynlp_tpu_jax_cache/" + host_cache_fingerprint()
+                  + "-cpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
