@@ -1,0 +1,145 @@
+"""Continuous-batching decode benchmark: mixed-length generation workload
+through the ContinuousBatcher vs sequential coalesced batches.
+
+The workload is the shape continuous batching exists for: concurrent
+requests whose generation lengths differ a lot. Coalesce-then-generate
+holds every request until the batch's LONGEST generation finishes
+(wall-clock ~ sum of per-batch maxima); the slot scheduler retires short
+requests early and refills their slots (wall-clock ~ total tokens /
+throughput). Reported uplift is end-to-end completion time for the same
+request set.
+
+BENCH_TINY=1 shrinks everything for CPU smoke runs.
+"""
+
+import json
+import os
+import sys
+import time
+
+TINY = bool(int(os.environ.get("BENCH_TINY", "0")))
+
+if os.environ.get("BENCH_PLATFORM"):
+    import jax
+    jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
+
+SLOTS = 8 if not TINY else 2
+N_REQ = 32 if not TINY else 6
+PROMPT = 32 if not TINY else 6
+MAX_LEN = 512 if not TINY else 48
+# mixed generation lengths: short tail + a few long stragglers
+GEN_SHORT = 16 if not TINY else 3
+GEN_LONG = 128 if not TINY else 10
+
+
+def _model():
+    import jax
+    import jax.numpy as jnp
+
+    from easynlp_tpu.modelzoo.models.gpt2 import GPT2Config, GPT2LMHeadModel
+    if TINY:
+        cfg = GPT2Config(vocab_size=128, n_positions=64, n_embd=32,
+                         n_layer=2, n_head=2, resid_pdrop=0.0,
+                         embd_pdrop=0.0, attn_pdrop=0.0)
+    else:
+        cfg = GPT2Config(vocab_size=50257, n_positions=1024, n_embd=768,
+                         n_layer=12, n_head=12, resid_pdrop=0.0,
+                         embd_pdrop=0.0, attn_pdrop=0.0)
+    m = GPT2LMHeadModel.from_config(cfg, dtype=jnp.bfloat16)
+    rng = jax.random.PRNGKey(0)
+    params = m.init({"params": rng, "dropout": rng},
+                    input_ids=jnp.ones((1, 4), jnp.int32),
+                    deterministic=True)["params"]
+    from flax import linen as nn
+    return m, nn.unbox(params), cfg
+
+
+def _requests(vocab_size):
+    import numpy as np
+    rng = np.random.RandomState(0)
+    reqs = []
+    for i in range(N_REQ):
+        ids = rng.randint(1, vocab_size, PROMPT).tolist()
+        gen = GEN_LONG if i % 4 == 0 else GEN_SHORT
+        reqs.append((ids, gen))
+    return reqs
+
+
+def bench_continuous(m, params, reqs):
+    from easynlp_tpu.serving.continuous import ContinuousBatcher
+    b = ContinuousBatcher(m, params, max_slots=SLOTS, max_length=MAX_LEN,
+                          prompt_buckets=(PROMPT,), pad_token_id=0)
+    try:
+        # warmup compiles (prefill bucket + step)
+        b.submit(reqs[0][0], max_new_tokens=2).result(timeout=600)
+        t0 = time.perf_counter()
+        handles = [b.submit(ids, max_new_tokens=g) for ids, g in reqs]
+        total = sum(len(h.result(timeout=1200)) for h in handles)
+        elapsed = time.perf_counter() - t0
+    finally:
+        b.stop()
+    return total, elapsed
+
+
+def bench_coalesced(m, params, reqs):
+    """Sequential SLOTS-wide batches; each batch decodes to its max gen."""
+    import jax
+    import jax.numpy as jnp
+
+    from easynlp_tpu.modelzoo.generation_utils import (greedy_or_sample,
+                                                       left_pad)
+    from easynlp_tpu.modelzoo.models.gpt2.generation import (
+        make_gpt2_generation_fns)
+
+    fns = {}
+
+    def run_batch(batch):
+        gen = max(g for _, g in batch)
+        total = PROMPT + gen
+        if total not in fns:
+            prefill, decode = make_gpt2_generation_fns(m, total)
+            fns[total] = jax.jit(lambda p, i, a, _pf=prefill, _dc=decode,
+                                 _t=total: greedy_or_sample(
+                                     _pf, _dc, p, i, a, _t,
+                                     pad_token_id=0)[0])
+        rows = [ids for ids, _ in batch]
+        while len(rows) < SLOTS:
+            rows.append(rows[-1])
+        pids, pmask = left_pad(rows, pad_token_id=0, length=PROMPT)
+        out = fns[total](params, jnp.asarray(pids), jnp.asarray(pmask))
+        out.block_until_ready()
+        return sum(g for _, g in batch)
+
+    # warmup both compile shapes
+    run_batch(reqs[:SLOTS])
+    short_only = [r for r in reqs if r[1] == GEN_SHORT][:SLOTS]
+    run_batch(short_only)
+    t0 = time.perf_counter()
+    total = 0
+    for start in range(0, len(reqs), SLOTS):
+        total += run_batch(reqs[start:start + SLOTS])
+    elapsed = time.perf_counter() - t0
+    return total, elapsed
+
+
+def main():
+    m, params, cfg = _model()
+    reqs = _requests(cfg.vocab_size)
+    cont_tokens, cont_s = bench_continuous(m, params, reqs)
+    coal_tokens, coal_s = bench_coalesced(m, params, reqs)
+    print(json.dumps({
+        "metric": "continuous_batching_tokens_per_sec",
+        "value": round(cont_tokens / cont_s, 1),
+        "unit": "tokens/s (%d reqs, %d slots, mixed %d/%d gen)"
+                % (N_REQ, SLOTS, GEN_SHORT, GEN_LONG),
+        "vs_baseline": None,
+        "extras": {
+            "coalesced_tokens_per_sec": round(coal_tokens / coal_s, 1),
+            "completion_speedup": round(coal_s / cont_s, 3),
+        },
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
