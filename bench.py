@@ -233,6 +233,9 @@ def main(argv=None):
     if only == "decode":
         import bench_decode
         return bench_decode.main()
+    if only == "continuous":
+        import bench_continuous
+        return bench_continuous.main()
 
     py = sys.executable
     # Pre-flight: a wedged axon tunnel hangs backend init indefinitely; probe
@@ -265,6 +268,7 @@ def main(argv=None):
         "clip_e2e": [py, "bench.py", "--only", "clip_e2e"],
         "diffusion": [py, "bench.py", "--only", "diffusion"],
         "decode": [py, "bench.py", "--only", "decode"],
+        "continuous": [py, "bench.py", "--only", "continuous"],
     }
     skip = set(filter(None, os.environ.get("BENCH_SKIP", "").split(",")))
     results = {name: ({"error": "skipped"} if name in skip
@@ -302,6 +306,11 @@ def main(argv=None):
             results["decode"]["value"]
         extras["speculative_decode_speedup"] = results["decode"].get(
             "extras", {}).get("speculative_speedup")
+    if "value" in results["continuous"]:
+        extras["continuous_batching_tokens_per_sec"] = \
+            results["continuous"]["value"]
+        extras["continuous_over_coalesced_speedup"] = results[
+            "continuous"].get("extras", {}).get("completion_speedup")
     failed = {k: v.get("error") for k, v in results.items() if "error" in v}
     if failed:
         extras["legs_failed"] = failed
