@@ -140,37 +140,56 @@ def test_regression_and_report_metrics():
 def test_tf_checkpoint_roundtrip(tmp_path):
     """export_tf_checkpoint → load_bert_tf_checkpoint roundtrips the BERT
     backbone exactly (reference utils/adapter.py:25-166 + exporter.py:81-193
-    TF bridge)."""
-    import jax
-    import jax.numpy as jnp
+    TF bridge).
 
-    from easynlp_tpu.modelzoo.models.bert import BertModel
-    from easynlp_tpu.testing import tiny_bert_config
-    from easynlp_tpu.utils.adapter import load_bert_tf_checkpoint
-    from easynlp_tpu.utils.exporter import export_tf_checkpoint
+    Runs in a SUBPROCESS: importing tensorflow into the pytest process
+    alongside jaxlib+torch clashes at the LLVM/absl layer and has caused
+    sporadic SIGSEGV in later XLA:CPU compiles (two mid-suite segfaults traced
+    to this import). The bridge itself is library code with a lazy
+    function-level TF import, so only this test needs isolation."""
+    import subprocess
+    import sys
+    import textwrap
 
-    cfg = tiny_bert_config(vocab_size=50)
-    m = BertModel(config=cfg, dtype=jnp.float32)
-    rng = jax.random.PRNGKey(0)
-    variables = m.init({"params": rng, "dropout": rng},
-                       jnp.ones((1, 8), jnp.int32), deterministic=True)
-    from flax import linen as nn
-    params = nn.unbox(variables["params"])
+    script = textwrap.dedent("""
+        import sys
+        import jax, numpy as np
+        import jax.numpy as jnp
+        jax.config.update("jax_platforms", "cpu")
 
-    ckpt = str(tmp_path / "tfckpt" / "bert_model.ckpt")
-    export_tf_checkpoint(params, cfg, ckpt)
-    restored = load_bert_tf_checkpoint(ckpt, cfg)
+        from easynlp_tpu.modelzoo.models.bert import BertModel
+        from easynlp_tpu.testing import tiny_bert_config
+        from easynlp_tpu.utils.adapter import load_bert_tf_checkpoint
+        from easynlp_tpu.utils.exporter import export_tf_checkpoint
 
-    flat_ref = jax.tree_util.tree_leaves_with_path(
-        jax.tree.map(np.asarray, params))
-    import jax.tree_util as jtu
-    ref_map = {jtu.keystr(p): v for p, v in flat_ref}
-    for path, val in jtu.tree_leaves_with_path(restored):
-        key = jtu.keystr(path)
-        assert key in ref_map, key
-        np.testing.assert_allclose(val, ref_map[key], atol=1e-6, err_msg=key)
-    # every backbone leaf came back
-    assert len(jax.tree.leaves(restored)) == len(flat_ref)
+        cfg = tiny_bert_config(vocab_size=50)
+        m = BertModel(config=cfg, dtype=jnp.float32)
+        rng = jax.random.PRNGKey(0)
+        variables = m.init({"params": rng, "dropout": rng},
+                           jnp.ones((1, 8), jnp.int32), deterministic=True)
+        from flax import linen as nn
+        params = nn.unbox(variables["params"])
+
+        ckpt = sys.argv[1] + "/tfckpt/bert_model.ckpt"
+        export_tf_checkpoint(params, cfg, ckpt)
+        restored = load_bert_tf_checkpoint(ckpt, cfg)
+
+        import jax.tree_util as jtu
+        flat_ref = jtu.tree_leaves_with_path(jax.tree.map(np.asarray, params))
+        ref_map = {jtu.keystr(p): v for p, v in flat_ref}
+        for path, val in jtu.tree_leaves_with_path(restored):
+            key = jtu.keystr(path)
+            assert key in ref_map, key
+            np.testing.assert_allclose(val, ref_map[key], atol=1e-6,
+                                       err_msg=key)
+        assert len(jax.tree.leaves(restored)) == len(flat_ref)
+        print("ROUNDTRIP_OK")
+    """)
+    out = subprocess.run([sys.executable, "-c", script, str(tmp_path)],
+                         capture_output=True, text=True, timeout=600,
+                         cwd="/root/repo")
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "ROUNDTRIP_OK" in out.stdout
 
 
 def test_dkplm_pretrain_dataset(tmp_path):
