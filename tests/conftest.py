@@ -28,3 +28,26 @@ jax.config.update("jax_compilation_cache_dir",
                   + "-cpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+
+# --- mmap-exhaustion guard ---------------------------------------------------
+# Every fresh XLA:CPU compile JIT-loads code pages (several mmap regions per
+# executable) that live as long as jax's in-process executable caches. Across
+# the full suite (~150+ test functions x many compiles each on an 8-device
+# mesh) the process crosses vm.max_map_count (65530 default): mmap starts
+# failing and LLVM's JIT segfaults — observed twice as a mid-suite SIGSEGV in
+# backend_compile_and_load at ~test #145, in whatever test happened to compile
+# next (maps measured growing ~2.5k per minute of suite). Dropping the
+# executable caches after each test MODULE bounds the map count; the
+# persistent compile cache makes the re-compiles cheap disk reloads.
+
+import gc
+
+import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    yield
+    jax.clear_caches()
+    gc.collect()
