@@ -68,15 +68,14 @@ class CLIPDataset(BaseDataset):
             self.rows = list(range(len(texts)))
             self.schema = None
             self.kwargs = kwargs
-            self._images_b64 = [None] * len(texts)
         else:
             super().__init__(data_file, input_schema=input_schema, **kwargs)
-            texts, self._images_b64 = [], []
-            for row in self.rows:
-                r = self.parse_row(row)
-                texts.append(str(r.get(first_sequence or "text", "")))
-                self._images_b64.append(str(r.get(second_sequence or "image",
-                                                  "")))
+            # captions are materialised for one-pass batch tokenisation;
+            # base64 image payloads stay on disk behind the lazy row view
+            # and are re-parsed per __getitem__ (rows dominate the TSV size)
+            texts = [str(self.parse_row(row).get(first_sequence or "text",
+                                                 ""))
+                     for row in self.rows]
         self.tokenizer = tokenizer
         self.max_seq_length = max_seq_length
         self.text_col = first_sequence or "text"
@@ -92,7 +91,8 @@ class CLIPDataset(BaseDataset):
             from PIL import Image
             return Image.open(
                 _stdio.BytesIO(self._image_bytes[idx])).convert("RGB")
-        return decode_base64_image(self._images_b64[idx])
+        b64 = str(self.parse_row(self.rows[idx]).get(self.image_col, ""))
+        return decode_base64_image(b64)
 
     def __getitem__(self, idx):
         # images decoded lazily (large); text features are precomputed

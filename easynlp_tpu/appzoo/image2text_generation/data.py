@@ -29,18 +29,20 @@ class ImageTextDataset(BaseDataset):
         self.text_col = second_sequence or "text"
         self.image_size = int(udp.get("img_size", image_size))
         self.text_len = int(udp.get("text_len", max_seq_length or 32))
-        texts, self._images_b64 = [], []
-        for row in self.rows:
-            r = self.parse_row(row)
-            texts.append(str(r.get(self.text_col, "")))
-            self._images_b64.append(str(r.get(self.image_col, "")))
+        # captions materialised for one-pass tokenisation; base64 image
+        # payloads stay on disk behind the lazy row view (parsed per item)
+        texts = [str(self.parse_row(row).get(self.text_col, ""))
+                 for row in self.rows]
         enc = self.tokenizer(texts, max_length=self.text_len)
         self.input_ids = np.asarray(enc["input_ids"], np.int32)
         self.attention_mask = np.asarray(enc["attention_mask"], np.int32)
 
+    def _image_b64(self, idx):
+        return str(self.parse_row(self.rows[idx]).get(self.image_col, ""))
+
     def decode_image(self, idx):
         return preprocess_image(
-            decode_base64_image_urlsafe(self._images_b64[idx]),
+            decode_base64_image_urlsafe(self._image_b64(idx)),
             self.image_size).astype(np.float32)
 
     def __getitem__(self, idx):

@@ -124,5 +124,5 @@ class VQGANImageTextDataset(ImageTextDataset):
 
     def decode_image(self, idx):
         return preprocess_image_pm1(
-            decode_base64_image_urlsafe(self._images_b64[idx]),
+            decode_base64_image_urlsafe(self._image_b64(idx)),
             self.vq_size).astype(np.float32)

@@ -32,23 +32,21 @@ class LDMDataset(CLIPDataset):
         hint_col = kwargs.pop("hint_column", None) or \
             udp.get("controlnet_hint_column")
         super().__init__(*args, **kwargs)
-        self._hints_b64 = None
-        if hint_col:
-            if self.schema is None:
-                raise ValueError(
-                    "controlnet_hint_column requires TSV input (webdataset "
-                    "tars carry no extra columns)")
-            self._hints_b64 = [str(self.parse_row(r).get(hint_col, ""))
-                               for r in self.rows]
+        self._hint_col = hint_col or None
+        if hint_col and self.schema is None:
+            raise ValueError(
+                "controlnet_hint_column requires TSV input (webdataset "
+                "tars carry no extra columns)")
 
     def __getitem__(self, idx):
-        img = _square(decode_base64_image(self._images_b64[idx]),
-                      self.image_size)
+        # base64 payloads are re-parsed from the lazy row view per item —
+        # the multi-GB image columns never live in host RAM
+        img = _square(self._decode(idx), self.image_size)
         arr = np.asarray(img, np.float32) / 127.5 - 1.0  # [-1, 1]
         out = {k: v[idx] for k, v in self.text_features.items()}
         out["pixel_values"] = arr
-        if self._hints_b64 is not None:
-            hint = _square(decode_base64_image(self._hints_b64[idx]),
-                           self.image_size)
+        if self._hint_col is not None:
+            b64 = str(self.parse_row(self.rows[idx]).get(self._hint_col, ""))
+            hint = _square(decode_base64_image(b64), self.image_size)
             out["hint_values"] = np.asarray(hint, np.float32) / 255.0
         return out

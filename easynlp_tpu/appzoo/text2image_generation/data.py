@@ -34,19 +34,21 @@ class TextImageDataset(BaseDataset):
         self.text_len = int(udp.get("text_len", max_seq_length or 32))
         self.text_col = first_sequence or "text"
         self.image_col = second_sequence or "imgbase64"
-        texts, self._images_b64 = [], []
-        for row in self.rows:
-            r = self.parse_row(row)
-            texts.append(str(r.get(self.text_col, "")))
-            self._images_b64.append(str(r.get(self.image_col, "")))
+        # captions materialised for one-pass tokenisation; base64 image
+        # payloads stay on disk behind the lazy row view (parsed per item)
+        texts = [str(self.parse_row(row).get(self.text_col, ""))
+                 for row in self.rows]
         enc = self.tokenizer(texts, max_length=self.text_len)
         self.input_ids = np.asarray(enc["input_ids"], np.int32)
         self.attention_mask = np.asarray(enc["attention_mask"], np.int32)
         self._rng = np.random.RandomState(0)
 
+    def _image_b64(self, idx):
+        return str(self.parse_row(self.rows[idx]).get(self.image_col, ""))
+
     def __getitem__(self, idx):
         img = preprocess_image_pm1(
-            decode_base64_image_urlsafe(self._images_b64[idx]), self.size,
+            decode_base64_image_urlsafe(self._image_b64(idx)), self.size,
             random_crop=self.random_crop, rng=self._rng)
         return {"input_ids": self.input_ids[idx],
                 "attention_mask": self.attention_mask[idx],

@@ -29,17 +29,20 @@ class Text2VideoRetrievalDataset(BaseDataset):
         self.image_size = int(udp.get("img_size", image_size))
         self.max_frames = int(udp.get("max_frames",
                                       udp.get("frame_num", 12)))
-        texts, self._videos = [], []
-        for row in self.rows:
-            r = self.parse_row(row)
-            texts.append(str(r.get(self.text_col, "")))
-            self._videos.append(str(r.get(self.video_col, "")))
+        # captions materialised for one-pass tokenisation; base64 frame
+        # payloads stay on disk behind the lazy row view (parsed per item)
+        texts = [str(self.parse_row(row).get(self.text_col, ""))
+                 for row in self.rows]
         enc = self.tokenizer(texts, max_length=max_seq_length)
         self.text_features = {k: np.asarray(v, np.int32)
                               for k, v in enc.items()}
 
+    def _video_b64(self, idx):
+        return str(self.parse_row(self.rows[idx]).get(self.video_col, ""))
+
     def __getitem__(self, idx):
-        frames, n_real = decode_frame_list(self._videos[idx], self.max_frames)
+        frames, n_real = decode_frame_list(self._video_b64(idx),
+                                           self.max_frames)
         pixels = np.stack([preprocess_image(f, self.image_size)
                            for f in frames]).astype(np.float32)
         mask = np.zeros((self.max_frames,), np.int32)

@@ -18,6 +18,6 @@ class FrameTextDataset(ImageTextDataset):
         super().__init__(*args, user_defined_parameters=udp, **kwargs)
 
     def decode_image(self, idx):
-        frames, _ = decode_frame_list(self._images_b64[idx], self.frame_num)
+        frames, _ = decode_frame_list(self._image_b64(idx), self.frame_num)
         return np.stack([preprocess_image(f, self.image_size)
                          for f in frames]).astype(np.float32)

@@ -54,18 +54,20 @@ class BaseDataset:
             return read_odps_rows(str(data_file),
                                   process_index=self.process_index,
                                   num_processes=self.num_processes)
-        # native mmap reader for plain local files (the common_io seam)
+        # plain local files: LAZY list-like row views (len/index/slice) —
+        # rows stay on disk behind an mmap, RAM holds 8 bytes/row of index,
+        # so multi-GB base64-image TSVs (clip/diffusion) don't get
+        # materialised. C++ reader when built, pure-Python mmap otherwise.
         if "://" not in str(data_file):
             try:
-                from easynlp_tpu.data.native_reader import (NativeTSVReader,
+                from easynlp_tpu.data.native_reader import (NativeLazyRows,
                                                             available)
                 if available():
-                    reader = NativeTSVReader(data_file)
-                    rows = [r for r in reader.rows() if r.strip()]
-                    reader.close()
-                    return rows
+                    return NativeLazyRows(data_file)
             except Exception:
                 pass  # fall back to the Python path
+            from easynlp_tpu.data.lazy_loader import LazyRows
+            return LazyRows(data_file)
         with io.open(data_file) as f:
             return [line.rstrip("\n") for line in f if line.strip()]
 

@@ -83,6 +83,34 @@ int64_t tsv_row(void* handle, int64_t idx, char* buf, int64_t max_len) {
     return len;
 }
 
+// Write the indices of rows containing a non-whitespace byte into out
+// (up to cap); returns the total count of non-blank rows. Mirrors the
+// Python loader's `if line.strip()` filter so a lazy index view can skip
+// blank lines without materialising any row.
+int64_t tsv_nonblank(void* handle, int64_t* out, int64_t cap) {
+    auto* r = static_cast<Reader*>(handle);
+    int64_t n = tsv_num_rows(handle);
+    int64_t cnt = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        size_t start = r->offsets[i];
+        size_t end = r->offsets[i + 1];
+        bool nonblank = false;
+        for (size_t p = start; p < end; ++p) {
+            char c = r->data[p];
+            if (c != ' ' && c != '\t' && c != '\r' && c != '\n'
+                && c != '\v' && c != '\f') {
+                nonblank = true;
+                break;
+            }
+        }
+        if (nonblank) {
+            if (cnt < cap) out[cnt] = i;
+            ++cnt;
+        }
+    }
+    return cnt;
+}
+
 void tsv_close(void* handle) {
     auto* r = static_cast<Reader*>(handle);
     if (r->data && r->size) {
