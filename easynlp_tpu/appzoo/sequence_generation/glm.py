@@ -192,6 +192,7 @@ def make_glm_generation_fns(module, max_length, cache_dtype=None,
     prefill.reindex_cache = reindex_cache
     decode.chunk = decode_chunk
     decode.rollback = rollback
+    decode.cache_slack = cache_slack  # validated by the speculative path
     return prefill, decode
 
 

@@ -442,6 +442,17 @@ def generate(prefill, decode, params, input_ids, attention_mask,
             and not kwargs.get("repetition_penalty")
             and not kwargs.get("no_repeat_ngram_size")):
         from easynlp_tpu.modelzoo.speculative import speculative_greedy
+        # verify chunks write K+1 entries straddling max_length before
+        # rollback; without the slack, dynamic_update_slice would clamp the
+        # write start and silently corrupt committed KV near the end
+        slack = getattr(decode, "cache_slack", 0)
+        if slack < num_draft_tokens + 1:
+            raise ValueError(
+                "speculative decoding needs cache_slack >= num_draft_tokens"
+                " + 1 (= %d) KV slots past max_length, but the adapter was"
+                " built with cache_slack=%d — pass cache_slack=%d to the"
+                " generation-fns constructor"
+                % (num_draft_tokens + 1, slack, num_draft_tokens + 1))
         for k in ("length_penalty", "num_beam_groups", "diversity_penalty",
                   "repetition_penalty", "no_repeat_ngram_size",
                   "num_return_sequences"):

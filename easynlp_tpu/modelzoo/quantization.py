@@ -31,10 +31,17 @@ def _is_qleaf(x):
 
 
 def _quantize_leaf(w):
-    """Symmetric per-output-channel int8: q in [-127, 127],
-    w ≈ q * scale with scale = max|w| (over all axes but the last) / 127."""
+    """Symmetric per-output-channel int8: q in [-127, 127], w ≈ q * scale
+    with scale = max|w| over the input-feature axis (ndim-2) / 127.
+
+    Reducing ONLY the input axis (not all leading axes) keeps scales
+    independent per leading dim: nn.scan-stacked kernels [L, in, out] get
+    per-(layer, out-channel) scales instead of one vector shared across all
+    L layers (where a single outlier layer would inflate everyone's rounding
+    error), and conv kernels [h, w, in, out] get per-(tap, out) scales —
+    finer than per-out at negligible scale-memory cost."""
     w32 = np.asarray(w, np.float32)
-    reduce_axes = tuple(range(w32.ndim - 1))
+    reduce_axes = (w32.ndim - 2,)
     absmax = np.max(np.abs(w32), axis=reduce_axes, keepdims=True)
     scale = (absmax / 127.0).astype(np.float32)
     safe = np.where(scale == 0.0, 1.0, scale)

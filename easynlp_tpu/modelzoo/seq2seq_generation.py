@@ -90,6 +90,7 @@ def make_encoder_decoder_fns(module, max_length, src_ids, src_mask,
     prefill.reindex_cache = reindex_cache
     decode.chunk = decode_chunk
     decode.rollback = rollback
+    decode.cache_slack = cache_slack  # validated by the speculative path
     return prefill, decode
 
 

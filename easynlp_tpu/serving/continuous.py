@@ -31,7 +31,7 @@ import numpy as np
 
 class _Pending:
     __slots__ = ("ids", "max_new_tokens", "event", "tokens", "slot",
-                 "index0")
+                 "index0", "error")
 
     def __init__(self, ids, max_new_tokens):
         self.ids = ids
@@ -40,10 +40,13 @@ class _Pending:
         self.tokens: List[int] = []
         self.slot = -1
         self.index0 = 0
+        self.error: Optional[BaseException] = None
 
     def result(self, timeout=None) -> List[int]:
         if not self.event.wait(timeout):
             raise TimeoutError("generation did not complete in time")
+        if self.error is not None:
+            raise RuntimeError("generation failed") from self.error
         return self.tokens
 
 
@@ -133,7 +136,15 @@ class ContinuousBatcher:
     # -- host scheduling ------------------------------------------------------
 
     def submit(self, prompt_ids, max_new_tokens=32) -> _Pending:
-        req = _Pending(list(int(x) for x in prompt_ids), max_new_tokens)
+        ids = list(int(x) for x in prompt_ids)
+        # fail loudly rather than silently truncate: truncation would break
+        # the token-exactness guarantee (output == standalone greedy decode)
+        if len(ids) > self.buckets[-1]:
+            raise ValueError(
+                "prompt length %d exceeds the largest prompt bucket %d; "
+                "construct the batcher with a larger prompt_buckets entry"
+                % (len(ids), self.buckets[-1]))
+        req = _Pending(ids, max_new_tokens)
         self._queue.put(req)
         self._wake.set()
         return req
@@ -145,6 +156,23 @@ class ContinuousBatcher:
         self._stop.set()
         self._wake.set()
         self._thread.join(timeout=30)
+        self._fail_all(RuntimeError("batcher stopped"))
+
+    def _fail_all(self, exc: BaseException):
+        """Resolve every in-flight and queued request with an error so no
+        caller blocks forever on a dead scheduler."""
+        for slot, req in enumerate(self._occupants):
+            if req is not None:
+                self._occupants[slot] = None
+                req.error = exc
+                req.event.set()
+        while True:
+            try:
+                req = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            req.error = exc
+            req.event.set()
 
     def _bucket(self, n):
         for b in self.buckets:
@@ -169,13 +197,9 @@ class ContinuousBatcher:
         return fn
 
     def _admit(self, req: _Pending, slot: int):
+        from easynlp_tpu.modelzoo.generation_utils import left_pad
         p = self._bucket(len(req.ids))
-        ids = req.ids[-p:]                      # clamp overlong prompts
-        pad_n = p - len(ids)
-        row = np.full((1, p), self.pad, np.int32)
-        row[0, pad_n:] = ids
-        mask = np.zeros((1, p), np.int32)
-        mask[0, pad_n:] = 1
+        row, mask = left_pad([req.ids], pad_token_id=self.pad, length=p)
         k1, v1, first = self._prefill_fn(p)(
             self.params, jnp.asarray(row), jnp.asarray(mask))
         first_tok = int(first[0])
@@ -207,6 +231,15 @@ class ContinuousBatcher:
             req.event.set()
 
     def _run(self):
+        # any error (compile failure, OOM) is fatal for the loop: _state may
+        # hold donated/invalidated buffers, so recovery is impossible — fail
+        # every pending request loudly instead of hanging their callers
+        try:
+            self._run_loop()
+        except BaseException as exc:  # noqa: B902 — deliver to waiters
+            self._fail_all(exc)
+
+    def _run_loop(self):
         while not self._stop.is_set():
             # admit waiting requests into free slots
             while any(o is None for o in self._occupants):

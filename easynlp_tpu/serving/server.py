@@ -58,15 +58,21 @@ class PredictionServer:
     """Serve a Pipeline (or any callable mapping list→list) over HTTP."""
 
     def __init__(self, pipeline, host="127.0.0.1", port=8080,
-                 max_batch_size=32, max_delay_ms=5.0, info=None):
+                 max_batch_size=32, max_delay_ms=5.0, info=None,
+                 request_timeout_s=600.0):
         self.pipeline = pipeline
         self.host, self.port = host, port
         self.max_batch_size = int(max_batch_size)
         self.max_delay_s = float(max_delay_ms) / 1000.0
+        # generous default: the FIRST request after startup pays the XLA
+        # compile of the whole forward/decode loop (minutes for generation
+        # pipelines) — a short timeout would 500 it spuriously
+        self.request_timeout_s = float(request_timeout_s)
         self.info = dict(info or {})
         self.info.setdefault("max_batch_size", self.max_batch_size)
         self.info.setdefault("max_delay_ms", float(max_delay_ms))
         self._queue = queue.Queue()
+        self._holdover = None  # request deferred to keep a batch <= max
         self._stop = threading.Event()
         self._worker = None
         self._httpd = None
@@ -77,10 +83,13 @@ class PredictionServer:
 
     def _drain_batch(self):
         """Block for the first request, then coalesce for up to max_delay."""
-        try:
-            first = self._queue.get(timeout=0.1)
-        except queue.Empty:
-            return []
+        if self._holdover is not None:
+            first, self._holdover = self._holdover, None
+        else:
+            try:
+                first = self._queue.get(timeout=0.1)
+            except queue.Empty:
+                return []
         batch = [first]
         total = len(first.inputs)
         deadline = time.monotonic() + self.max_delay_s
@@ -91,6 +100,10 @@ class PredictionServer:
             try:
                 req = self._queue.get(timeout=remaining)
             except queue.Empty:
+                break
+            if total + len(req.inputs) > self.max_batch_size:
+                # would overshoot the batch contract — lead the next batch
+                self._holdover = req
                 break
             batch.append(req)
             total += len(req.inputs)
@@ -124,7 +137,8 @@ class PredictionServer:
 
     # ---------------- request handling ----------------
 
-    def submit(self, inputs, timeout=60.0):
+    def submit(self, inputs, timeout=None):
+        timeout = self.request_timeout_s if timeout is None else timeout
         req = _Request(inputs)
         self._queue.put(req)
         if not req.event.wait(timeout):
@@ -160,6 +174,11 @@ class PredictionServer:
 
             def do_POST(self):
                 if self.path != "/predict":
+                    # drain the body: HTTP/1.1 keep-alive would otherwise
+                    # parse the unread bytes as the next request line
+                    length = int(self.headers.get("Content-Length", 0))
+                    if length:
+                        self.rfile.read(length)
                     self._send(404, {"error": "unknown path %s" % self.path})
                     return
                 try:
@@ -218,7 +237,8 @@ class PredictionServer:
 
 
 def serve(task_or_model_path, host="127.0.0.1", port=8080, max_batch_size=32,
-          max_delay_ms=5.0, blocking=True, **pipeline_kwargs):
+          max_delay_ms=5.0, blocking=True, request_timeout_s=600.0,
+          **pipeline_kwargs):
     """Build a pipeline() and serve it over HTTP.
 
     `task_or_model_path` follows pipeline() semantics: a task name resolves
@@ -229,7 +249,7 @@ def serve(task_or_model_path, host="127.0.0.1", port=8080, max_batch_size=32,
     pipe = pipeline(task_or_model_path, **pipeline_kwargs)
     server = PredictionServer(
         pipe, host=host, port=port, max_batch_size=max_batch_size,
-        max_delay_ms=max_delay_ms,
+        max_delay_ms=max_delay_ms, request_timeout_s=request_timeout_s,
         info={"model": str(task_or_model_path)})
     if blocking:
         server.serve_forever()

@@ -37,6 +37,23 @@ def test_roundtrip_error_bound():
     assert np.all(err <= col_absmax / 254.0 + 1e-7)
 
 
+def test_scan_stacked_kernels_get_per_layer_scales():
+    """nn.scan-stacked [L, in, out] kernels must quantize with independent
+    per-(layer, out-channel) scales: an outlier layer must not inflate the
+    rounding error of the small layers sharing its stack."""
+    rng = np.random.RandomState(0)
+    w = rng.randn(4, 64, 32).astype(np.float32) * 0.02
+    w[3] *= 100.0  # outlier layer
+    q = quantize_params({"h": {"kernel": jnp.asarray(w)}})
+    sub = q["h"]["kernel"]
+    assert sub["scale"].shape == (4, 1, 32)
+    back = np.asarray(dequantize_params(q)["h"]["kernel"])
+    for layer in range(4):
+        absmax = np.max(np.abs(w[layer]), axis=0)
+        err = np.max(np.abs(back[layer] - w[layer]), axis=0)
+        assert np.all(err <= absmax / 254.0 + 1e-7), layer
+
+
 def test_identity_on_unquantized_and_skips():
     rng = np.random.RandomState(1)
     params = {
