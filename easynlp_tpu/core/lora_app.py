@@ -63,19 +63,13 @@ class LoRAApplication:
                 merged = lora_apply(params["base"], params["lora"], scale)
                 return inner_loss(merged, batch, rng)
         else:
-            module = inner.module
-            keys = inner.model_input_keys
-            compute = inner.loss_fn
+            from easynlp_tpu.core.trainer import default_forward_loss
+            base_loss = default_forward_loss(
+                inner.module, inner.model_input_keys, inner.loss_fn)
 
             def loss_fn(params, batch, rng):
                 merged = lora_apply(params["base"], params["lora"], scale)
-                inputs = {k: batch[k] for k in keys if k in batch}
-                outputs = module.apply({"params": merged}, **inputs,
-                                       deterministic=False,
-                                       rngs={"dropout": rng})
-                loss_dict = compute(outputs, batch)
-                import jax.numpy as jnp
-                return loss_dict["loss"].astype(jnp.float32), loss_dict
+                return base_loss(merged, batch, rng)
 
         return loss_fn
 

@@ -46,6 +46,21 @@ META_NAME = "meta.json"
 OPT_STATE_NAME = "opt_state.msgpack"
 
 
+def default_forward_loss(module, model_input_keys, compute_loss):
+    """The canonical train-time forward: filter the batch to the model's
+    inputs, apply with dropout rngs, return (f32 loss, loss_dict). Shared by
+    the Trainer and wrappers that re-run it on transformed params (LoRA)."""
+
+    def forward_loss(params, batch, rng):
+        inputs = {k: batch[k] for k in model_input_keys if k in batch}
+        outputs = module.apply({"params": params}, **inputs,
+                               deterministic=False, rngs={"dropout": rng})
+        loss_dict = compute_loss(outputs, batch)
+        return loss_dict["loss"].astype(jnp.float32), loss_dict
+
+    return forward_loss
+
+
 class Trainer:
     def __init__(self, model, train_dataset, evaluator=None, args=None,
                  tokenizer=None):
@@ -190,15 +205,8 @@ class Trainer:
                 loss, loss_dict = custom_loss(params, batch, rng)
                 return loss.astype(jnp.float32), loss_dict
         else:
-            compute_loss = self.app.loss_fn
-
-            def forward_loss(params, batch, rng):
-                inputs = {k: batch[k] for k in model_keys if k in batch}
-                outputs = module.apply({"params": params}, **inputs,
-                                       deterministic=False,
-                                       rngs={"dropout": rng})
-                loss_dict = compute_loss(outputs, batch)
-                return loss_dict["loss"].astype(jnp.float32), loss_dict
+            forward_loss = default_forward_loss(module, model_keys,
+                                                self.app.loss_fn)
 
         # TPU-measured: threefry dropout masks cost ~9% of the BERT-base step;
         # the hardware RBG generator is free. threefry remains available for

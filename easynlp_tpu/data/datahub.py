@@ -12,12 +12,28 @@ the registry in tests.
 """
 
 import os
+import tempfile
 
 from easynlp_tpu.utils.io_utils import io
 from easynlp_tpu.utils.logger import logger
 from easynlp_tpu.utils.zoo_registry import _join, cache_root, remote_root
 
 RAW_FORMATS = ("json", "csv", "text", "parquet")
+
+
+def _atomic_fetch(remote_path, local):
+    """Copy through the io seam into a temp file, then atomically publish —
+    a partial copy must never register as a cached script/listing."""
+    os.makedirs(os.path.dirname(local), exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(local), prefix=".fetch_")
+    os.close(fd)
+    try:
+        io.copy(remote_path, tmp)
+        os.replace(tmp, local)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.remove(tmp)
+        raise
 
 
 def datahub_dir():
@@ -39,12 +55,12 @@ def load_dataset(path, name=None, data_files=None, **kwargs):
     if not os.path.exists(script):
         remote = remote_root()
         if remote:
-            os.makedirs(script_dir, exist_ok=True)
-            try:
-                io.copy(_join(remote, "datahub", path, path + ".py"), script)
+            src = _join(remote, "datahub", path, path + ".py")
+            if io.exists(src):
+                _atomic_fetch(src, script)  # fetch errors propagate loudly
                 logger.info("fetched datahub script %s", script)
-            except Exception:
-                pass
+    if data_files is not None:
+        kwargs["data_files"] = data_files
     if os.path.exists(script):
         return _run_loading_script(script, name, **kwargs)
     # not in the registry: fall through to the HF hub/cache (reference treats
@@ -79,8 +95,8 @@ def list_datasets():
     remote = remote_root()
     if remote:
         try:
-            os.makedirs(datahub_dir(), exist_ok=True)
-            io.copy(_join(remote, "datahub", "datasets_list.txt"), local)
+            _atomic_fetch(_join(remote, "datahub", "datasets_list.txt"),
+                          local)
         except Exception as exc:  # noqa: BLE001 — stale-cache fallback
             if not os.path.exists(local):
                 raise RuntimeError(

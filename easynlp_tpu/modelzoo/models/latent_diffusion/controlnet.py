@@ -38,6 +38,12 @@ def _hint_ladder(vae_factor):
     import math
     need = int(math.log2(vae_factor)) if vae_factor > 1 else 0
     stride_positions = [i for i, (_, s) in enumerate(HINT_LADDER) if s == 2]
+    if need > len(stride_positions):
+        # a negative slice start below would silently keep ONE stride-2 conv
+        # and the hint would miss the latent grid with a shape error later
+        raise ValueError(
+            "VAE downsample factor %d needs %d stride-2 hint convs but the "
+            "ladder has %d" % (vae_factor, need, len(stride_positions)))
     keep = set(stride_positions[len(stride_positions) - need:]) if need \
         else set()
     return tuple((w, 2 if i in keep else 1)

@@ -111,9 +111,17 @@ def pipeline(task_or_model_path, model_path=None, **kwargs):
             from easynlp_tpu.utils.zoo_registry import get_app_model_path
             default = SUPPORTED_TASKS[task].get("default")
             if default is None:
-                raise ValueError("pipeline(%r) needs model_path= (no default "
-                                 "model registered for this task)" % task)
-            model_path = get_app_model_path(default)
+                # the PAI-Diffusion names double as task AND model names
+                # (reference pipelines/__init__.py:63-105) — try the
+                # app-model registry under the task name before giving up
+                try:
+                    model_path = get_app_model_path(task)
+                except RuntimeError:
+                    raise ValueError(
+                        "pipeline(%r) needs model_path= (no default model "
+                        "registered for this task)" % task) from None
+            else:
+                model_path = get_app_model_path(default)
     else:
         from easynlp_tpu.utils.zoo_registry import (
             get_app_model_path, get_remote_app_model_mapping)

@@ -79,9 +79,19 @@ class Pipeline:
                 list(inputs), sequence_length=min(self.sequence_length, 77))
             return rows[0] if single else rows
         if inputs and isinstance(inputs[0], (tuple, list)):
+            # resolve the pair column the predictor will actually read: an
+            # explicit second_sequence, the predictor's own default (e.g.
+            # MRC's "context"), or wire the fallback key into the predictor
+            # so pair inputs are consumed rather than silently ignored
+            second = (self.second_sequence
+                      or getattr(self.predictor, "second_sequence", None)
+                      or getattr(self.predictor, "context_col", None))
+            if not second:
+                second = "second_sequence"
+                if hasattr(self.predictor, "second_sequence"):
+                    self.predictor.second_sequence = second
             data = {self.first_sequence: [a for a, _ in inputs],
-                    self.second_sequence or "second_sequence":
-                        [b for _, b in inputs]}
+                    second: [b for _, b in inputs]}
         else:
             data = {self.first_sequence: list(inputs)}
         result = self.predictor.run(data)

@@ -69,25 +69,14 @@ def get_pretrain_model_path(name_or_path, disable_auto_download=False):
         # remote model dir (oss:// etc.): materialise through the io seam
         # into the local cache (reference utils/__init__.py:101-202 fetches
         # remote checkpoints before use)
-        from easynlp_tpu.utils.io_utils import io
         local = os.path.join(os.path.expanduser("~/.easynlp_tpu/modelzoo"),
                              str(name_or_path).split("://", 1)[1].strip("/"))
         if not os.path.isdir(local):
-            # download into a temp dir and rename into place on success so a
-            # failed/partial fetch is never mistaken for a complete cache
-            import shutil
-            import tempfile
-            os.makedirs(os.path.dirname(local), exist_ok=True)
-            tmp = tempfile.mkdtemp(dir=os.path.dirname(local),
-                                   prefix=".fetch_")
-            try:
-                for fname in io.listdir(name_or_path):
-                    io.copy(str(name_or_path).rstrip("/") + "/" + fname,
-                            os.path.join(tmp, fname))
-                os.rename(tmp, local)
-            except BaseException:
-                shutil.rmtree(tmp, ignore_errors=True)
-                raise
+            # shared fetch helper: recursive copy into a temp dir, atomic
+            # rename on success (partial fetches never register), tolerant
+            # of a concurrent fetch of the same artifact
+            from easynlp_tpu.utils.zoo_registry import _fetch_tree
+            _fetch_tree(str(name_or_path), local)
             logger.info("fetched %s -> %s", name_or_path, local)
         return local
     candidates = []

@@ -52,8 +52,11 @@ def load_mapping(mapping_name):
             os.makedirs(cache_root(), exist_ok=True)
             with io.open(_join(remote, mapping_name)) as f:
                 data = f.read()
-            with open(local, "w") as f:
+            json.loads(data)  # never cache a truncated/invalid mapping
+            fd, tmp = tempfile.mkstemp(dir=cache_root(), prefix=".map_")
+            with os.fdopen(fd, "w") as f:
                 f.write(data)
+            os.replace(tmp, local)  # atomic: partial writes never register
         except Exception as exc:  # noqa: BLE001 — stale-cache fallback
             if os.path.exists(local):
                 logger.info("using cached %s (remote fetch failed: %s)",
@@ -68,13 +71,36 @@ def load_mapping(mapping_name):
         return json.load(f)
 
 
+def _copy_tree_via_io(remote_dir, dst):
+    """Recursive copy through the io seam (handles nested artifact dirs —
+    tokenizer/, shard subdirs)."""
+    os.makedirs(dst, exist_ok=True)
+    for fname in io.listdir(remote_dir):
+        src = _join(remote_dir, fname)
+        if io.isdir(src):
+            _copy_tree_via_io(src, os.path.join(dst, fname))
+        else:
+            io.copy(src, os.path.join(dst, fname))
+
+
+def _rename_into_place(tmp, local_dir):
+    """Atomic publish tolerant of a concurrent fetch of the same artifact:
+    if another process won the rename, use its copy."""
+    try:
+        os.rename(tmp, local_dir)
+    except OSError:
+        if os.path.isdir(local_dir):
+            shutil.rmtree(tmp, ignore_errors=True)
+            return
+        raise
+
+
 def _fetch_tree(remote_dir, local_dir):
     os.makedirs(os.path.dirname(local_dir) or "/", exist_ok=True)
     tmp = tempfile.mkdtemp(dir=os.path.dirname(local_dir), prefix=".fetch_")
     try:
-        for fname in io.listdir(remote_dir):
-            io.copy(_join(remote_dir, fname), os.path.join(tmp, fname))
-        os.rename(tmp, local_dir)
+        _copy_tree_via_io(remote_dir, tmp)
+        _rename_into_place(tmp, local_dir)
     except BaseException:
         shutil.rmtree(tmp, ignore_errors=True)
         raise
@@ -109,9 +135,10 @@ def fetch_artifact(rel_path, subdir):
             entries = os.listdir(tmp_dir)
             if len(entries) == 1 and os.path.isdir(
                     os.path.join(tmp_dir, entries[0])):
-                os.rename(os.path.join(tmp_dir, entries[0]), local_dir)
+                _rename_into_place(os.path.join(tmp_dir, entries[0]),
+                                   local_dir)
             else:
-                os.rename(tmp_dir, local_dir)
+                _rename_into_place(tmp_dir, local_dir)
         finally:
             if os.path.exists(tmp_tar):
                 os.remove(tmp_tar)

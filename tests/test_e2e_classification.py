@@ -97,6 +97,13 @@ def test_1_pipeline_from_checkpoint(fixtures):
     assert len(batch) == 2
     assert all(r["predictions"] in ("pos", "neg") for r in batch)
 
+    # pair inputs without an explicit second_sequence must be CONSUMED (the
+    # fallback key is wired into the predictor), not silently dropped: the
+    # second text must change the model's input and thus the logits
+    base = clf([("a good happy day", "")])[0]
+    pair = clf([("a good happy day", "an awful sad story")])[0]
+    assert base["logits"] != pair["logits"]  # space-joined float strings
+
 
 def test_2_general_dataset_hf_adapter():
     """GeneralDataset over an in-memory HF datasets arrow table
