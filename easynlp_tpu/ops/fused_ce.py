@@ -27,15 +27,16 @@ import jax.numpy as jnp
 # -----------------------------------------------------------------------------
 
 def _chunk_stats(hidden, emb_chunk, labels, chunk_start):
-    """logits for one vocab chunk + running-softmax stats."""
+    """logits for one vocab chunk + the gold-label logit contribution.
+    The row max is computed by the caller AFTER masking padded vocab
+    columns, so it is not returned here."""
     logits = jnp.dot(hidden, emb_chunk.T,
                      preferred_element_type=jnp.float32)  # [N, C]
-    m = jnp.max(logits, axis=-1)
     in_chunk = (labels >= chunk_start) & (labels < chunk_start + emb_chunk.shape[0])
     local = jnp.clip(labels - chunk_start, 0, emb_chunk.shape[0] - 1)
     gold = jnp.take_along_axis(logits, local[:, None], axis=-1)[:, 0]
     gold = jnp.where(in_chunk, gold, 0.0)
-    return logits, m, gold, in_chunk
+    return logits, gold, in_chunk
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
@@ -61,7 +62,7 @@ def _ce_fwd_stats(hidden, embedding, labels, chunk_size, ignore_index):
         m_run, s_run, gold_run = carry
         start = chunk_idx * chunk_size
         emb_chunk = jax.lax.dynamic_slice(emb, (start, 0), (chunk_size, e))
-        logits, m, gold, in_chunk = _chunk_stats(
+        logits, gold, in_chunk = _chunk_stats(
             hidden32, emb_chunk.astype(jnp.float32), safe_labels, start)
         # mask padded vocab rows
         col = start + jnp.arange(chunk_size)

@@ -65,6 +65,15 @@ class SwitchMoE(nn.Module):
             gates = gates + onehot * probs
             dispatch = dispatch + onehot
             remaining = remaining * (1.0 - onehot)
+        if self.top_k > 1:
+            # renormalize the combine gates over the SELECTED experts
+            # (GShard/T5X top-k convention) so the FFN branch keeps unit
+            # scale vs the dense MLP / top-1 config it drops in for
+            denom = jnp.sum(gates, axis=-1, keepdims=True)
+            gates = gates / jnp.maximum(denom, 1e-9)
+        # raw routing assignment BEFORE capacity dropping — the aux loss
+        # must see the true load so overloaded experts keep a gradient
+        assigned = dispatch
         # position of each token within its expert's capacity bucket
         position = jnp.cumsum(dispatch, axis=0) * dispatch - 1.0  # [N, E]
         keep = (position >= 0) & (position < capacity)
@@ -97,7 +106,11 @@ class SwitchMoE(nn.Module):
         out = jnp.einsum("nec,ecd->nd", combine_nec.astype(self.dtype), xout)
 
         # ---- Switch load-balancing loss: E * sum_e f_e * p_e ---------------
-        f_e = jnp.mean(dispatch, axis=0)                          # fraction
+        # f_e from the PRE-capacity assignment (Switch paper eq. 4): the
+        # post-drop mask clips an overloaded expert's fraction to ~1/E,
+        # which would saturate the balancing gradient exactly when it is
+        # needed; /top_k keeps sum(f_e) == 1 for top-k routing
+        f_e = jnp.mean(assigned, axis=0) / self.top_k             # fraction
         p_e = jnp.mean(probs, axis=0)                             # router mass
         aux = jnp.float32(e) * jnp.sum(f_e * p_e)
 

@@ -17,7 +17,6 @@ produces the backward pass through the ring for free; use inside shard_map:
         out_specs=P(None, "sequence", None, None))
 """
 
-import functools
 import math
 
 import jax
@@ -57,7 +56,11 @@ def ring_attention(q, k, v, kv_mask=None, axis_name="sequence", causal=False,
 
         m_cur = jnp.max(s, axis=-1)                      # [B,H,Sq]
         m_new = jnp.maximum(m_run, m_cur)
-        p = jnp.exp(s - m_new[..., None])
+        # a query row that has seen NO visible key keeps m_new == NEG_INF;
+        # exp(s - m_new) would then be 1 everywhere and the row would output
+        # mean(V) over masked keys — force p to 0 so the row yields zeros
+        p = jnp.where(m_new[..., None] <= NEG_INF / 2, 0.0,
+                      jnp.exp(s - m_new[..., None]))
         alpha = jnp.exp(m_run - m_new)
         l_new = l_run * alpha + jnp.sum(p, axis=-1)
         acc = acc * alpha[..., None] + jnp.einsum(
@@ -79,18 +82,16 @@ def ring_attention(q, k, v, kv_mask=None, axis_name="sequence", causal=False,
 
 
 def make_ring_attention(mesh, axis_name="sequence", causal=False):
-    """Convenience: a shard_map-wrapped callable over GLOBAL [B,S,H,D]
-    arrays sharded on the sequence axis."""
-    from easynlp_tpu.parallel.compat import \
-        shard_map_compat as shard_map
-    from jax.sharding import PartitionSpec as P
+    """Convenience: a callable over GLOBAL [B,S,H,D] arrays sharded on the
+    sequence axis. Delegates to ops.attention.sequence_parallel_attention —
+    the production wrapper — so the batch ALSO shards over the mesh's
+    data/fsdp axes (a local spec of P(None, seq) would all-gather the batch
+    onto every data row and redundantly compute it there)."""
+    from easynlp_tpu.ops.attention import sequence_parallel_attention
 
-    fn = functools.partial(ring_attention, axis_name=axis_name, causal=causal)
-    return shard_map(
-        fn, mesh=mesh,
-        in_specs=(P(None, axis_name, None, None),
-                  P(None, axis_name, None, None),
-                  P(None, axis_name, None, None),
-                  P(None, axis_name)),
-        out_specs=P(None, axis_name, None, None),
-        check=False)
+    def fn(q, k, v, kv_mask=None):
+        return sequence_parallel_attention(q, k, v, kv_mask=kv_mask,
+                                           causal=causal, mesh=mesh,
+                                           axis_name=axis_name)
+
+    return fn

@@ -39,13 +39,21 @@ def gpipe(stage_fn, stacked_params, x, mesh, num_microbatches,
     """
     s_count = mesh.shape[stage_axis]
     m_count = int(num_microbatches)
-    assert x.shape[0] % m_count == 0, "batch must divide into microbatches"
 
     from easynlp_tpu.parallel.compat import \
         shard_map_compat as shard_map
 
     batch = tuple(a for a in batch_axes
                   if a in mesh.axis_names and mesh.shape[a] > 1) or None
+    # divisibility must hold for the PER-DATA-SHARD batch (the reshape
+    # happens inside shard_map on the local rows), not the global one
+    dp = 1
+    for a in (batch or ()):
+        dp *= mesh.shape[a]
+    if x.shape[0] % dp or (x.shape[0] // dp) % m_count:
+        raise ValueError(
+            "batch %d must divide by data shards %d and then by "
+            "num_microbatches %d" % (x.shape[0], dp, m_count))
 
     def inner(params_local, x_local):
         # params_local leaves keep their leading dim = layers-per-stage
@@ -59,7 +67,11 @@ def gpipe(stage_fn, stacked_params, x, mesh, num_microbatches,
         outputs = jnp.zeros_like(xs)
         fwd = [(i, (i + 1) % s_count) for i in range(s_count)]
 
-        for t in range(m_count + s_count - 1):
+        def tick(carry, t):
+            # one traced copy of stage_fn for the whole schedule: program
+            # size / compile time stay O(1) in the microbatch count instead
+            # of O(M + S) from an unrolled Python loop (x2 for backward)
+            state, outputs = carry
             m_in = t - stage_id            # microbatch this stage works on
             active = (m_in >= 0) & (m_in < m_count)
             # stage 0 injects a fresh microbatch; others take the rotated
@@ -76,6 +88,10 @@ def gpipe(stage_fn, stacked_params, x, mesh, num_microbatches,
                 slot.reshape((m_count,) + (1,) * y.ndim) * y[None])
             # rotate activations one stage forward
             state = jax.lax.ppermute(y, stage_axis, fwd)
+            return (state, outputs), None
+
+        (state, outputs), _ = jax.lax.scan(
+            tick, (state, outputs), jnp.arange(m_count + s_count - 1))
 
         # only the last stage holds real outputs; broadcast over the axis
         outputs = jax.lax.psum(outputs, stage_axis)

@@ -146,3 +146,43 @@ def test_gpt2_moe_expert_parallel_parity(restore_mesh):
                                np.asarray(ref["logits"]), atol=2e-5)
     np.testing.assert_allclose(float(out["moe_aux_loss"]),
                                float(ref["moe_aux_loss"]), atol=1e-6)
+
+
+def test_moe_top2_gates_renormalized_and_aux_pre_drop():
+    """top_k=2: combine gates renormalize over the selected experts
+    (GShard/T5X convention — unit-scale FFN branch), and the aux loss sees
+    the PRE-capacity routing fractions so overloaded experts keep a
+    balancing gradient."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    m, params, x = _init_moe(e=4, d=8, f=16, top_k=2, capacity_factor=10.0)
+    out, aux = m.apply({"params": params}, x)
+    # manual: renormalized top-2 combine over the same experts
+    xf = np.asarray(x, np.float32).reshape(-1, 8)
+    probs = np.asarray(jax.nn.softmax(
+        jnp.asarray(xf) @ params["router"], axis=-1))
+    top2 = np.argsort(-probs, axis=-1)[:, :2]
+    w = {k: np.asarray(v, np.float32) for k, v in params.items()}
+    ref = np.zeros_like(xf)
+    for i in range(xf.shape[0]):
+        g = probs[i, top2[i]]
+        g = g / g.sum()
+        acc = 0.0
+        for gk, e_idx in zip(g, top2[i]):
+            h = np.asarray(jax.nn.gelu(
+                jnp.asarray(xf[i] @ w["wi"][e_idx] + w["bi"][e_idx])))
+            acc = acc + gk * (h @ w["wo"][e_idx] + w["bo"][e_idx])
+        ref[i] = acc
+    np.testing.assert_allclose(np.asarray(out).reshape(-1, 8), ref,
+                               atol=2e-4)
+    # aux uses pre-drop fractions normalized by top_k: sum(f_e) == 1
+    # => balanced lower bound ~1 still holds
+    assert float(aux) >= 0.99
+
+    # with a tiny capacity the aux must NOT shrink (pre-drop fractions):
+    m2 = SwitchMoE(d_model=8, d_ff=16, num_experts=4, top_k=2,
+                   capacity_factor=0.01, router_jitter=0.0)
+    out2, aux2 = m2.apply({"params": params}, x)
+    np.testing.assert_allclose(float(aux2), float(aux), atol=1e-6)
