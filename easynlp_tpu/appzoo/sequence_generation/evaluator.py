@@ -60,13 +60,27 @@ class SequenceGenerationEvaluator(Evaluator):
         import jax.numpy as jnp
         bleu_sum = rouge_sum = n = 0
         specials = set(self.tokenizer.all_special_ids)
+        from easynlp_tpu.appzoo.sequence_generation.predictor import \
+            glm_special_ids
+        kw = glm_special_ids(self.tokenizer)
         for batch in self.valid_loader:
             valid = batch.pop("_valid").astype(bool)
+            src_mask = batch["attention_mask"]
+            if "prefix_lengths" in batch:
+                # GLM rows carry the teacher-forced TARGET after the prefix
+                # (input_ids = [src, gMASK, sop, tgt, eop, pads]) — generate
+                # from the source only (also drop the trailing gMASK, which
+                # GLM.generate() re-appends), or BLEU/ROUGE would score with
+                # the reference answer leaked into the prompt
+                t = batch["input_ids"].shape[1]
+                src_mask = (np.arange(t)[None, :]
+                            < batch["prefix_lengths"][:, None] - 1
+                            ).astype(np.int32)
             seqs = np.asarray(app.generate(
                 jnp.asarray(batch["input_ids"]),
-                jnp.asarray(batch["attention_mask"]),
+                jnp.asarray(src_mask),
                 max_length=self.max_decode_length,
-                num_beams=self.num_beams))[valid]
+                num_beams=self.num_beams, **kw))[valid]
             labels = batch["labels"][valid]
             for hyp, ref in zip(seqs, labels):
                 h = [int(t) for t in hyp if int(t) not in specials]

@@ -228,8 +228,17 @@ class GLMSequenceGeneration(Application):
                  sop_id=2, eop_id=3, pad_id=0, num_beams=1, do_sample=False,
                  **kwargs):
         """Blank-infilling generation: left-pad [src, gMASK, sop] prompts
-        and decode Part B with the static cache."""
+        and decode Part B with the static cache.
+
+        gmask_id/sop_id/eop_id/pad_id MUST be the tokenizer's real ids for a
+        real checkpoint (GLMTokenizer derives them from the vocab — they are
+        never the 1/2/3/0 literals); the predictor and evaluator forward
+        them from the tokenizer automatically."""
         from easynlp_tpu.modelzoo.generation_utils import generate, left_pad
+        if kwargs.pop("kv_cache", None):
+            from easynlp_tpu.utils.logger import logger
+            logger.warning("kv_cache_dtype is not supported for the GLM "
+                           "cache yet — serving with full-precision KV")
         src_np = np.asarray(src_ids)
         mask_np = np.asarray(src_mask)
         prompts = []
@@ -238,6 +247,10 @@ class GLMSequenceGeneration(Application):
             prompts.append(toks + [gmask_id, sop_id])
         ids, mask = left_pad(prompts, pad_id)
         total = ids.shape[1] + max_length
+        if kwargs.get("min_length"):
+            # min_length arrives decoder-relative (min_decoder_length);
+            # the engine compares against the absolute buffer position
+            kwargs["min_length"] = ids.shape[1] + int(kwargs["min_length"])
         slack = (kwargs.get("num_draft_tokens", 8) + 1
                  if kwargs.get("speculative") else 0)
         prefill, decode = make_glm_generation_fns(self.module, total,
@@ -246,4 +259,6 @@ class GLMSequenceGeneration(Application):
                         jnp.asarray(mask), max_length=total,
                         num_beams=num_beams, do_sample=do_sample,
                         eos_token_id=eop_id, pad_token_id=pad_id, **kwargs)
-        return jnp.asarray(seqs)[:, ids.shape[1]:]
+        # strip the prompt from the TIME axis ([..., T] also covers the
+        # [B, N, T] beam-list layout of num_return_sequences > 1)
+        return jnp.asarray(seqs)[..., ids.shape[1]:]

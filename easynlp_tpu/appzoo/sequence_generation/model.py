@@ -119,6 +119,21 @@ class SequenceGeneration(Application):
         predictor pads batches to a fixed size so serving hits one cache
         entry. Eager generation pays per-op dispatch overhead (~2ms/op
         through the axon tunnel) on every prefill."""
+        if not getattr(self.config, "is_encoder_decoder", False):
+            # decoder-only: app-level max_length means NEW tokens (reference
+            # max_decoder_length) and prompts may arrive RIGHT-padded from
+            # the tokenizer — the decode engine's contract is left-padded
+            # prompts and a total buffer length, so normalize here, before
+            # the jit cache (same width => shape-stable cache keys)
+            from easynlp_tpu.modelzoo.generation_utils import left_pad
+            src_np = np.asarray(src_ids)
+            mask_np = np.asarray(src_mask)
+            prompts = [[int(t) for t, keep in zip(row, m) if keep]
+                       for row, m in zip(src_np, mask_np)]
+            pad_id = self.config.pad_token_id or 0
+            ids_np, lmask = left_pad(prompts, pad_id, length=src_np.shape[1])
+            src_ids, src_mask = jnp.asarray(ids_np), jnp.asarray(lmask)
+            max_length = src_np.shape[1] + max_length
         if copy_constrained:
             v = self.config.vocab_size
             allowed = np.zeros((src_ids.shape[0], v), bool)

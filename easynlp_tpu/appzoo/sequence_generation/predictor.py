@@ -14,6 +14,19 @@ import numpy as np
 from easynlp_tpu.core.predictor import Predictor
 
 
+def glm_special_ids(tokenizer):
+    """GLM control-token ids from the tokenizer (GLMTokenizer derives
+    [gMASK]/<sop>/<eop>/pad from the vocab — they are NEVER the 1/2/3/0
+    literal defaults); {} for non-GLM tokenizers so shared callers can
+    always merge the result into generate() kwargs."""
+    if getattr(tokenizer, "gmask_token_id", None) is None:
+        return {}
+    return {"gmask_id": int(tokenizer.gmask_token_id),
+            "sop_id": int(tokenizer.sop_token_id),
+            "eop_id": int(tokenizer.eop_token_id),
+            "pad_id": int(getattr(tokenizer, "pad_token_id", 0) or 0)}
+
+
 class SequenceGenerationPredictor(Predictor):
     def __init__(self, model_dir, app, first_sequence=None,
                  sequence_length=128, batch_size=8, max_decode_length=None,
@@ -32,7 +45,10 @@ class SequenceGenerationPredictor(Predictor):
                              else udp.get("num_beams", 1))
         self.no_repeat_ngram_size = int(udp.get("no_repeat_ngram_size", 0))
         self.num_beam_groups = int(udp.get("num_beam_groups", 1)) or 1
-        self.diversity_penalty = float(udp.get("diversity_penalty", 0.0))
+        # None = unset (default 1.0 under grouped beams); an explicit 0.0
+        # must stay 0.0 — `or` would clobber it
+        _dp = udp.get("diversity_penalty")
+        self.diversity_penalty = None if _dp is None else float(_dp)
         self.num_return_sequences = min(
             int(udp.get("num_return_sequences", 1)), max(self.num_beams, 1))
         self.speculative = udp.get("speculative_decoding") or None
@@ -51,7 +67,8 @@ class SequenceGenerationPredictor(Predictor):
             kw["no_repeat_ngram_size"] = self.no_repeat_ngram_size
         if self.num_beam_groups > 1:
             kw["num_beam_groups"] = self.num_beam_groups
-            kw["diversity_penalty"] = self.diversity_penalty or 1.0
+            kw["diversity_penalty"] = (1.0 if self.diversity_penalty is None
+                                       else self.diversity_penalty)
         if self.num_return_sequences > 1 and self.num_beams > 1:
             kw["num_return_sequences"] = self.num_return_sequences
         if self.speculative:
@@ -60,6 +77,7 @@ class SequenceGenerationPredictor(Predictor):
             kw["ngram_size"] = self.lookup_ngram_size
         if self.kv_cache:
             kw["kv_cache"] = self.kv_cache
+        kw.update(glm_special_ids(self.tokenizer))
         return kw
 
     def preprocess(self, in_data):
@@ -72,6 +90,10 @@ class SequenceGenerationPredictor(Predictor):
     def predict(self, in_data):
         import jax.numpy as jnp
         n = len(in_data["input_ids"])
+        if n == 0:
+            result = dict(in_data)
+            result["generated_ids"] = np.zeros((0, 1), np.int32)
+            return result
         bs = self.batch_size
         kw = self._generate_kwargs()
         outs = []

@@ -81,7 +81,6 @@ def apply_repetition_penalty(logits, sequences, valid_mask, penalty):
     if not penalty or penalty == 1.0:
         return logits
     v = logits.shape[-1]
-    seen = jnp.zeros(logits.shape, bool)
     one_hot = jax.nn.one_hot(sequences, v, dtype=jnp.bool_)
     seen = jnp.any(one_hot & valid_mask[..., None].astype(bool), axis=-2)
     penalised = jnp.where(logits > 0, logits / penalty, logits * penalty)
@@ -107,9 +106,6 @@ def apply_no_repeat_ngram(logits, sequences, cur_len, ngram_size):
     if t < n:
         return logits
 
-    # prefix to match: last n-1 generated tokens
-    last = jax.lax.dynamic_slice(
-        sequences, (0, 0), (b, t))  # full buffer; windows below
     idx = jnp.arange(t - n + 1)
     # windows[b, i, :] = sequences[b, i:i+n]
     windows = jax.vmap(

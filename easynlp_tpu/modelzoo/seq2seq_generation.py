@@ -27,6 +27,7 @@ def make_encoder_decoder_fns(module, max_length, src_ids, src_mask,
             enc_mask = jnp.repeat(src_mask, k, axis=0)
         self_cache = module.apply({"params": params}, bk,
                                   max_length + cache_slack,
+                                  dtype=cache_dtype,
                                   method=module.init_cache)
         if hasattr(module, "precompute_cross_kv"):
             cross_k, cross_v = module.apply({"params": params}, enc,

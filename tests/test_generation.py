@@ -255,3 +255,37 @@ def test_app_generate_jit_cache():
     specials = {96, 0}
     for row, source in zip(out, src):
         assert set(row[4:].tolist()).issubset(set(source.tolist()) | specials)
+
+
+def test_app_generate_decoder_only_right_padded_prompts():
+    """The predictor tokenizes RIGHT-padded; decoder-only app.generate must
+    normalize to the engine's left-padded contract and treat max_length as
+    NEW tokens (reference max_decoder_length) — right- and left-padded
+    encodings of the same prompts must generate identical tokens."""
+    from easynlp_tpu.appzoo.sequence_generation.model import (
+        SequenceGeneration)
+    from easynlp_tpu.testing import make_args
+
+    make_args()
+    cfg = GPT2Config(**dict(TINY, eos_token_id=96, bos_token_id=96,
+                            pad_token_id=0))
+    cfg.is_encoder_decoder = False
+    module = SequenceGeneration.build_module(cfg, dtype=jnp.float32)
+    params = SequenceGeneration.init_params(module, cfg)
+    app = SequenceGeneration(module, params, cfg)
+
+    right = np.array([[11, 12, 13, 0, 0, 0],
+                      [21, 22, 23, 24, 25, 0]], np.int32)
+    rmask = (right != 0).astype(np.int32)
+    left = np.array([[0, 0, 0, 11, 12, 13],
+                     [0, 21, 22, 23, 24, 25]], np.int32)
+    lmask = (left != 0).astype(np.int32)
+    out_r = np.asarray(app.generate(jnp.asarray(right), jnp.asarray(rmask),
+                                    max_length=6, jit_compile=False))
+    out_l = np.asarray(app.generate(jnp.asarray(left), jnp.asarray(lmask),
+                                    max_length=6, jit_compile=False))
+    np.testing.assert_array_equal(out_r, out_l)
+    # total buffer = prompt width + max_length new tokens
+    assert out_r.shape == (2, 6 + 6)
+    # generated region is non-pad until EOS for the unfinished rows
+    assert out_r[:, 6:].any()
