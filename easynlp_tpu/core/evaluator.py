@@ -16,19 +16,24 @@ class Evaluator:
         self.valid_loader = DataLoader(valid_dataset, batch_size=bs,
                                        shuffle=False)
         self.best_valid_score = float("-inf")
-        self._jit_forward = None
+        self._jit_forward = {}
 
     def forward(self, app, batch):
-        """Jit-compiled inference forward, cached across calls."""
-        if self._jit_forward is None:
+        """Jit-compiled inference forward, cached PER APP module — one
+        Evaluator may score several apps (teacher then student in a
+        distillation run); a single cached closure would silently run the
+        first app's module on the second app's params."""
+        key = (id(app.module), tuple(app.model_input_keys))
+        fn = self._jit_forward.get(key)
+        if fn is None:
             module, keys = app.module, app.model_input_keys
 
             def fwd(params, batch):
                 inputs = {k: batch[k] for k in keys if k in batch}
                 return module.apply({"params": params}, **inputs,
                                     deterministic=True)
-            self._jit_forward = jax.jit(fwd)
-        return self._jit_forward(app.params, batch)
+            fn = self._jit_forward[key] = jax.jit(fwd)
+        return fn(app.params, batch)
 
     def evaluate(self, app):
         raise NotImplementedError

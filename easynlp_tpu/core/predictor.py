@@ -73,8 +73,15 @@ class PyModelPredictor(Predictor):
             res = jax.device_get(self._fwd(self.app.params, chunk))
             outs.append({k: np.asarray(res[k])[:real]
                          for k in self.output_keys if k in res})
-        merged = {k: np.concatenate([o[k] for o in outs]) for k in outs[0]}
-        merged.update(in_data)
+        if not outs:  # empty input: empty output columns, no crash
+            merged = {k: np.zeros((0,)) for k in self.output_keys}
+        else:
+            merged = {k: np.concatenate([o[k] for o in outs])
+                      for k in outs[0]}
+        # pass inputs through WITHOUT clobbering model outputs (an input
+        # column named like an output key must not overwrite the prediction)
+        for k, v in in_data.items():
+            merged.setdefault(k, v)
         return merged
 
 
@@ -97,15 +104,29 @@ class PredictorManager:
         self.args = args or get_args()
         self.batch_size = batch_size or self.args.predict_slice_size
 
+    def _chunks(self, f):
+        """STREAM the file in batch_size slices — a multi-GB prediction TSV
+        (base64-image rows) must never be materialised whole in host RAM."""
+        first = self.skip_first_line
+        chunk = []
+        for line in f:
+            if first:
+                first = False
+                continue
+            if not line.strip():
+                continue
+            chunk.append(line)
+            if len(chunk) == self.batch_size:
+                yield chunk
+                chunk = []
+        if chunk:
+            yield chunk
+
     def run(self):
-        with io.open(self.input_file) as f:
-            lines = [l for l in f if l.strip()]
-        if self.skip_first_line:
-            lines = lines[1:]
         n_out = 0
-        with io.open(self.output_file, "w") as out:
-            for start in range(0, len(lines), self.batch_size):
-                chunk = lines[start:start + self.batch_size]
+        with io.open(self.input_file) as f, \
+                io.open(self.output_file, "w") as out:
+            for chunk in self._chunks(f):
                 rows = [parse_row_by_schema(l, self.input_schema) for l in chunk]
                 in_data = {k: [r[k] for r in rows] for k in rows[0]}
                 result = self.predictor.run(in_data)

@@ -222,11 +222,15 @@ class Trainer:
                     params, batch, rng)
             else:
                 def micro_step(carry, mb_and_rng):
-                    grads_acc, _ = carry
+                    grads_acc, ld_acc = carry
                     mb, r = mb_and_rng
                     g, ld = jax.grad(forward_loss, has_aux=True)(params, mb, r)
                     grads_acc = jax.tree.map(jnp.add, grads_acc, g)
-                    return (grads_acc, ld), None
+                    # SUM the loss metrics (mean taken after the scan): the
+                    # logged loss must cover the whole global batch, and the
+                    # NaN guard must see every micro-batch, not just the last
+                    ld_acc = jax.tree.map(jnp.add, ld_acc, ld)
+                    return (grads_acc, ld_acc), None
 
                 split = {k: v.reshape((accum, micro) + v.shape[1:])
                          for k, v in batch.items()}
@@ -238,6 +242,7 @@ class Trainer:
                 (grads, loss_dict), _ = jax.lax.scan(
                     micro_step, (zero, dummy_ld), (split, rngs))
                 grads = jax.tree.map(lambda g: g / accum, grads)
+                loss_dict = jax.tree.map(lambda v: v / accum, loss_dict)
             # NaN/Inf guard (reference DynamicLossScaler._has_inf_or_nan →
             # skip-step, train_utils.py:347,381-385): a non-finite loss or
             # grad leaves params/opt state untouched for this step. lax.cond
@@ -294,11 +299,12 @@ class Trainer:
                 # Mid-epoch resume: shuffling is deterministic in (seed, epoch)
                 # so skipping the already-trained head replays the exact data
                 # order (reference trainer.py:611-614 replays the step counter).
-                import itertools
+                # iter_from skips by INDEX — O(1), no featurisation of the
+                # skipped batches (islice would tokenize/decode all of them).
                 logger.info("resume: skipping %d already-trained batches of "
                             "epoch %d", self._resume_skip_batches, epoch)
-                batch_iter = itertools.islice(
-                    batch_iter, self._resume_skip_batches, None)
+                batch_iter = self.train_loader.iter_from(
+                    self._resume_skip_batches)
             batches = device_prefetch(batch_iter,
                                       sharding=self.batch_shard,
                                       depth=max(1, args.num_host_prefetch),
@@ -366,8 +372,14 @@ class Trainer:
             results = self.evaluator.evaluate(eval_app)
             self.stats.log_eval(self.global_step, results)
             score = results[0][1]
-        if not args.checkpoint_dir or not args.is_master_node:
+        if not args.checkpoint_dir:
             return
+        if jax.process_count() > 1 and score is not None:
+            # per-host eval slices can disagree; every host must take the
+            # SAME save decision or the collective gathers below deadlock
+            from jax.experimental import multihost_utils
+            score = float(multihost_utils.broadcast_one_to_all(
+                jnp.asarray(score, jnp.float32)))
         if score is None or score >= self.best_score:
             if score is not None:
                 self.best_score = score
@@ -388,15 +400,34 @@ class Trainer:
         out = args.checkpoint_dir
         if subdir:
             out = os.path.join(out, subdir)
+        # Materialise state on the host FIRST: when the mesh spans processes
+        # the shards are not all addressable locally and a bare device_get
+        # raises, so the gather is COLLECTIVE — every host runs it, only the
+        # master writes below.
+        export = getattr(self.app, "export_params", None)
+        params_host = self._host_tree(
+            export(self.params) if export else self.params)
+        extra = getattr(self.app, "extra_save_artifacts", None)
+        extra_host = {fname: self._host_tree(tree)
+                      for fname, tree in (extra(self.params) if extra
+                                          else {}).items()}
+        opt_host = self._host_tree(self.opt_state)
+        ema_host = ema_updates = None
+        if self.ema_state is not None:
+            from easynlp_tpu.modelzoo.models.latent_diffusion.ema import (
+                ema_params)
+            ema_host = self._host_tree(
+                ema_params(self.ema_state, like=self.params))
+            ema_updates = int(
+                jax.device_get(self.ema_state["num_updates"]))
+        if not args.is_master_node:
+            return
         io.makedirs(out)
         # apps may reshape the main artifact (e.g. LoRA merges adapters so
         # the checkpoint stays predictor/pipeline-compatible) and add extras
-        export = getattr(self.app, "export_params", None)
-        save_params(export(self.params) if export else self.params, out)
-        extra = getattr(self.app, "extra_save_artifacts", None)
-        if extra:
-            for fname, tree in extra(self.params).items():
-                save_params(tree, out, name=fname)
+        save_params(params_host, out)
+        for fname, tree in extra_host.items():
+            save_params(tree, out, name=fname)
         self.app.config.save_pretrained(out)
         if self.tokenizer is not None:
             self.tokenizer.save_pretrained(out)
@@ -412,20 +443,24 @@ class Trainer:
             meta = {"global_step": self.global_step,
                     "epoch": self.global_step // self.steps_per_epoch,
                     "best_score": self.best_score}
-            if self.ema_state is not None:
-                meta["ema_num_updates"] = int(
-                    jax.device_get(self.ema_state["num_updates"]))
+            if ema_updates is not None:
+                meta["ema_num_updates"] = ema_updates
             json.dump(meta, f)
-        opt_host = jax.device_get(self.opt_state)
         from flax import serialization
         with io.open(os.path.join(out, OPT_STATE_NAME), "wb") as f:
             f.write(serialization.to_bytes(opt_host))
-        if self.ema_state is not None:
-            from easynlp_tpu.modelzoo.models.latent_diffusion.ema import (
-                ema_params)
-            save_params(ema_params(self.ema_state, like=self.params), out,
-                        name="flax_params_ema.msgpack")
+        if ema_host is not None:
+            save_params(ema_host, out, name="flax_params_ema.msgpack")
         logger.info("checkpoint saved to %s", out)
+
+    @staticmethod
+    def _host_tree(tree):
+        """Host-side copy of a (possibly cross-host-sharded) array tree.
+        COLLECTIVE when process_count > 1 — all hosts must call together."""
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+            tree = multihost_utils.process_allgather(tree, tiled=True)
+        return jax.device_get(tree)
 
     def resume_from_ckpt(self, ckpt_dir):
         """Reference resume semantics (trainer.py:128-162): restore weights,

@@ -139,10 +139,11 @@ class GeneralDataset(BaseDataset):
             if hasattr(feat, "names"):
                 self._label_enumerate_values = list(feat.names)
         if self._label_enumerate_values is None and self.label_name:
-            seen = sorted({str(r[self.label_name])
-                           for r in (hf_dataset[i]
-                                     for i in range(len(hf_dataset)))
-                           if not isinstance(r[self.label_name], list)})
+            # one vectorised column read — per-row hf_dataset[i] decodes the
+            # whole arrow row each time (minutes on 1M-row datasets)
+            col = hf_dataset[self.label_name]
+            seen = sorted({str(v) for v in col
+                           if not isinstance(v, list)})
             self._label_enumerate_values = seen or None
 
     @property
@@ -157,9 +158,24 @@ class GeneralDataset(BaseDataset):
         if self.tokenizer is None:
             return row
         import numpy as np
+        label = row.get(self.label_name) if self.label_name else None
+        if isinstance(label, list):
+            # per-token labels need subword alignment — that featurisation
+            # lives in the sequence_labeling app's dataset; a stringified
+            # list here would silently train on garbage
+            raise ValueError(
+                "GeneralDataset with a tokenizer cannot featurise "
+                "sequence-labeling rows (list-valued %r); use "
+                "appzoo.sequence_labeling's dataset, which aligns labels "
+                "to first subwords" % self.label_name)
+        text_a = row[self.first_sequence]
+        if isinstance(text_a, list):  # pre-split tokens column
+            text_a = " ".join(str(t) for t in text_a)
         text_b = row.get(self.second_sequence) if self.second_sequence \
             else None
-        enc = self.tokenizer(str(row[self.first_sequence]),
+        if isinstance(text_b, list):
+            text_b = " ".join(str(t) for t in text_b)
+        enc = self.tokenizer(str(text_a),
                              text_pair=text_b,
                              max_length=self.max_seq_length)
         ex = {k: np.asarray(v, np.int32).reshape(-1)
@@ -233,6 +249,14 @@ class DataLoader:
         return -(-n // self.batch_size)
 
     def __iter__(self):
+        return self.iter_from(0)
+
+    def iter_from(self, start_batch):
+        """Iterate from batch index `start_batch` WITHOUT featurising the
+        skipped batches — mid-epoch resume must be O(1) in the skip length,
+        not hours of tokenization/image-decode for data never trained on.
+        The shuffle order is a deterministic function of (seed, epoch), so
+        skipping indices reproduces exactly what islice would yield."""
         n = len(self.dataset)
         order = np.arange(n)
         if self.shuffle:
@@ -240,7 +264,7 @@ class DataLoader:
             rng.shuffle(order)
         bs = self.batch_size
         n_batches = len(self)
-        for b in range(n_batches):
+        for b in range(int(start_batch), n_batches):
             idx = order[b * bs:(b + 1) * bs]
             valid = np.ones(len(idx), np.int32)
             if len(idx) < bs:  # pad final batch
