@@ -353,8 +353,8 @@ PREDICTOR_REGISTRY = {
                          "SequenceGenerationPredictor"),
     },
     "latent_diffusion": {
-        "default": _lazy("easynlp_tpu.appzoo.latent_diffusion.model",
-                         "LatentDiffusion"),
+        "default": _lazy("easynlp_tpu.appzoo.latent_diffusion.predictor",
+                         "LDMPredictor"),
     },
     "wukong_clip": {
         "default": _lazy("easynlp_tpu.appzoo.wukong_clip.predictor",

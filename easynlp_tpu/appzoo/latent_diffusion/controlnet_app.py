@@ -52,6 +52,7 @@ class ControlNetApplication:
             "base": jax.tree.map(lambda _: False, inner.params),
             "control": jax.tree.map(lambda _: True, control),
         }
+        self.eval_target = self  # trainer evaluates the COMPOSITE app
         n = sum(x.size for x in jax.tree.leaves(control))
         logger.info("ControlNet finetune: %d trainable params, hint=%s",
                     n, hint_type)
@@ -128,6 +129,35 @@ class ControlNetApplication:
     def sync_trained_params(self, params):
         self.params = params
         self.inner.params = params["base"]
+
+    # evaluated AS the composite app (trainer eval_target seam): scoring the
+    # frozen inner base alone would log a constant loss all through training
+    def per_sample_eval_loss(self, params, batch, rng):
+        """Deterministic per-sample eps-loss WITH the control residual —
+        the quantity actually being optimized (LDMEvaluator contract)."""
+        module, config, schedule = (self.inner.module, self.inner.config,
+                                    self.inner.schedule)
+        base, control = params["base"], params["control"]
+        r_t, r_noise = jax.random.split(rng)
+        context = module.apply({"params": base}, batch["input_ids"],
+                               batch.get("attention_mask"),
+                               method=module.encode_text)
+        latents = module.apply({"params": base}, batch["pixel_values"],
+                               method=module.encode_image)
+        b = latents.shape[0]
+        t = jax.random.randint(r_t, (b,), 0, config.num_train_timesteps)
+        noise = jax.random.normal(r_noise, latents.shape, jnp.float32)
+        noisy = schedule.q_sample(latents, t, noise)
+        hint = batch["hint_values"] if "hint_values" in batch \
+            else self._hint(batch["pixel_values"])
+        downs, mid = self.cnet.apply({"params": control}, noisy, hint, t,
+                                     context)
+        pred = module.apply({"params": base}, noisy, t, context,
+                            method=module.predict_noise,
+                            control=(downs, mid))
+        err = jnp.abs(pred - noise) if config.loss_type == "l1" \
+            else (pred - noise) ** 2
+        return jnp.mean(err.reshape(b, -1), axis=-1)
 
     @classmethod
     def load_control(cls, inner, ckpt_dir, hint_type="edge"):

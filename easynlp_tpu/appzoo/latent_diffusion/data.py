@@ -12,18 +12,8 @@ training image (edge map)."""
 import numpy as np
 
 from easynlp_tpu.appzoo.clip.data import CLIPDataset
-from easynlp_tpu.data.image_utils import decode_base64_image
-
-
-def _square(img, size):
-    from PIL import Image
-    w, h = img.size
-    scale = size / min(w, h)
-    img = img.resize((max(1, round(w * scale)), max(1, round(h * scale))),
-                     Image.BICUBIC)
-    w, h = img.size
-    left, top = (w - size) // 2, (h - size) // 2
-    return img.crop((left, top, left + size, top + size))
+from easynlp_tpu.data.image_utils import (decode_base64_image,
+                                          preprocess_image_pm1)
 
 
 class LDMDataset(CLIPDataset):
@@ -35,18 +25,19 @@ class LDMDataset(CLIPDataset):
         self._hint_col = hint_col or None
         if hint_col and self.schema is None:
             raise ValueError(
-                "controlnet_hint_column requires TSV input (webdataset "
-                "tars carry no extra columns)")
+                "controlnet_hint_column needs schema'd TSV rows: pass "
+                "--input_schema naming the hint column (webdataset tars "
+                "carry no extra columns, so they cannot provide one)")
 
     def __getitem__(self, idx):
         # base64 payloads are re-parsed from the lazy row view per item —
         # the multi-GB image columns never live in host RAM
-        img = _square(self._decode(idx), self.image_size)
-        arr = np.asarray(img, np.float32) / 127.5 - 1.0  # [-1, 1]
+        arr = preprocess_image_pm1(self._decode(idx), self.image_size)
         out = {k: v[idx] for k, v in self.text_features.items()}
-        out["pixel_values"] = arr
+        out["pixel_values"] = arr.astype(np.float32)
         if self._hint_col is not None:
             b64 = str(self.parse_row(self.rows[idx]).get(self._hint_col, ""))
-            hint = _square(decode_base64_image(b64), self.image_size)
-            out["hint_values"] = np.asarray(hint, np.float32) / 255.0
+            hint = preprocess_image_pm1(decode_base64_image(b64),
+                                        self.image_size)
+            out["hint_values"] = ((hint.astype(np.float32) + 1.0) / 2.0)
         return out

@@ -13,10 +13,20 @@ class LDMEvaluator(Evaluator):
     def __init__(self, valid_dataset, **kwargs):
         kwargs.pop("multi_label", None)
         super().__init__(valid_dataset, **kwargs)
-        self._jit_loss = None
+        self._jit_loss_cache = {}
 
     def evaluate(self, app):
         module, config, schedule = app.module, app.config, app.schedule
+        # per-app cache (one evaluator may score different apps); apps with
+        # composite trained state define their own per-sample loss (e.g.
+        # ControlNet — the plain path below would score the frozen base)
+        self._jit_loss = self._jit_loss_cache.get(id(app))
+        if self._jit_loss is None and \
+                "per_sample_eval_loss" in type(app).__dict__:
+            self._jit_loss = jax.jit(
+                lambda params, batch, rng: app.per_sample_eval_loss(
+                    params, batch, rng))
+            self._jit_loss_cache[id(app)] = self._jit_loss
         if self._jit_loss is None:
             def batch_loss(params, batch, rng):
                 r_t, r_noise = jax.random.split(rng)
@@ -39,6 +49,7 @@ class LDMEvaluator(Evaluator):
                 return jnp.mean(err.reshape(b, -1), axis=-1)  # [B]
 
             self._jit_loss = jax.jit(batch_loss)
+            self._jit_loss_cache[id(app)] = self._jit_loss
 
         total, n = 0.0, 0
         for i, batch in enumerate(self.valid_loader):

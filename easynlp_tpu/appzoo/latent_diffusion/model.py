@@ -318,7 +318,7 @@ class LatentDiffusion(Application):
     # -- FreePromptEditing (reference diffusion/FreePromptEditing, CVPR'24) ---
     def edit(self, source_input_ids, target_input_ids, attention_mask=None,
              num_steps=50, guidance_scale=7.5, share_frac=0.4, rng=None,
-             negative_input_ids=None):
+             negative_input_ids=None, target_attention_mask=None):
         """Prompt-based editing via self-attention-map sharing (FreeSAP):
         source and target prompts sample from the SAME initial noise, and
         for the first share_frac of the steps the target branch reuses the
@@ -329,7 +329,11 @@ class LatentDiffusion(Application):
             ddim_sample)
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         ids = jnp.concatenate([source_input_ids, target_input_ids], axis=0)
-        mask = (jnp.concatenate([attention_mask, attention_mask], axis=0)
+        # the target prompt gets its OWN padding mask — reusing the source's
+        # would silently mask out target tokens past the source length
+        tmask = (target_attention_mask if target_attention_mask is not None
+                 else attention_mask)
+        mask = (jnp.concatenate([attention_mask, tmask], axis=0)
                 if attention_mask is not None else None)
         if negative_input_ids is None:
             negative_input_ids = jnp.full_like(
@@ -370,8 +374,11 @@ class LatentDiffusion(Application):
                                   method=module.decode_latents)
             return jnp.clip(images, -1.0, 1.0)
 
-        return jax.jit(sampler)(self.params, ids, mask, negative_input_ids,
-                                rng)
+        key = ("edit", num_steps, guidance_scale, t_cutoff, b)
+        fn = self._jit_cache.get(key)
+        if fn is None:
+            fn = self._jit_cache[key] = jax.jit(sampler)
+        return fn(self.params, ids, mask, negative_input_ids, rng)
 
     # -- DiffSynth core: cross-frame video stylization ------------------------
     def stylize_video(self, frames, input_ids, attention_mask=None,
@@ -432,8 +439,12 @@ class LatentDiffusion(Application):
                                   method=module.decode_latents)
             return jnp.clip(images, -1.0, 1.0)
 
-        return jax.jit(pipeline)(self.params, frames, ids, mask,
-                                 negative_input_ids, rng)
+        key = ("stylize", num_steps, guidance_scale, strength,
+               temporal_blend)
+        fn = self._jit_cache.get(key)
+        if fn is None:
+            fn = self._jit_cache[key] = jax.jit(pipeline)
+        return fn(self.params, frames, ids, mask, negative_input_ids, rng)
 
     # -- OLSS learned scheduler (reference diffusion/olss_scheduler) ----------
     def fit_olss(self, input_ids, attention_mask=None,
@@ -476,6 +487,14 @@ class LatentDiffusion(Application):
 
         return sampler
 
+    @property
+    def _jit_cache(self):
+        # jitting a FRESH closure per call would retrace+recompile the full
+        # UNet sampler on every invocation; cache per decode config instead
+        if not hasattr(self, "_jit_cache_dict"):
+            self._jit_cache_dict = {}
+        return self._jit_cache_dict
+
     def sample(self, input_ids, attention_mask=None, num_steps=50,
                guidance_scale=7.5, rng=None, negative_input_ids=None,
                method="ddim"):
@@ -485,8 +504,12 @@ class LatentDiffusion(Application):
         if negative_input_ids is None:
             negative_input_ids = jnp.full_like(
                 input_ids, self.config.text_config.pad_token_id)
-        sampler = jax.jit(self.make_sampler(num_steps, guidance_scale,
-                                            method=method))
+        key = ("sample", num_steps, guidance_scale, method)
+        sampler = self._jit_cache.get(key)
+        if sampler is None:
+            sampler = jax.jit(self.make_sampler(num_steps, guidance_scale,
+                                                method=method))
+            self._jit_cache[key] = sampler
         return sampler(self.params, input_ids, attention_mask,
                        negative_input_ids, rng)
 
@@ -534,13 +557,17 @@ class StableDiffusionPipeline:
         enc = self.tokenizer(list(prompts), max_length=sequence_length)
         ids = jnp.asarray(enc["input_ids"], jnp.int32)
         mask = jnp.asarray(enc["attention_mask"], jnp.int32)
-        neg_ids = None
-        if negative_prompts:
-            if isinstance(negative_prompts, str):
-                negative_prompts = [negative_prompts] * len(prompts)
-            neg = self.tokenizer(list(negative_prompts),
-                                 max_length=sequence_length)
-            neg_ids = jnp.asarray(neg["input_ids"], jnp.int32)
+        # unconditional context = TOKENIZED empty/negative prompt
+        # ([CLS][SEP][PAD]... — reference get_learned_conditioning(['']),
+        # appzoo/latent_diffusion/model.py:144-168); a raw all-PAD sequence
+        # would shift the CFG branch on converted reference checkpoints
+        if not negative_prompts:
+            negative_prompts = [""] * len(prompts)
+        elif isinstance(negative_prompts, str):
+            negative_prompts = [negative_prompts] * len(prompts)
+        neg = self.tokenizer(list(negative_prompts),
+                             max_length=sequence_length)
+        neg_ids = jnp.asarray(neg["input_ids"], jnp.int32)
         images = self.app.sample(
             ids, mask, num_steps=self.num_steps,
             guidance_scale=self.guidance_scale,

@@ -362,10 +362,12 @@ class Trainer:
         score = None
         if self.evaluator is not None:
             if hasattr(self.app, "sync_trained_params"):
-                # composite train-state (LoRA): evaluate the inner app on
-                # merged weights
+                # composite train-state: LoRA evaluates the inner app on
+                # merged weights; apps whose trained state is NOT foldable
+                # into the base (ControlNet) set eval_target to themselves
                 self.app.sync_trained_params(self.params)
-                eval_app = getattr(self.app, "inner", self.app)
+                eval_app = getattr(self.app, "eval_target", None) \
+                    or getattr(self.app, "inner", self.app)
             else:
                 self.app.params = self.params  # predict with current weights
                 eval_app = self.app

@@ -104,17 +104,30 @@ def plms_sample(denoise_fn, shape, schedule, num_steps=50, rng=None,
         e2 = hist[1]
         e3 = hist[2]
         eps_prime = jnp.select(
-            [count == 0, count == 1, count == 2],
-            [eps,
-             (3 * eps - e1) / 2,
+            [count == 1, count == 2],
+            [(3 * eps - e1) / 2,
              (23 * eps - 16 * e1 + 5 * e2) / 12],
             (55 * eps - 59 * e1 + 37 * e2 - 9 * e3) / 24)
         x = step_x(x, eps_prime, t, t_prev)
         hist = jnp.concatenate([eps[None], hist[:3]], axis=0)
         return x, hist, jnp.minimum(count + 1, 3)
 
-    x, _, _ = jax.lax.fori_loop(0, num_steps, body,
-                                (x, eps_hist, jnp.zeros((), jnp.int32)))
+    # first step: improved-Euler / RK2 (reference plms.py p_sample_plms'
+    # old_eps==0 branch — two model evals averaged). The noisiest timestep
+    # has the largest integration error; plain DDIM here visibly diverges
+    # from the reference at low step counts.
+    t0 = step_indices[0]
+    eps0 = denoise_fn(x, jnp.full((shape[0],), t0, jnp.int32))
+    if num_steps > 1:
+        t1 = step_indices[1]
+        x_pred = step_x(x, eps0, t0, t1)
+        eps1 = denoise_fn(x_pred, jnp.full((shape[0],), t1, jnp.int32))
+        x = step_x(x, (eps0 + eps1) / 2.0, t0, t1)
+    else:
+        x = step_x(x, eps0, t0, jnp.asarray(-1))
+    eps_hist = eps_hist.at[0].set(eps0)
+    x, _, _ = jax.lax.fori_loop(1, num_steps, body,
+                                (x, eps_hist, jnp.ones((), jnp.int32)))
     return x
 
 
@@ -165,6 +178,8 @@ def ddim_img2img(denoise_fn, latents0, schedule, strength=0.7, num_steps=50,
     schedule, then DDIM-denoise back (reference DiffSynth pipeline.py
     get_timesteps_for_img2img + the SD img2img convention). strength=1 is
     full generation, 0 returns the input."""
+    if strength <= 0.0:
+        return latents0  # documented identity — no noising, no denoise step
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     full = np.linspace(0, schedule.num_timesteps - 1, num_steps,
                        dtype=np.int64)[::-1].copy()

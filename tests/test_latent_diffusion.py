@@ -62,3 +62,72 @@ def test_ldm_sampling_shapes():
                       guidance_scale=1.0)
     assert imgs.shape == (1, 16, 16, 3)
     assert np.isfinite(np.asarray(imgs)).all()
+
+
+def test_ldm_cli_predict_mode(tmp_path):
+    """--mode=predict on latent_diffusion: prompt TSV -> base64-PNG column
+    through LDMPredictor (the registry used to map this app to the
+    Application class and predict mode crashed at construction)."""
+    import json
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "fixtures"))
+    from make_fixtures import make_image_b64, make_vocab
+
+    from easynlp_tpu.testing import make_args
+
+    base = str(tmp_path)
+    tsv = os.path.join(base, "ldm.tsv")
+    with open(tsv, "w") as f:
+        for i in range(8):  # batch must tile the 8-device test mesh
+            f.write("%d\tnice picture %d\t%s\n"
+                    % (i, i, make_image_b64(seed=i, size=16)))
+    model = os.path.join(base, "tiny-ldm")
+    os.makedirs(model)
+    v = make_vocab(os.path.join(model, "vocab.txt"))
+    cfg = dict(TINY, model_type="latent_diffusion")
+    cfg["text_config"] = dict(cfg["text_config"], vocab_size=v)
+    with open(os.path.join(model, "config.json"), "w") as f:
+        json.dump(cfg, f)
+
+    from easynlp_tpu import cli
+    from easynlp_tpu.utils import global_vars
+    out = os.path.join(base, "ck")
+    global_vars._GLOBAL_ARGS = None
+    rc = cli.main([
+        "--mode=train", "--app_name=latent_diffusion",
+        "--tables=%s" % tsv,
+        "--input_schema=id:str:1,text:str:1,image:str:1",
+        "--first_sequence=text", "--second_sequence=image",
+        "--checkpoint_dir=" + out, "--epoch_num=1",
+        "--micro_batch_size=8", "--sequence_length=8",
+        "--learning_rate=1e-4", "--dtype=float32",
+        "--user_defined_parameters="
+        "pretrain_model_name_or_path=%s image_size=16" % model,
+    ])
+    assert rc == 0
+    pred = os.path.join(base, "pred.tsv")
+    global_vars._GLOBAL_ARGS = None
+    rc = cli.main([
+        "--mode=predict", "--app_name=latent_diffusion",
+        "--tables=%s" % tsv,
+        "--input_schema=id:str:1,text:str:1,image:str:1",
+        "--first_sequence=text",
+        "--outputs=%s" % pred,
+        "--output_schema=predictions",
+        "--append_cols=text",
+        "--micro_batch_size=8", "--sequence_length=8",
+        "--checkpoint_dir=" + out, "--dtype=float32",
+        "--user_defined_parameters=num_steps=2 image_size=16",
+    ])
+    assert rc == 0
+    import base64
+    with open(pred) as f:
+        lines = [ln.rstrip("\n").split("\t") for ln in f if ln.strip()]
+    assert len(lines) == 8
+    for cols in lines:
+        png = base64.b64decode(cols[0])
+        assert png[:8] == b"\x89PNG\r\n\x1a\n"
+    global_vars._GLOBAL_ARGS = None
+    make_args()
