@@ -68,7 +68,8 @@ def _requests(vocab_size):
 def bench_continuous(m, params, reqs):
     from easynlp_tpu.serving.continuous import ContinuousBatcher
     b = ContinuousBatcher(m, params, max_slots=SLOTS, max_length=MAX_LEN,
-                          prompt_buckets=(PROMPT,), pad_token_id=0)
+                          prompt_buckets=(PROMPT,), pad_token_id=0,
+                          chunk_size=16 if not TINY else 4)
     try:
         # warmup compiles (prefill bucket + step)
         b.submit(reqs[0][0], max_new_tokens=2).result(timeout=600)

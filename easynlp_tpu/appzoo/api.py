@@ -483,6 +483,8 @@ def default_main_fn(args=None):
         label_enumerate_values=args.label_enumerate_values,
         multi_label=bool(udp.get("multi_label")),
         image_size=int(udp.get("image_size", 224)),
+        image_cache=udp.get("image_cache"),
+        image_cache_items=udp.get("image_cache_items"),
         user_defined_parameters=udp,
         process_index=args.process_index,
         num_processes=args.num_processes,

@@ -13,7 +13,8 @@ import numpy as np
 from easynlp_tpu.data.dataset import BaseDataset
 from easynlp_tpu.data.image_utils import (
     decode_base64_image,
-    preprocess_image,
+    normalize_clip_u8,
+    resize_center_crop,
 )
 
 
@@ -57,9 +58,19 @@ def _load_tar_samples(data_file, process_index=0, num_processes=1):
 class CLIPDataset(BaseDataset):
     def __init__(self, data_file, tokenizer, max_seq_length=32,
                  input_schema=None, first_sequence="text",
-                 second_sequence="image", image_size=224, **kwargs):
+                 second_sequence="image", image_size=224,
+                 image_cache=None, image_cache_items=None, **kwargs):
         for k in ("label_name", "label_enumerate_values", "multi_label"):
             kwargs.pop(k, None)
+        # opt-in decoded-image RAM cache: stores the post-resize uint8
+        # (image_size^2 x 3 bytes/row, ~150KB at 224) so epochs >= 2 skip
+        # base64+JPEG decode entirely — multi-epoch finetune is the normal
+        # CLIP workload and host image decode is its throughput ceiling
+        # (UDP: image_cache=ram[, image_cache_items=N to bound RAM])
+        self._img_cache = {} if image_cache in ("ram", True, "true") \
+            else None
+        self._img_cache_max = (int(image_cache_items)
+                               if image_cache_items else None)
         self._image_bytes = None
         if str(data_file).endswith(".tar"):
             texts, self._image_bytes = _load_tar_samples(
@@ -94,9 +105,21 @@ class CLIPDataset(BaseDataset):
         b64 = str(self.parse_row(self.rows[idx]).get(self.image_col, ""))
         return decode_base64_image(b64)
 
+    def _decoded_u8(self, idx):
+        if self._img_cache is not None:
+            hit = self._img_cache.get(idx)
+            if hit is not None:
+                return hit
+        u8 = resize_center_crop(self._decode(idx), self.image_size)
+        if self._img_cache is not None and (
+                self._img_cache_max is None
+                or len(self._img_cache) < self._img_cache_max):
+            self._img_cache[idx] = u8
+        return u8
+
     def __getitem__(self, idx):
         # images decoded lazily (large); text features are precomputed
-        img = preprocess_image(self._decode(idx), self.image_size)
+        img = normalize_clip_u8(self._decoded_u8(idx))
         out = {k: v[idx] for k, v in self.text_features.items()}
         out["pixel_values"] = img.astype(np.float32)
         return out

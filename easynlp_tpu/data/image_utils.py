@@ -24,8 +24,11 @@ def decode_base64_image(b64):
     return Image.open(_io.BytesIO(data)).convert("RGB")
 
 
-def preprocess_image(img, image_size=224, mean=CLIP_MEAN, std=CLIP_STD):
-    """PIL image → normalised HWC float32 [image_size, image_size, 3]."""
+def resize_center_crop(img, image_size=224):
+    """PIL image → uint8 HWC [image_size, image_size, 3] (BICUBIC short-side
+    resize + center crop). Split out of preprocess_image so datasets can
+    cache the decoded/resized uint8 (4x smaller than float32) and pay only
+    the vectorised normalisation per epoch."""
     from PIL import Image
     w, h = img.size
     scale = image_size / min(w, h)
@@ -35,8 +38,17 @@ def preprocess_image(img, image_size=224, mean=CLIP_MEAN, std=CLIP_STD):
     left = (w - image_size) // 2
     top = (h - image_size) // 2
     img = img.crop((left, top, left + image_size, top + image_size))
-    arr = np.asarray(img, np.float32) / 255.0
-    return (arr - mean) / std
+    return np.asarray(img, np.uint8)
+
+
+def normalize_clip_u8(u8, mean=CLIP_MEAN, std=CLIP_STD):
+    """uint8 HWC → CLIP-normalised float32 HWC."""
+    return (u8.astype(np.float32) / 255.0 - mean) / std
+
+
+def preprocess_image(img, image_size=224, mean=CLIP_MEAN, std=CLIP_STD):
+    """PIL image → normalised HWC float32 [image_size, image_size, 3]."""
+    return normalize_clip_u8(resize_center_crop(img, image_size), mean, std)
 
 
 def preprocess_base64_batch(b64_list, image_size=224):

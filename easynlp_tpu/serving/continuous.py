@@ -59,12 +59,21 @@ class ContinuousBatcher:
 
     def __init__(self, module, params, max_slots=4, max_length=128,
                  prompt_buckets=(16, 32, 64), eos_token_id=None,
-                 pad_token_id=0):
+                 pad_token_id=0, chunk_size=8):
         from easynlp_tpu.modelzoo.quantization import dequantize_params
         self.module = module
         self.params = params
         self.slots = max_slots
         self.max_length = max_length
+        # decode steps per device dispatch: each host round-trip through the
+        # runtime costs ~ms, so stepping token-by-token is latency-bound —
+        # a lax.scan of `chunk_size` greedy steps amortises the dispatch
+        # (measured 26x tokens/s on the axon tunnel at chunk_size=16).
+        # Joins/retirements happen at chunk boundaries; slots that hit
+        # EOS / their token budget / the cache end DEactivate in-scan so
+        # their cache rows stop advancing (trailing in-chunk tokens for a
+        # finished slot are never consumed by the host).
+        self.chunk = max(1, int(chunk_size))
         self.buckets = tuple(sorted(b for b in prompt_buckets
                                     if b < max_length))
         assert self.buckets, "need at least one prompt bucket < max_length"
@@ -82,48 +91,52 @@ class ContinuousBatcher:
         }
         self._dq = dequantize_params
 
-        def step(params, state, active):
-            tokens = state["last"][:, None]
-            positions = jnp.sum(state["mask"], -1, keepdims=True)
+        eos = self.eos
+        n_chunk = self.chunk
+
+        def step(params, state, active, remaining):
+            """`n_chunk` greedy steps in ONE dispatch; returns the per-step
+            tokens [n_chunk, SLOTS]. `remaining` is each slot's outstanding
+            token budget so in-scan deactivation mirrors the host's
+            retirement conditions (EOS / budget / cache end)."""
+            dparams = self._dq(params)
             bidx = jnp.arange(max_slots)
-            mask = state["mask"].at[bidx, state["index"]].set(
-                active.astype(jnp.int32))
-            cache = {"k": state["k"], "v": state["v"], "mask": mask,
-                     "index": state["index"]}
-            out = self.module.apply(
-                {"params": self._dq(params)}, input_ids=tokens,
-                position_ids=positions, cache=cache, deterministic=True)
-            logits = out["logits"][:, -1].astype(jnp.float32)
-            nxt = jnp.where(active, jnp.argmax(logits, -1),
-                            pad_token_id).astype(jnp.int32)
-            new = {
-                "k": out["cache"]["k"], "v": out["cache"]["v"], "mask": mask,
-                "index": jnp.where(active, state["index"] + 1,
-                                   state["index"]),
-                "last": nxt,
-            }
-            return new, nxt
+            cache_t = t  # cache time extent (== max_length)
+
+            def body(carry, _):
+                state, active, remaining = carry
+                tokens = state["last"][:, None]
+                positions = jnp.sum(state["mask"], -1, keepdims=True)
+                mask = state["mask"].at[bidx, state["index"]].set(
+                    active.astype(jnp.int32))
+                cache = {"k": state["k"], "v": state["v"], "mask": mask,
+                         "index": state["index"]}
+                out = self.module.apply(
+                    {"params": dparams}, input_ids=tokens,
+                    position_ids=positions, cache=cache, deterministic=True)
+                logits = out["logits"][:, -1].astype(jnp.float32)
+                nxt = jnp.where(active, jnp.argmax(logits, -1),
+                                pad_token_id).astype(jnp.int32)
+                new_index = jnp.where(active, state["index"] + 1,
+                                      state["index"])
+                new_remaining = remaining - active.astype(jnp.int32)
+                still = active & (new_remaining > 0) \
+                    & (new_index < cache_t - 1)
+                if eos is not None:
+                    still = still & (nxt != eos)
+                new = {
+                    "k": out["cache"]["k"], "v": out["cache"]["v"],
+                    "mask": mask, "index": new_index,
+                    "last": jnp.where(active, nxt, state["last"]),
+                }
+                return (new, still, new_remaining), nxt
+
+            (state, _, _), toks = jax.lax.scan(
+                body, (state, active, remaining), None, length=n_chunk)
+            return state, toks
 
         self._step = jax.jit(step, donate_argnums=(1,))
-
-        def insert(state, slot, k_new, v_new, mask_row, index0, last0):
-            return {
-                "k": jax.lax.dynamic_update_slice(
-                    state["k"], k_new.astype(state["k"].dtype),
-                    (0, slot, 0, 0, 0)),
-                "v": jax.lax.dynamic_update_slice(
-                    state["v"], v_new.astype(state["v"].dtype),
-                    (0, slot, 0, 0, 0)),
-                "mask": jax.lax.dynamic_update_slice(
-                    state["mask"], mask_row[None], (slot, 0)),
-                "index": jax.lax.dynamic_update_slice(
-                    state["index"], index0[None], (slot,)),
-                "last": jax.lax.dynamic_update_slice(
-                    state["last"], last0[None], (slot,)),
-            }
-
-        self._insert = jax.jit(insert, donate_argnums=(0,))
-        self._prefill_cache: Dict[int, Any] = {}
+        self._admit_cache: Dict[int, Any] = {}
 
         self._queue: "queue.Queue[_Pending]" = queue.Queue()
         self._occupants: List[Optional[_Pending]] = [None] * max_slots
@@ -180,49 +193,81 @@ class ContinuousBatcher:
                 return b
         return self.buckets[-1]
 
-    def _prefill_fn(self, p):
-        fn = self._prefill_cache.get(p)
+    def _admit_fn(self, p):
+        """Batched prefill + slot insertion in ONE dispatch: up to SLOTS
+        same-bucket prompts prefill as a [SLOTS, p] batch and their KV/mask/
+        index/last rows scatter into the shared state, `valid` gating the
+        padding rows (their `sidx` entries are the UNUSED slot numbers so the
+        scatter has no duplicate indices — they write back the current
+        values). Per-request prefill+insert dispatches were the dominant
+        scheduler cost through the runtime's per-dispatch latency."""
+        fn = self._admit_cache.get(p)
         if fn is None:
-            def prefill(params, ids, mask):
-                cache = self.module.init_cache(1, p, dtype=self.module.dtype)
+            slots, t = self.slots, self.max_length
+
+            def admit(params, state, ids, mask, sidx, valid):
+                cache = self.module.init_cache(slots, p,
+                                               dtype=self.module.dtype)
                 cache["mask"] = mask.astype(jnp.int32)
                 out = self.module.apply(
                     {"params": self._dq(params)}, input_ids=ids,
                     attention_mask=mask, cache=cache, deterministic=True)
                 logits = out["logits"][:, -1].astype(jnp.float32)
                 first = jnp.argmax(logits, -1).astype(jnp.int32)
-                return out["cache"]["k"], out["cache"]["v"], first
-            fn = jax.jit(prefill)
-            self._prefill_cache[p] = fn
+                k1 = out["cache"]["k"].astype(state["k"].dtype)
+                v1 = out["cache"]["v"].astype(state["v"].dtype)
+                vk = valid[None, :, None, None, None]
+                new_k = state["k"].at[:, sidx, :p].set(
+                    jnp.where(vk, k1, state["k"][:, sidx, :p]))
+                new_v = state["v"].at[:, sidx, :p].set(
+                    jnp.where(vk, v1, state["v"][:, sidx, :p]))
+                full_mask = jnp.zeros((slots, t), jnp.int32) \
+                    .at[:, :p].set(mask.astype(jnp.int32))
+                new_mask = state["mask"].at[sidx].set(
+                    jnp.where(valid[:, None], full_mask,
+                              state["mask"][sidx]))
+                new_index = state["index"].at[sidx].set(
+                    jnp.where(valid, jnp.full((slots,), p, jnp.int32),
+                              state["index"][sidx]))
+                new_last = state["last"].at[sidx].set(
+                    jnp.where(valid, first, state["last"][sidx]))
+                return ({"k": new_k, "v": new_v, "mask": new_mask,
+                         "index": new_index, "last": new_last}, first)
+
+            fn = jax.jit(admit, donate_argnums=(1,))
+            self._admit_cache[p] = fn
         return fn
 
-    def _admit(self, req: _Pending, slot: int):
+    def _admit_wave(self, wave):
+        """Admit a list of (req, slot) pairs: one dispatch + one host sync
+        per prompt bucket represented in the wave."""
         from easynlp_tpu.modelzoo.generation_utils import left_pad
-        p = self._bucket(len(req.ids))
-        row, mask = left_pad([req.ids], pad_token_id=self.pad, length=p)
-        k1, v1, first = self._prefill_fn(p)(
-            self.params, jnp.asarray(row), jnp.asarray(mask))
-        first_tok = int(first[0])
-        req.tokens.append(first_tok)
-        # pad the slot row out to max_length before insertion
-        t = self.max_length
-        l = k1.shape[0]
-        k_new = jnp.zeros((l, 1, t) + k1.shape[3:], k1.dtype)
-        k_new = jax.lax.dynamic_update_slice(k_new, k1, (0, 0, 0, 0, 0))
-        v_new = jnp.zeros_like(k_new)
-        v_new = jax.lax.dynamic_update_slice(v_new, v1, (0, 0, 0, 0, 0))
-        mask_row = np.zeros((t,), np.int32)
-        mask_row[:p] = mask[0]
-        self._state = self._insert(
-            self._state, jnp.asarray(slot, jnp.int32), k_new, v_new,
-            jnp.asarray(mask_row), jnp.asarray(p, jnp.int32),
-            jnp.asarray(first_tok, jnp.int32))
-        self._occupants[slot] = req
-        req.slot = slot
-        req.index0 = p
-        if (self.eos is not None and first_tok == self.eos) \
-                or req.max_new_tokens <= 1:
-            self._finish(slot)
+        by_bucket: Dict[int, list] = {}
+        for req, slot in wave:
+            by_bucket.setdefault(self._bucket(len(req.ids)), []).append(
+                (req, slot))
+        for p, group in by_bucket.items():
+            taken = [slot for _, slot in group]
+            spare = [s for s in range(self.slots) if s not in taken]
+            sidx = taken + spare[:self.slots - len(taken)]
+            valid = [True] * len(taken) + [False] * (self.slots - len(taken))
+            rows = [req.ids for req, _ in group]
+            rows += [rows[0]] * (self.slots - len(rows))
+            ids, mask = left_pad(rows, pad_token_id=self.pad, length=p)
+            self._state, first = self._admit_fn(p)(
+                self.params, self._state, jnp.asarray(ids),
+                jnp.asarray(mask), jnp.asarray(sidx, jnp.int32),
+                jnp.asarray(valid))
+            first = np.asarray(first)  # ONE sync for the whole group
+            for i, (req, slot) in enumerate(group):
+                first_tok = int(first[i])
+                req.tokens.append(first_tok)
+                self._occupants[slot] = req
+                req.slot = slot
+                req.index0 = p
+                if (self.eos is not None and first_tok == self.eos) \
+                        or req.max_new_tokens <= 1:
+                    self._finish(slot)
 
     def _finish(self, slot: int):
         req = self._occupants[slot]
@@ -239,27 +284,18 @@ class ContinuousBatcher:
         except BaseException as exc:  # noqa: B902 — deliver to waiters
             self._fail_all(exc)
 
-    def _run_loop(self):
-        while not self._stop.is_set():
-            # admit waiting requests into free slots
-            while any(o is None for o in self._occupants):
-                try:
-                    req = self._queue.get_nowait()
-                except queue.Empty:
-                    break
-                self._admit(req, self._occupants.index(None))
-            active_flags = [o is not None for o in self._occupants]
-            if not any(active_flags):
-                self._wake.wait(timeout=0.05)
-                self._wake.clear()
-                continue
-            self._state, toks = self._step(
-                self.params, self._state, jnp.asarray(active_flags))
-            toks = np.asarray(toks)
-            for slot, req in enumerate(self._occupants):
-                if req is None:
+    def _consume(self, toks, snapshot):
+        """Apply one chunk's tokens to the requests occupying the slots AT
+        DISPATCH TIME (`snapshot`). A slot retired-then-refilled since then
+        fails the identity check and the stale rows are skipped — they are
+        the deactivated scan's post-EOS garbage, never the new occupant's."""
+        toks = np.asarray(toks)  # [chunk, SLOTS] — the only per-chunk sync
+        for k in range(toks.shape[0]):
+            for slot in range(self.slots):
+                req = snapshot[slot]
+                if req is None or self._occupants[slot] is not req:
                     continue
-                tok = int(toks[slot])
+                tok = int(toks[k, slot])
                 req.tokens.append(tok)
                 # host mirrors the slot write index: index0 + steps taken
                 done = (self.eos is not None and tok == self.eos) \
@@ -267,3 +303,46 @@ class ContinuousBatcher:
                     or req.index0 + len(req.tokens) >= self.max_length - 1
                 if done:
                     self._finish(slot)
+
+    def _run_loop(self):
+        # One-chunk pipelining: chunk k+1 is dispatched BEFORE chunk k's
+        # tokens are fetched, so the host round-trip hides behind device
+        # compute. Bookkeeping passed to chunk k+1 is then one chunk stale:
+        # a slot the host retires while consuming chunk k was stepped as
+        # active in k+1 — its extra tokens are never consumed, its cache
+        # rows are fully rewritten on the next admit, and the in-scan
+        # cache-end guard bounds the overrun. Consumed tokens stay exactly
+        # the standalone greedy sequence (stale budgets only ever OVER-
+        # produce; EOS/cache-end deactivation is computed in-scan).
+        pending = None  # (token futures, occupant snapshot) of chunk k
+        while not self._stop.is_set():
+            # admit waiting requests into free slots (batched per bucket)
+            wave = []
+            for slot in range(self.slots):
+                if self._occupants[slot] is not None:
+                    continue
+                try:
+                    wave.append((self._queue.get_nowait(), slot))
+                except queue.Empty:
+                    break
+            if wave:
+                self._admit_wave(wave)
+            if not any(o is not None for o in self._occupants):
+                if pending is not None:
+                    self._consume(*pending)
+                    pending = None
+                    continue
+                self._wake.wait(timeout=0.05)
+                self._wake.clear()
+                continue
+            active_flags = [o is not None for o in self._occupants]
+            remaining = np.asarray(
+                [(req.max_new_tokens - len(req.tokens)) if req is not None
+                 else 0 for req in self._occupants], np.int32)
+            self._state, toks = self._step(
+                self.params, self._state, jnp.asarray(active_flags),
+                jnp.asarray(remaining))
+            snapshot = list(self._occupants)
+            if pending is not None:
+                self._consume(*pending)
+            pending = (toks, snapshot)

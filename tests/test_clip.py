@@ -236,3 +236,32 @@ def test_wukong_dialect_conversion():
     for path, shp in shapes(converted).items():
         assert path in ref_shapes, path
         assert ref_shapes[path] == shp, (path, shp, ref_shapes[path])
+
+
+def test_clip_dataset_image_cache_parity(tmp_path):
+    """image_cache=ram must return bit-identical pixel_values on every pass
+    (the cache stores the post-resize uint8; normalisation is re-applied)."""
+    make_args()
+    model_dir = make_pretrained(str(tmp_path / "tiny-bert-cache"))
+    from easynlp_tpu.modelzoo.models.bert import BertTokenizer
+    tok = BertTokenizer.from_pretrained(model_dir)
+    path = str(tmp_path / "clip_cache.tsv")
+    with open(path, "w") as f:
+        for i in range(3):
+            f.write("caption %d\t%s\n" % (i, _b64_png(i)))
+    from easynlp_tpu.appzoo.clip.data import CLIPDataset
+    kw = dict(max_seq_length=16, input_schema="text:str:1,image:str:1",
+              first_sequence="text", second_sequence="image", image_size=32)
+    plain = CLIPDataset(path, tok, **kw)
+    cached = CLIPDataset(path, tok, image_cache="ram", **kw)
+    for i in range(3):
+        ref = plain[i]["pixel_values"]
+        np.testing.assert_array_equal(cached[i]["pixel_values"], ref)  # cold
+        np.testing.assert_array_equal(cached[i]["pixel_values"], ref)  # hot
+    assert len(cached._img_cache) == 3
+    bounded = CLIPDataset(path, tok, image_cache="ram",
+                          image_cache_items=1, **kw)
+    for i in range(3):
+        np.testing.assert_array_equal(bounded[i]["pixel_values"],
+                                      plain[i]["pixel_values"])
+    assert len(bounded._img_cache) == 1
