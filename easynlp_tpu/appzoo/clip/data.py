@@ -13,7 +13,6 @@ import numpy as np
 from easynlp_tpu.data.dataset import BaseDataset
 from easynlp_tpu.data.image_utils import (
     decode_base64_image,
-    normalize_clip_u8,
     resize_center_crop,
 )
 
@@ -118,10 +117,13 @@ class CLIPDataset(BaseDataset):
         return u8
 
     def __getitem__(self, idx):
-        # images decoded lazily (large); text features are precomputed
-        img = normalize_clip_u8(self._decoded_u8(idx))
+        # images decoded lazily (large); text features are precomputed.
+        # pixels ship as RAW uint8 — ViTEncoder normalises in-graph on
+        # integer input, so the host→device pixel stream (the largest
+        # transfer of a CLIP step) is 1/4 of the float32 equivalent and the
+        # per-item host normalisation disappears from the hot loop
         out = {k: v[idx] for k, v in self.text_features.items()}
-        out["pixel_values"] = img.astype(np.float32)
+        out["pixel_values"] = self._decoded_u8(idx)
         return out
 
     def batch_fn(self, examples):

@@ -63,14 +63,36 @@ class ViTBlock(nn.Module):
         return hidden, None
 
 
+# CLIP pixel normalisation constants (mirrors data/image_utils.py; kept in
+# sync so the in-graph uint8 path matches the host float path exactly)
+CLIP_IMAGE_MEAN = (0.48145466, 0.4578275, 0.40821073)
+CLIP_IMAGE_STD = (0.26862954, 0.26130258, 0.27577711)
+
+
 class ViTEncoder(BaseModule):
-    """images [B, H, W, 3] float (already resized/normalised) → CLS embedding."""
+    """images [B, H, W, 3] → CLS embedding.
+
+    Accepts float pixels (already host-normalised) OR raw uint8: integer
+    input is normalised in-graph ((x/255 - mean)/std, CLIP constants,
+    overridable via vision_config.image_mean/image_std). Shipping uint8
+    over the host→device link quarters the pixel DMA traffic vs float32 —
+    on CLIP training the pixel stream is the largest host→device transfer
+    (B·H·W·3 bytes/step), so datasets emit uint8 and the cast+normalise
+    runs fused on device."""
 
     remat: str = "none"
 
     @nn.compact
     def __call__(self, pixel_values, deterministic=True):
         c = self.config
+        if jnp.issubdtype(pixel_values.dtype, jnp.integer):
+            mean = jnp.asarray(
+                getattr(c, "image_mean", None) or CLIP_IMAGE_MEAN,
+                jnp.float32)
+            std = jnp.asarray(
+                getattr(c, "image_std", None) or CLIP_IMAGE_STD, jnp.float32)
+            pixel_values = (pixel_values.astype(jnp.float32) / 255.0
+                            - mean) / std
         b, hh, ww, ch = pixel_values.shape
         p = c.patch_size
         # space-to-depth patchify → one big matmul on the MXU

@@ -265,3 +265,45 @@ def test_clip_dataset_image_cache_parity(tmp_path):
         np.testing.assert_array_equal(bounded[i]["pixel_values"],
                                       plain[i]["pixel_values"])
     assert len(bounded._img_cache) == 1
+
+
+def test_uint8_pixels_normalized_in_graph(tmp_path):
+    """CLIPDataset ships raw uint8 pixels; ViTEncoder normalises integer
+    input in-graph with the CLIP constants — the result must match the host
+    float path (data/image_utils.normalize_clip_u8) exactly, so the 4x
+    host->device transfer saving costs no accuracy."""
+    make_args()
+    model_dir = make_pretrained(str(tmp_path / "tiny-bert"))
+    from easynlp_tpu.appzoo.clip.data import CLIPDataset
+    from easynlp_tpu.appzoo.clip.model import CLIPApp
+    from easynlp_tpu.data.image_utils import normalize_clip_u8
+    from easynlp_tpu.modelzoo.models.bert import BertTokenizer
+    from easynlp_tpu.modelzoo.models.clip import CLIPConfig, CLIPModel
+
+    tok = BertTokenizer.from_pretrained(model_dir)
+    path = str(tmp_path / "clip.tsv")
+    with open(path, "w") as f:
+        for i in range(4):
+            f.write("a fine day %d\t%s\n" % (i, _b64_png(i)))
+    ds = CLIPDataset(path, tok, max_seq_length=16,
+                     input_schema="text:str:1,image:str:1",
+                     first_sequence="text", second_sequence="image",
+                     image_size=32)
+    batch = ds.batch_fn([ds[i] for i in range(4)])
+    assert batch["pixel_values"].dtype == np.uint8
+
+    cfg = CLIPConfig(
+        text_config=dict(TEXT_CFG, vocab_size=tok.vocab_size),
+        vision_config=VISION_CFG, projection_dim=16)
+    module = CLIPModel.from_config(cfg, dtype=jnp.float32)
+    params = CLIPApp.init_params(module, cfg)
+    app = CLIPApp(module, params, cfg)
+
+    out_u8 = app.forward(dict(batch))
+    host = dict(batch)
+    host["pixel_values"] = normalize_clip_u8(
+        batch["pixel_values"]).astype(np.float32)
+    out_f32 = app.forward(host)
+    np.testing.assert_allclose(np.asarray(out_u8["image_embeds"]),
+                               np.asarray(out_f32["image_embeds"]),
+                               rtol=0, atol=1e-6)
