@@ -21,12 +21,23 @@ bert|e2e|clip|diffusion` (one leg in-process).
 
 import json
 import os
+import signal
 import subprocess
 import sys
+import tempfile
 import time
 
 A100_BASELINE_SAMPLES_PER_SEC = 500.0
 TARGET = 2.0 * A100_BASELINE_SAMPLES_PER_SEC
+
+PRIMARY_METRIC = "bert_base_finetune_samples_per_sec_per_chip"
+
+# Orchestrator wall-clock budget (seconds). The driver runs `python bench.py`
+# under its own timeout; if that fires, rc=124 and the LAST line printed so
+# far is the record — so this module prints a parseable JSON line (a) at
+# startup, (b) after EVERY completed leg, and (c) from a SIGALRM backstop
+# handler, making an empty tail impossible.
+DEADLINE_S = float(os.environ.get("BENCH_DEADLINE", "1500"))
 
 # BENCH_TINY=1: shrink the model/batch so the harness itself can be
 # smoke-tested on CPU in seconds (numbers are then meaningless)
@@ -185,21 +196,90 @@ def bench_bert_e2e():
 
 def _run_leg_subprocess(cmd, timeout=1500):
     """Run one leg as a subprocess; return its parsed JSON line or an error
-    marker. Sequential (the host has 1 CPU core — never two jax processes)."""
-    try:
-        out = subprocess.run(cmd, capture_output=True, text=True,
-                             timeout=timeout)
-    except subprocess.TimeoutExpired:
-        return {"error": "timeout"}
-    for line in reversed((out.stdout or "").strip().splitlines()):
+    marker. Sequential (the host has 1 CPU core — never two jax processes).
+
+    Hang-proof by construction: output goes to a temp FILE (no pipes, so
+    there is nothing to drain), the child gets its own session, and on
+    timeout the whole process GROUP is SIGKILLed — a wedged axon backend
+    init that survives a single-process kill (the BENCH_r03 failure mode)
+    cannot keep this function blocked."""
+    with tempfile.TemporaryFile(mode="w+") as fout:
+        proc = subprocess.Popen(cmd, stdout=fout, stderr=subprocess.STDOUT,
+                                start_new_session=True, text=True)
+        timed_out = False
+        try:
+            proc.wait(timeout=timeout)
+        except subprocess.TimeoutExpired:
+            timed_out = True
+            try:
+                os.killpg(proc.pid, signal.SIGKILL)
+            except (ProcessLookupError, PermissionError):
+                pass
+            try:
+                proc.wait(timeout=15)
+            except subprocess.TimeoutExpired:
+                pass  # unreaped zombie; we hold no pipes, so we cannot hang
+        fout.seek(0)
+        out = fout.read()
+    if timed_out:
+        return {"error": "timeout after %ds" % timeout}
+    for line in reversed(out.strip().splitlines()):
         line = line.strip()
         if line.startswith("{"):
             try:
                 return json.loads(line)
             except json.JSONDecodeError:
                 continue
-    tail = ((out.stderr or "") + (out.stdout or ""))[-300:]
-    return {"error": "rc=%d %s" % (out.returncode, tail)}
+    return {"error": "rc=%d %s" % (proc.returncode, out[-300:])}
+
+
+def _emit(bert, results):
+    """Print (and flush) ONE cumulative JSON line from whatever legs have
+    completed so far. Called after EVERY leg and from the SIGALRM backstop:
+    the driver parses the LAST line of stdout, so each call supersedes the
+    previous — an empty or unparseable tail is impossible by construction."""
+    extras = {}
+    e2e = results.get("e2e", {})
+    if "value" in e2e and e2e["value"]:
+        extras["bert_e2e_samples_per_sec_per_chip"] = e2e["value"]
+        if bert.get("value"):
+            extras["e2e_over_device_ratio"] = round(
+                e2e["value"] / bert["value"], 3)
+        extras["featurisation_samples_per_sec"] = e2e.get(
+            "featurisation_samples_per_sec")
+    clip = results.get("clip", {})
+    if "value" in clip:
+        extras["clip_train_pairs_per_sec_per_chip"] = clip["value"]
+    clip_e2e = results.get("clip_e2e", {})
+    if "value" in clip_e2e:
+        extras["clip_e2e_train_pairs_per_sec_per_chip"] = clip_e2e["value"]
+        if clip.get("value"):
+            extras["clip_e2e_over_device_ratio"] = round(
+                clip_e2e["value"] / clip["value"], 3)
+    if "value" in results.get("diffusion", {}):
+        extras["sd_ddim50_cfg_images_per_min_per_chip"] = \
+            results["diffusion"]["value"]
+    if "value" in results.get("decode", {}):
+        extras["gpt2_decode_tokens_per_sec_per_chip"] = \
+            results["decode"]["value"]
+        extras["speculative_decode_speedup"] = results["decode"].get(
+            "extras", {}).get("speculative_speedup")
+    if "value" in results.get("continuous", {}):
+        extras["continuous_batching_tokens_per_sec"] = \
+            results["continuous"]["value"]
+        extras["continuous_over_coalesced_speedup"] = results[
+            "continuous"].get("extras", {}).get("completion_speedup")
+    failed = {k: v.get("error") for k, v in results.items() if "error" in v}
+    if failed:
+        extras["legs_failed"] = failed
+    line = json.dumps({
+        "metric": PRIMARY_METRIC,
+        "value": bert.get("value"),
+        "unit": "samples/s/chip",
+        "vs_baseline": bert.get("vs_baseline"),
+        "extras": extras,
+    })
+    print(line, flush=True)
 
 
 def main(argv=None):
@@ -216,10 +296,10 @@ def main(argv=None):
         jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
 
     if only == "bert":
-        print(json.dumps(bench_bert()))
+        print(json.dumps(bench_bert()), flush=True)
         return 0
     if only == "e2e":
-        print(json.dumps(bench_bert_e2e()))
+        print(json.dumps(bench_bert_e2e()), flush=True)
         return 0
     if only == "clip":
         import bench_clip
@@ -237,92 +317,65 @@ def main(argv=None):
         import bench_continuous
         return bench_continuous.main()
 
+    # --- orchestrator: every statement below assumes it may be the last one
+    # that ever runs (driver timeout / wedged tunnel), so a parseable record
+    # is on stdout from the very first line and refreshed after every leg.
+    bert = {"value": None, "vs_baseline": None}
+    results = {"_stage": {"error": "preflight"}}
+    _emit(bert, results)  # provisional marker: never an empty tail again
+
+    def _on_deadline(signum, frame):
+        results["_stage"] = {"error": "bench deadline %ds hit" % DEADLINE_S}
+        _emit(bert, results)
+        os._exit(3)
+    signal.signal(signal.SIGALRM, _on_deadline)
+    signal.alarm(int(DEADLINE_S))
+
     py = sys.executable
+    here = os.path.dirname(os.path.abspath(__file__))
     # Pre-flight: a wedged axon tunnel hangs backend init indefinitely; probe
     # device availability in a bounded subprocess so a dead tunnel fails in
-    # minutes with a clear marker instead of 5 legs x 1500s of hangs.
+    # minutes with a clear marker instead of 7 legs x 900s of hangs. Uses the
+    # same tempfile+process-group-kill path as the legs — BENCH_r03 showed a
+    # wedged child can outlive subprocess.run's single-process SIGKILL and
+    # hang the pipe drain.
     plat = os.environ.get("BENCH_PLATFORM", "")
     probe_src = (
         "import jax\n"
         + ("jax.config.update('jax_platforms', %r)\n" % plat if plat else "")
-        + "print('DEVICES', len(jax.devices()))\n")
-    try:
-        probe = subprocess.run([py, "-c", probe_src], capture_output=True,
-                               text=True, timeout=240)
-        probe_ok = probe.returncode == 0 and "DEVICES" in (probe.stdout or "")
-        probe_err = (probe.stderr or "")[-200:]
-    except subprocess.TimeoutExpired:
-        probe_ok, probe_err = False, "device probe timed out after 240s"
-    if not probe_ok:
-        print(json.dumps({"metric": "bert_base_finetune_samples_per_sec_per_chip",
-                          "value": None, "unit": "samples/s/chip",
-                          "vs_baseline": None,
-                          "extras": {"error": "tpu_unavailable",
-                                     "probe": probe_err}}))
+        + "import json; print(json.dumps({'devices': len(jax.devices())}))\n")
+    probe = _run_leg_subprocess([py, "-c", probe_src], timeout=240)
+    if "devices" not in probe:
+        results["_stage"] = {"error": "tpu_unavailable",
+                             "probe": str(probe.get("error", ""))[:300]}
+        _emit(bert, results)
         return 1
+    del results["_stage"]
 
-    legs = {
-        "bert": [py, "bench.py", "--only", "bert"],
-        "e2e": [py, "bench.py", "--only", "e2e"],
-        "clip": [py, "bench.py", "--only", "clip"],
-        "clip_e2e": [py, "bench.py", "--only", "clip_e2e"],
-        "diffusion": [py, "bench.py", "--only", "diffusion"],
-        "decode": [py, "bench.py", "--only", "decode"],
-        "continuous": [py, "bench.py", "--only", "continuous"],
-    }
+    leg_timeout = int(os.environ.get("BENCH_LEG_TIMEOUT", "900"))
+    legs = [
+        ("bert", [py, os.path.join(here, "bench.py"), "--only", "bert"]),
+        ("e2e", [py, os.path.join(here, "bench.py"), "--only", "e2e"]),
+        ("clip", [py, os.path.join(here, "bench.py"), "--only", "clip"]),
+        ("clip_e2e",
+         [py, os.path.join(here, "bench.py"), "--only", "clip_e2e"]),
+        ("diffusion",
+         [py, os.path.join(here, "bench.py"), "--only", "diffusion"]),
+        ("decode", [py, os.path.join(here, "bench.py"), "--only", "decode"]),
+        ("continuous",
+         [py, os.path.join(here, "bench.py"), "--only", "continuous"]),
+    ]
     skip = set(filter(None, os.environ.get("BENCH_SKIP", "").split(",")))
-    results = {name: ({"error": "skipped"} if name in skip
-                      else _run_leg_subprocess(cmd))
-               for name, cmd in legs.items()}
+    for name, cmd in legs:
+        results[name] = ({"error": "skipped"} if name in skip
+                         else _run_leg_subprocess(cmd, timeout=leg_timeout))
+        if name == "bert" and "value" in results[name]:
+            bert = results[name]
+        # primary-leg-first: the bert number is on stdout the moment its leg
+        # finishes; later legs can only ADD extras, never lose it
+        _emit(bert, results)
 
-    bert = results["bert"]
-    if "value" not in bert:
-        # primary leg failed — emit the failure loudly and exit non-zero
-        print(json.dumps({"metric": "bert_base_finetune_samples_per_sec_per_chip",
-                          "value": None, "unit": "samples/s/chip",
-                          "vs_baseline": None, "extras": results}))
-        return 1
-
-    extras = {}
-    if "value" in results["e2e"]:
-        extras["bert_e2e_samples_per_sec_per_chip"] = results["e2e"]["value"]
-        extras["e2e_over_device_ratio"] = round(
-            results["e2e"]["value"] / bert["value"], 3)
-        extras["featurisation_samples_per_sec"] = results["e2e"].get(
-            "featurisation_samples_per_sec")
-    if "value" in results["clip"]:
-        extras["clip_train_pairs_per_sec_per_chip"] = results["clip"]["value"]
-    if "value" in results["clip_e2e"]:
-        extras["clip_e2e_train_pairs_per_sec_per_chip"] = \
-            results["clip_e2e"]["value"]
-        if "value" in results["clip"]:
-            extras["clip_e2e_over_device_ratio"] = round(
-                results["clip_e2e"]["value"] / results["clip"]["value"], 3)
-    if "value" in results["diffusion"]:
-        extras["sd_ddim50_cfg_images_per_min_per_chip"] = \
-            results["diffusion"]["value"]
-    if "value" in results["decode"]:
-        extras["gpt2_decode_tokens_per_sec_per_chip"] = \
-            results["decode"]["value"]
-        extras["speculative_decode_speedup"] = results["decode"].get(
-            "extras", {}).get("speculative_speedup")
-    if "value" in results["continuous"]:
-        extras["continuous_batching_tokens_per_sec"] = \
-            results["continuous"]["value"]
-        extras["continuous_over_coalesced_speedup"] = results[
-            "continuous"].get("extras", {}).get("completion_speedup")
-    failed = {k: v.get("error") for k, v in results.items() if "error" in v}
-    if failed:
-        extras["legs_failed"] = failed
-
-    print(json.dumps({
-        "metric": bert["metric"],
-        "value": bert["value"],
-        "unit": bert["unit"],
-        "vs_baseline": bert["vs_baseline"],
-        "extras": extras,
-    }))
-    return 0
+    return 0 if bert.get("value") is not None else 1
 
 
 if __name__ == "__main__":
