@@ -16,6 +16,12 @@ class CLIPPredictor(Predictor):
         self.image_col = second_sequence
         self.sequence_length = sequence_length
         self.image_size = app.config.vision_config.image_size
+        # honor per-checkpoint normalization overrides so the host float
+        # path matches the in-graph uint8 path (ViTEncoder) exactly
+        self.image_mean = getattr(app.config.vision_config, "image_mean",
+                                  None)
+        self.image_std = getattr(app.config.vision_config, "image_std",
+                                 None)
         self.app = app
         self.batch_size = batch_size
         keys = [("input_ids", np.int32), ("attention_mask", np.int32),
@@ -35,7 +41,9 @@ class CLIPPredictor(Predictor):
         out.update({k: np.asarray(v, np.int32) for k, v in enc.items()})
         if self.image_col and self.image_col in in_data:
             out["pixel_values"] = preprocess_base64_batch(
-                in_data[self.image_col], self.image_size).astype(np.float32)
+                in_data[self.image_col], self.image_size,
+                mean=self.image_mean,
+                std=self.image_std).astype(np.float32)
         return out
 
     def predict(self, in_data):

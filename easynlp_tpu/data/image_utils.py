@@ -51,8 +51,11 @@ def preprocess_image(img, image_size=224, mean=CLIP_MEAN, std=CLIP_STD):
     return normalize_clip_u8(resize_center_crop(img, image_size), mean, std)
 
 
-def preprocess_base64_batch(b64_list, image_size=224):
-    return np.stack([preprocess_image(decode_base64_image(b), image_size)
+def preprocess_base64_batch(b64_list, image_size=224, mean=None, std=None):
+    mean = CLIP_MEAN if mean is None else np.asarray(mean, np.float32)
+    std = CLIP_STD if std is None else np.asarray(std, np.float32)
+    return np.stack([preprocess_image(decode_base64_image(b), image_size,
+                                      mean, std)
                      for b in b64_list])
 
 

@@ -86,11 +86,14 @@ class ViTEncoder(BaseModule):
     def __call__(self, pixel_values, deterministic=True):
         c = self.config
         if jnp.issubdtype(pixel_values.dtype, jnp.integer):
-            mean = jnp.asarray(
-                getattr(c, "image_mean", None) or CLIP_IMAGE_MEAN,
-                jnp.float32)
-            std = jnp.asarray(
-                getattr(c, "image_std", None) or CLIP_IMAGE_STD, jnp.float32)
+            # explicit None checks: a config may store mean/std as an
+            # array (ambiguous truth value) or an all-zeros list (falsy)
+            m = getattr(c, "image_mean", None)
+            s = getattr(c, "image_std", None)
+            mean = jnp.asarray(CLIP_IMAGE_MEAN if m is None else m,
+                               jnp.float32)
+            std = jnp.asarray(CLIP_IMAGE_STD if s is None else s,
+                              jnp.float32)
             pixel_values = (pixel_values.astype(jnp.float32) / 255.0
                             - mean) / std
         b, hh, ww, ch = pixel_values.shape

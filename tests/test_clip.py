@@ -307,3 +307,44 @@ def test_uint8_pixels_normalized_in_graph(tmp_path):
     np.testing.assert_allclose(np.asarray(out_u8["image_embeds"]),
                                np.asarray(out_f32["image_embeds"]),
                                rtol=0, atol=1e-6)
+
+
+def test_clip_normalization_constants_single_source_of_truth():
+    """modeling_clip's in-graph constants must equal image_utils' host
+    constants (duplicated so modelzoo stays free of data-layer imports;
+    this pins them together — advisor round-3 finding)."""
+    from easynlp_tpu.data.image_utils import CLIP_MEAN, CLIP_STD
+    from easynlp_tpu.modelzoo.models.clip.modeling_clip import (
+        CLIP_IMAGE_MEAN, CLIP_IMAGE_STD)
+    # compare at float32 (the dtype both paths compute in; the literals
+    # differ only past float32 precision)
+    np.testing.assert_array_equal(
+        np.asarray(CLIP_IMAGE_MEAN, np.float32), np.asarray(CLIP_MEAN))
+    np.testing.assert_array_equal(
+        np.asarray(CLIP_IMAGE_STD, np.float32), np.asarray(CLIP_STD))
+
+
+def test_predictor_host_path_honors_config_mean_std(tmp_path):
+    """preprocess_base64_batch must thread per-checkpoint image_mean/std
+    overrides (advisor round-3 finding: host float path previously used
+    the hardcoded CLIP constants unconditionally)."""
+    import base64
+    import io
+
+    from PIL import Image
+
+    from easynlp_tpu.data.image_utils import preprocess_base64_batch
+
+    img = Image.fromarray(
+        (np.random.RandomState(0).rand(8, 8, 3) * 255).astype(np.uint8))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    b64 = base64.b64encode(buf.getvalue()).decode()
+    default = preprocess_base64_batch([b64], image_size=8)
+    custom = preprocess_base64_batch([b64], image_size=8,
+                                     mean=[0.5, 0.5, 0.5],
+                                     std=[0.5, 0.5, 0.5])
+    assert not np.allclose(default, custom)
+    u8 = np.asarray(img)
+    want = (u8.astype(np.float32) / 255.0 - 0.5) / 0.5
+    np.testing.assert_allclose(custom[0], want, atol=1e-6)
