@@ -224,6 +224,51 @@ class GLMSequenceGeneration(Application):
         from easynlp_tpu.modelzoo.models.glm.conversion import convert_glm
         return {"glm": convert_glm(state_dict, config)}
 
+    def stream_logits(self, input_ids, attention_mask=None,
+                      segment_length=64, mem_length=None):
+        """Long-context causal scoring with Transformer-XL segment memories
+        (reference --mem-length, mg_utils/train_utils.py:325-334 /
+        mpu_transformer.py:854-867): the sequence streams through ONE
+        compiled segment forward, each segment attending to the last
+        `mem_length` positions of prior segments via layer-input memories.
+        Reproduces a mem-trained reference GLM checkpoint's inference
+        behavior; returns [B, T, V] logits (T padded up to a segment
+        multiple is the caller's concern — T must divide by
+        segment_length)."""
+        import jax
+
+        ids = jnp.asarray(input_ids)
+        b, t = ids.shape
+        if t % segment_length:
+            raise ValueError("sequence length %d must divide into "
+                             "segment_length %d" % (t, segment_length))
+        mem_length = int(mem_length if mem_length is not None
+                         else getattr(self.config, "max_memory_length", 0)
+                         or segment_length)
+        mask = jnp.asarray(attention_mask) if attention_mask is not None \
+            else jnp.ones((b, t), jnp.int32)
+        mems = self.module.init_mems(b, mem_length)
+
+        @jax.jit
+        def seg_fn(params, seg_ids, seg_mask, offset, mems):
+            pos = offset + jnp.arange(seg_ids.shape[1])[None]
+            out = self.module.apply(
+                {"params": params}, input_ids=seg_ids,
+                position_ids=jnp.broadcast_to(pos, seg_ids.shape),
+                block_position_ids=jnp.zeros_like(seg_ids),
+                prefix_lengths=jnp.zeros((b,), jnp.int32),
+                attention_mask=seg_mask, mems=mems, deterministic=True)
+            return out["logits"].astype(jnp.float32), out["mems"]
+
+        chunks = []
+        for off in range(0, t, segment_length):
+            seg_logits, mems = seg_fn(
+                self.params, ids[:, off:off + segment_length],
+                mask[:, off:off + segment_length],
+                jnp.int32(off), mems)
+            chunks.append(seg_logits)
+        return jnp.concatenate(chunks, axis=1)
+
     def generate(self, src_ids, src_mask, max_length=32, gmask_id=1,
                  sop_id=2, eop_id=3, pad_id=0, num_beams=1, do_sample=False,
                  **kwargs):

@@ -72,36 +72,58 @@ def _ln(config, name=None):
 
 class GLMBlock(nn.Module):
     """Pre-LN block; carry = (hidden, attn_bias, cache_index),
-    xs = per-layer (k, v) cache or None (decode path mirrors
-    models/gpt2/modeling_gpt2.py)."""
+    xs = per-layer (k, v) cache, {"mem": [B, M, E]} Transformer-XL segment
+    memories, or None (decode path mirrors models/gpt2/modeling_gpt2.py)."""
 
     config: Any
     dtype: Any = jnp.float32
     deterministic: bool = True
 
     @nn.compact
-    def __call__(self, carry, layer_cache=None):
+    def __call__(self, carry, xs=None):
         hidden, bias, cache_index = carry
+        layer_cache = mem = None
+        if isinstance(xs, dict):
+            mem = xs.get("mem")
+        elif xs is not None:
+            layer_cache = xs
         c = self.config
         h = c.num_attention_heads
         d = c.hidden_size // h
         b, s, _e = hidden.shape
-        normed = _ln(c, name="input_layernorm")(hidden).astype(self.dtype)
-        qkv = _dense(3 * h * d, c, ("embed", "joined_kv"), dtype=self.dtype,
-                     name="qkv")(normed).reshape(b, s, 3, h, d)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-        if layer_cache is None:
-            ctx = attention(q, k, v, bias=bias)
-            new_cache = None
+        in_ln = _ln(c, name="input_layernorm")
+        normed = in_ln(hidden).astype(self.dtype)
+        qkv_dense = _dense(3 * h * d, c, ("embed", "joined_kv"),
+                           dtype=self.dtype, name="qkv")
+        if mem is not None:
+            # Transformer-XL memories (reference mpu_transformer.py:77-78,
+            # 264-270): the PREVIOUS segments' layer-input hiddens pass
+            # through this layer's input LN and the shared qkv projection;
+            # queries cover only the current segment, K/V cover [mem; cur]
+            m_len = mem.shape[1]
+            cat = jnp.concatenate(
+                [in_ln(mem).astype(self.dtype), normed], axis=1)
+            qkv = qkv_dense(cat).reshape(b, m_len + s, 3, h, d)
+            q, k, v = qkv[:, -s:, 0], qkv[:, :, 1], qkv[:, :, 2]
+            ctx = attention(q, k, v, bias=bias)  # bias [B, 1, S, M+S]
+            # ys carries this layer's INPUT hidden — the next segment's mem
+            new_cache = {"h_in": hidden}
         else:
-            k_cache, v_cache = layer_cache
-            k_cache = jax.lax.dynamic_update_slice(
-                k_cache, k.astype(k_cache.dtype), (0, cache_index, 0, 0))
-            v_cache = jax.lax.dynamic_update_slice(
-                v_cache, v.astype(v_cache.dtype), (0, cache_index, 0, 0))
-            # bias here is [B, 1, S_q, T_cache] over the full cache buffer
-            ctx = attention(q, k_cache, v_cache, bias=bias)
-            new_cache = (k_cache, v_cache)
+            qkv = qkv_dense(normed).reshape(b, s, 3, h, d)
+            q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+            if layer_cache is None:
+                ctx = attention(q, k, v, bias=bias)
+                new_cache = None
+            else:
+                k_cache, v_cache = layer_cache
+                k_cache = jax.lax.dynamic_update_slice(
+                    k_cache, k.astype(k_cache.dtype), (0, cache_index, 0, 0))
+                v_cache = jax.lax.dynamic_update_slice(
+                    v_cache, v.astype(v_cache.dtype), (0, cache_index, 0, 0))
+                # bias here is [B, 1, S_q, T_cache] over the full cache
+                # buffer
+                ctx = attention(q, k_cache, v_cache, bias=bias)
+                new_cache = (k_cache, v_cache)
         attn_out = _dense(c.hidden_size, c, ("joined_kv", "embed"),
                           dtype=self.dtype, name="dense")(
             ctx.reshape(b, s, h * d))
@@ -150,10 +172,24 @@ class GLMModel(BaseModule):
             "mask": jnp.zeros((batch_size, max_length), jnp.int32),
         }
 
+    def init_mems(self, batch_size, mem_length=None, dtype=None):
+        """Empty Transformer-XL segment memories: per-layer INPUT hiddens of
+        prior segments (reference mpu_transformer.py:799-867) with a
+        validity mask — static [L, B, M, E] shapes so segments stream
+        through one compiled program."""
+        c = self.config
+        m = int(mem_length if mem_length is not None
+                else c.max_memory_length)
+        return {
+            "h": jnp.zeros((c.num_layers, batch_size, m, c.hidden_size),
+                           dtype or self.dtype),
+            "mask": jnp.zeros((batch_size, m), jnp.int32),
+        }
+
     @nn.compact
     def __call__(self, input_ids, position_ids=None, block_position_ids=None,
                  prefix_lengths=None, attention_mask=None, cache=None,
-                 deterministic=True):
+                 mems=None, deterministic=True):
         c = self.config
         b, s = input_ids.shape
         init = truncated_normal_init(c.initializer_range)
@@ -192,6 +228,17 @@ class GLMModel(BaseModule):
                     bias, -1e30)
             xs = None
             cache_index = jnp.zeros((), jnp.int32)
+            if mems is not None:
+                # memory key columns are fully visible wherever valid
+                # (reference build_mask_matrix prepends ones over
+                # memory_length, mpu_transformer.py:769-772)
+                m_len = mems["h"].shape[2]
+                mem_bias = jnp.where(
+                    mems["mask"][:, None, None, :].astype(bool), 0.0, -1e30)
+                bias = jnp.concatenate(
+                    [jnp.broadcast_to(mem_bias, (b, 1, s, m_len)), bias],
+                    axis=-1)
+                xs = {"mem": mems["h"].astype(self.dtype)}
         else:
             # bias over the full cache buffer: a key slot is visible if it
             # has been written (cache mask) and sits in the bidirectional
@@ -224,6 +271,21 @@ class GLMModel(BaseModule):
         if cache is not None:
             out["cache"] = {"k": new_caches[0], "v": new_caches[1],
                             "index": cache_index + s, "mask": cache["mask"]}
+        if mems is not None:
+            # slide the window: keep the last M of [old mems; this segment's
+            # layer inputs] (reference update_mems, mpu_transformer.py:
+            # 854-867) — static shapes, so one compiled program per stream
+            m_len = mems["h"].shape[2]
+            seg_mask = attention_mask.astype(jnp.int32) if attention_mask \
+                is not None else jnp.ones((b, s), jnp.int32)
+            out["mems"] = {
+                "h": jnp.concatenate(
+                    [mems["h"], new_caches["h_in"].astype(mems["h"].dtype)],
+                    axis=2)[:, :, -m_len:] if m_len else mems["h"],
+                "mask": jnp.concatenate(
+                    [mems["mask"], seg_mask], axis=-1)[:, -m_len:]
+                if m_len else mems["mask"],
+            }
         return out
 
 
@@ -249,11 +311,23 @@ class GLMForConditionalGeneration(BaseModule):
             "mask": jnp.zeros((batch_size, max_length), jnp.int32),
         }
 
+    def init_mems(self, batch_size, mem_length=None, dtype=None):
+        # standalone (usable before setup/apply), mirrors GLMModel.init_mems
+        c = self.config
+        m = int(mem_length if mem_length is not None
+                else c.max_memory_length)
+        return {
+            "h": jnp.zeros((c.num_layers, batch_size, m, c.hidden_size),
+                           dtype or self.dtype),
+            "mask": jnp.zeros((batch_size, m), jnp.int32),
+        }
+
     def __call__(self, input_ids, position_ids=None, block_position_ids=None,
                  prefix_lengths=None, attention_mask=None, cache=None,
-                 deterministic=True):
+                 mems=None, deterministic=True):
         out = self.glm(input_ids, position_ids, block_position_ids,
-                       prefix_lengths, attention_mask, cache, deterministic)
+                       prefix_lengths, attention_mask, cache, mems,
+                       deterministic)
         wte = nn.unbox(
             self.glm.variables["params"]["word_embeddings"]["embedding"])
         logits = jnp.einsum("bse,ve->bsv", out["last_hidden_state"],

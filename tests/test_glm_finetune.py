@@ -159,3 +159,60 @@ def test_glm_speculative_token_exact():
                                    speculative="prompt_lookup",
                                    num_draft_tokens=3, **kw))
     np.testing.assert_array_equal(spec, ref)
+
+
+def test_glm_transformer_xl_mems_segment_parity():
+    """Two segments streamed with Transformer-XL memories must reproduce the
+    full-sequence causal forward exactly (mems carry each layer's input
+    hiddens; reference mpu_transformer.py:854-867): the round-4 parity
+    check for mem-trained reference GLM checkpoints."""
+    app = _app()
+    module, params = app.module, app.params
+    rng = np.random.RandomState(0)
+    ids = jnp.asarray(rng.randint(4, 26, (2, 16)), jnp.int32)
+
+    # full pass: causal (prefix 0), absolute positions
+    full = module.apply(
+        {"params": params}, input_ids=ids,
+        position_ids=jnp.broadcast_to(jnp.arange(16)[None], (2, 16)),
+        block_position_ids=jnp.zeros((2, 16), jnp.int32),
+        prefix_lengths=jnp.zeros((2,), jnp.int32),
+        deterministic=True)["logits"]
+
+    streamed = app.stream_logits(ids, segment_length=8, mem_length=8)
+    np.testing.assert_allclose(np.asarray(streamed), np.asarray(full),
+                               atol=2e-5)
+
+
+def test_glm_mems_sliding_window_mask():
+    """mem window smaller than the history: memories stay right-aligned
+    (most recent positions) and the mask fills up then saturates."""
+    app = _app()
+    module, params = app.module, app.params
+    ids = jnp.asarray([[5, 6, 7, 8]], jnp.int32)
+    mems = module.init_mems(1, 6)
+    assert mems["h"].shape == (2, 1, 6, 32)
+    np.testing.assert_array_equal(np.asarray(mems["mask"]), 0)
+
+    out = module.apply(
+        {"params": params}, input_ids=ids,
+        position_ids=jnp.arange(4)[None],
+        block_position_ids=jnp.zeros((1, 4), jnp.int32),
+        prefix_lengths=jnp.zeros((1,), jnp.int32),
+        mems=mems, deterministic=True)
+    m1 = out["mems"]
+    np.testing.assert_array_equal(np.asarray(m1["mask"]),
+                                  [[0, 0, 1, 1, 1, 1]])
+    out = module.apply(
+        {"params": params}, input_ids=ids,
+        position_ids=(4 + jnp.arange(4))[None],
+        block_position_ids=jnp.zeros((1, 4), jnp.int32),
+        prefix_lengths=jnp.zeros((1,), jnp.int32),
+        mems=m1, deterministic=True)
+    m2 = out["mems"]
+    np.testing.assert_array_equal(np.asarray(m2["mask"]), 1)
+    # the window slid: m1 held [0,0,s1_0..s1_3]; after segment 2's four
+    # tokens the oldest four slots (two zeros + s1_0, s1_1) dropped, so
+    # m2[:2] are m1's slots 4..5 (= s1_2, s1_3) and the rest is segment 2
+    np.testing.assert_allclose(np.asarray(m2["h"][:, :, :2]),
+                               np.asarray(m1["h"][:, :, 4:6]), atol=0)
