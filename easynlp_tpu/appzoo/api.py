@@ -61,6 +61,9 @@ DATASET_REGISTRY = {
         "enable_dkplm": _lazy(
             "easynlp_tpu.appzoo.language_modeling.dkplm_data",
             "DKPLMPretrainDataset"),
+        "enable_glm": _lazy(
+            "easynlp_tpu.appzoo.language_modeling.glm_pretrain",
+            "GLMPretrainDataset"),
     },
     "vectorization": {
         "default": _lazy("easynlp_tpu.appzoo.sequence_classification.data",
@@ -164,6 +167,8 @@ MODEL_REGISTRY = {
         "enable_dkplm": _lazy(
             "easynlp_tpu.appzoo.language_modeling.model",
             "DKPLMLanguageModeling"),
+        "enable_glm": _lazy("easynlp_tpu.appzoo.sequence_generation.glm",
+                            "GLMSequenceGeneration"),
     },
     "vectorization": {
         "default": _lazy("easynlp_tpu.appzoo.feature_vectorization.model",
@@ -249,6 +254,9 @@ EVALUATOR_REGISTRY = {
     "language_modeling": {
         "default": _lazy("easynlp_tpu.appzoo.language_modeling.evaluator",
                          "LanguageModelingEvaluator"),
+        "enable_glm": _lazy(
+            "easynlp_tpu.appzoo.language_modeling.glm_pretrain",
+            "GLMPretrainEvaluator"),
     },
     "machine_reading_comprehension": {
         "default": _lazy(
