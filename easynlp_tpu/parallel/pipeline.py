@@ -22,7 +22,8 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 
 def gpipe(stage_fn, stacked_params, x, mesh, num_microbatches,
-          stage_axis="pipeline", batch_axes=("data", "fsdp")):
+          stage_axis="pipeline", batch_axes=("data", "fsdp"),
+          param_specs=None):
     """Run x through S pipeline stages: y = f_{S-1}(... f_0(x)).
 
     stage_fn(params_slab, x_microbatch) -> same-shape activation, where
@@ -31,6 +32,11 @@ def gpipe(stage_fn, stacked_params, x, mesh, num_microbatches,
     directly; for one layer per stage the slab dim is 1).
     stacked_params: pytree, every leaf [L, ...] with L divisible by S.
     x: [B, ...] global batch; B must divide into num_microbatches.
+    param_specs: optional pytree of PartitionSpecs (leading axis must be
+    the stage axis) for composing tensor parallelism INSIDE a stage —
+    leaves sharded over further axes arrive in stage_fn as local shards
+    and stage_fn performs its own collectives (all_gather/psum over the
+    extra axis), shard_map style. Default: P(stage_axis) on every leaf.
     Returns y [B, ...].
 
     Schedule: classic GPipe fill+drain — tick t has stage s working on
@@ -97,8 +103,9 @@ def gpipe(stage_fn, stacked_params, x, mesh, num_microbatches,
         outputs = jax.lax.psum(outputs, stage_axis)
         return outputs.reshape(x_local.shape)
 
-    param_specs = jax.tree.map(
-        lambda _: P(stage_axis), stacked_params)
+    if param_specs is None:
+        param_specs = jax.tree.map(
+            lambda _: P(stage_axis), stacked_params)
     wrapped = shard_map(
         inner, mesh=mesh,
         in_specs=(param_specs, P(batch)),
