@@ -143,6 +143,7 @@ class ContinuousBatcher:
         self._lock = threading.Lock()
         self._stop = threading.Event()
         self._wake = threading.Event()
+        self._dead: Optional[BaseException] = None
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 
@@ -158,7 +159,17 @@ class ContinuousBatcher:
                 "construct the batcher with a larger prompt_buckets entry"
                 % (len(ids), self.buckets[-1]))
         req = _Pending(ids, max_new_tokens)
+        if self._dead is not None:
+            # scheduler already crashed: fail fast instead of letting the
+            # caller block until its result() timeout
+            req.error = self._dead
+            req.event.set()
+            return req
         self._queue.put(req)
+        # re-check AFTER enqueue: a crash between the check above and the
+        # put() would otherwise strand this request past _fail_all's drain
+        if self._dead is not None:
+            self._fail_all(self._dead)
         self._wake.set()
         return req
 
@@ -282,6 +293,7 @@ class ContinuousBatcher:
         try:
             self._run_loop()
         except BaseException as exc:  # noqa: B902 — deliver to waiters
+            self._dead = exc
             self._fail_all(exc)
 
     def _consume(self, toks, snapshot):

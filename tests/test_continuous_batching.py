@@ -90,3 +90,87 @@ def test_continuous_eos_and_slot_reuse():
             assert out == ref_until_eos or out == ref, (out, ref_until_eos)
     finally:
         batcher.stop()
+
+
+def test_scheduler_death_under_concurrent_load_fails_fast():
+    """Round-4 stress drill: N threads of mixed-length requests, the
+    scheduler dies mid-decode (poisoned _step). Every in-flight AND queued
+    request must fail promptly (no caller hangs), no slot may leak, and
+    post-crash submits must fail fast instead of blocking."""
+    import time
+
+    m, params = _tiny_model()
+    batcher = ContinuousBatcher(m, params, max_slots=2, max_length=64,
+                                prompt_buckets=(16,), pad_token_id=0)
+    real_step = batcher._step
+    calls = {"n": 0}
+
+    def poisoned(params, state, active, remaining):
+        calls["n"] += 1
+        if calls["n"] > 2:   # let a couple of chunks decode, then die
+            raise RuntimeError("injected scheduler death")
+        return real_step(params, state, active, remaining)
+
+    batcher._step = poisoned
+    prompts = [[5, 6, 7], [11, 23, 42, 9], [9, 10], [50, 60],
+               [3, 1, 4, 1, 5], [2, 7, 1, 8, 2, 8]]
+    outcomes = [None] * len(prompts)
+
+    def fire(i):
+        t0 = time.time()
+        try:
+            # far more tokens than 2 chunks can produce -> mid-decode death
+            batcher(prompts[i], max_new_tokens=40)
+            outcomes[i] = ("ok", time.time() - t0)
+        except RuntimeError:
+            outcomes[i] = ("failed", time.time() - t0)
+
+    threads = [threading.Thread(target=fire, args=(i,))
+               for i in range(len(prompts))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=90)
+        assert not t.is_alive(), "caller hung after scheduler death"
+
+    assert any(o[0] == "failed" for o in outcomes), outcomes
+    for kind, dt in outcomes:
+        assert dt < 60, "request neither finished nor failed fast"
+    # slots must not leak occupants
+    assert all(o is None for o in batcher._occupants)
+    # post-crash submit fails immediately (no hang until result() timeout)
+    import pytest as _pytest
+    t0 = time.time()
+    with _pytest.raises(RuntimeError):
+        batcher.submit([1, 2, 3], max_new_tokens=4).result(timeout=5)
+    assert time.time() - t0 < 5
+    batcher._step = real_step
+    batcher.stop()
+
+
+def test_result_timeout_mid_decode_keeps_batcher_alive():
+    """A caller timing out on .result() must not poison the batcher: the
+    generation still completes, the same handle resolves afterwards, and
+    fresh requests keep working."""
+    m, params = _tiny_model()
+    # chunk_size=1 -> many host round-trips, so a tiny timeout reliably
+    # fires mid-decode
+    batcher = ContinuousBatcher(m, params, max_slots=2, max_length=96,
+                                prompt_buckets=(16,), pad_token_id=0,
+                                chunk_size=1)
+    try:
+        req = batcher.submit([5, 6, 7, 5, 6, 7], max_new_tokens=60)
+        import pytest as _pytest
+        with _pytest.raises(TimeoutError):
+            req.result(timeout=0.001)
+        # the decode was unaffected: same handle resolves with the full,
+        # token-exact sequence
+        out = req.result(timeout=600)
+        ref = _standalone_greedy(m, params, [5, 6, 7, 5, 6, 7], 60)[:60]
+        assert out == ref
+        # batcher still serves new requests after the timeout episode
+        out2 = batcher([9, 10], max_new_tokens=5)
+        ref2 = _standalone_greedy(m, params, [9, 10], 5)[:5]
+        assert out2 == ref2
+    finally:
+        batcher.stop()
