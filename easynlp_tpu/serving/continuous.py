@@ -31,7 +31,7 @@ import numpy as np
 
 class _Pending:
     __slots__ = ("ids", "max_new_tokens", "event", "tokens", "slot",
-                 "index0", "error")
+                 "index0", "dispatched", "error")
 
     def __init__(self, ids, max_new_tokens):
         self.ids = ids
@@ -40,6 +40,10 @@ class _Pending:
         self.tokens: List[int] = []
         self.slot = -1
         self.index0 = 0
+        # decode steps ISSUED to the device (>= len(tokens) while results
+        # are in flight): budget gating keys off this so the pipelined
+        # scheduler never over-dispatches past max_new_tokens
+        self.dispatched = 0
         self.error: Optional[BaseException] = None
 
     def result(self, timeout=None) -> List[int]:
@@ -59,7 +63,7 @@ class ContinuousBatcher:
 
     def __init__(self, module, params, max_slots=4, max_length=128,
                  prompt_buckets=(16, 32, 64), eos_token_id=None,
-                 pad_token_id=0, chunk_size=8):
+                 pad_token_id=0, chunk_size=8, pipeline_depth=2):
         from easynlp_tpu.modelzoo.quantization import dequantize_params
         self.module = module
         self.params = params
@@ -74,6 +78,12 @@ class ContinuousBatcher:
         # their cache rows stop advancing (trailing in-chunk tokens for a
         # finished slot are never consumed by the host).
         self.chunk = max(1, int(chunk_size))
+        # dispatches allowed in flight before the oldest result is fetched:
+        # depth >= 2 hides the full dispatch+sync round-trip behind device
+        # compute (the device queue never drains while the host processes
+        # results), at the cost of slot retirement/refill lagging by up to
+        # depth-1 chunks. depth=1 = classic dispatch-then-sync.
+        self.pipeline_depth = max(1, int(pipeline_depth))
         self.buckets = tuple(sorted(b for b in prompt_buckets
                                     if b < max_length))
         assert self.buckets, "need at least one prompt bucket < max_length"
@@ -250,13 +260,18 @@ class ContinuousBatcher:
         return fn
 
     def _admit_wave(self, wave):
-        """Admit a list of (req, slot) pairs: one dispatch + one host sync
-        per prompt bucket represented in the wave."""
+        """Admit a list of (req, slot) pairs: one DISPATCH per prompt bucket
+        represented in the wave, NO host sync — the first-token fetch rides
+        the pipelined result stream (consumed in dispatch order with the
+        chunk results), so an admit costs the scheduler nothing while the
+        device is busy. Slot occupancy and budgets update here, at dispatch
+        time. Returns the in-flight items to consume later."""
         from easynlp_tpu.modelzoo.generation_utils import left_pad
         by_bucket: Dict[int, list] = {}
         for req, slot in wave:
             by_bucket.setdefault(self._bucket(len(req.ids)), []).append(
                 (req, slot))
+        items = []
         for p, group in by_bucket.items():
             taken = [slot for _, slot in group]
             spare = [s for s in range(self.slots) if s not in taken]
@@ -269,16 +284,24 @@ class ContinuousBatcher:
                 self.params, self._state, jnp.asarray(ids),
                 jnp.asarray(mask), jnp.asarray(sidx, jnp.int32),
                 jnp.asarray(valid))
-            first = np.asarray(first)  # ONE sync for the whole group
-            for i, (req, slot) in enumerate(group):
-                first_tok = int(first[i])
-                req.tokens.append(first_tok)
+            for req, slot in group:
                 self._occupants[slot] = req
                 req.slot = slot
                 req.index0 = p
-                if (self.eos is not None and first_tok == self.eos) \
-                        or req.max_new_tokens <= 1:
-                    self._finish(slot)
+                req.dispatched = 1  # the prefill's first token
+            items.append(("admit", first, list(group)))
+        return items
+
+    def _consume_admit(self, first, group):
+        first = np.asarray(first)  # one sync for the whole bucket group
+        for i, (req, slot) in enumerate(group):
+            if self._occupants[slot] is not req:
+                continue
+            first_tok = int(first[i])
+            req.tokens.append(first_tok)
+            if (self.eos is not None and first_tok == self.eos) \
+                    or req.max_new_tokens <= 1:
+                self._finish(slot)
 
     def _finish(self, slot: int):
         req = self._occupants[slot]
@@ -296,17 +319,25 @@ class ContinuousBatcher:
             self._dead = exc
             self._fail_all(exc)
 
-    def _consume(self, toks, snapshot):
-        """Apply one chunk's tokens to the requests occupying the slots AT
-        DISPATCH TIME (`snapshot`). A slot retired-then-refilled since then
-        fails the identity check and the stale rows are skipped — they are
-        the deactivated scan's post-EOS garbage, never the new occupant's."""
+    def _consume(self, item):
+        """Apply one in-flight result. Chunk tokens go to the requests
+        occupying the slots AT DISPATCH TIME (`snapshot`); a slot
+        retired-then-refilled since then fails the identity check and the
+        stale rows are skipped — they are the deactivated scan's post-EOS
+        garbage, never the new occupant's."""
+        kind = item[0]
+        if kind == "admit":
+            self._consume_admit(item[1], item[2])
+            return
+        _, toks, snapshot = item
         toks = np.asarray(toks)  # [chunk, SLOTS] — the only per-chunk sync
         for k in range(toks.shape[0]):
             for slot in range(self.slots):
                 req = snapshot[slot]
                 if req is None or self._occupants[slot] is not req:
                     continue
+                if len(req.tokens) >= req.max_new_tokens:
+                    continue  # stale over-dispatch past an EOS'd budget
                 tok = int(toks[k, slot])
                 req.tokens.append(tok)
                 # host mirrors the slot write index: index0 + steps taken
@@ -317,18 +348,26 @@ class ContinuousBatcher:
                     self._finish(slot)
 
     def _run_loop(self):
-        # One-chunk pipelining: chunk k+1 is dispatched BEFORE chunk k's
-        # tokens are fetched, so the host round-trip hides behind device
-        # compute. Bookkeeping passed to chunk k+1 is then one chunk stale:
-        # a slot the host retires while consuming chunk k was stepped as
-        # active in k+1 — its extra tokens are never consumed, its cache
-        # rows are fully rewritten on the next admit, and the in-scan
-        # cache-end guard bounds the overrun. Consumed tokens stay exactly
-        # the standalone greedy sequence (stale budgets only ever OVER-
-        # produce; EOS/cache-end deactivation is computed in-scan).
-        pending = None  # (token futures, occupant snapshot) of chunk k
+        # Issue-ahead pipelining: up to `pipeline_depth` dispatches (admit
+        # prefills AND decode chunks) stay in flight before the oldest
+        # result is fetched, so every host round-trip hides behind device
+        # compute — the device queue never drains while the host processes
+        # results. Bookkeeping passed to a later dispatch is then up to
+        # depth-1 chunks stale:
+        # - budgets never over-run: gating keys off `dispatched` (steps
+        #   ISSUED), which the host advances at dispatch time, and the
+        #   in-scan `remaining` countdown mirrors it on-device;
+        # - a slot whose EOS the host has not consumed yet IS re-stepped as
+        #   active — its extra tokens are dropped by _consume's snapshot
+        #   identity + budget checks, its cache rows are fully rewritten on
+        #   the next admit, and the in-scan cache-end guard bounds the
+        #   overrun. Consumed tokens stay exactly the standalone greedy
+        #   sequence (staleness only ever OVER-produces).
+        from collections import deque
+        inflight: "deque" = deque()
         while not self._stop.is_set():
-            # admit waiting requests into free slots (batched per bucket)
+            # admit waiting requests into free slots (batched per bucket,
+            # dispatch-only — first tokens join the result stream)
             wave = []
             for slot in range(self.slots):
                 if self._occupants[slot] is not None:
@@ -338,23 +377,264 @@ class ContinuousBatcher:
                 except queue.Empty:
                     break
             if wave:
-                self._admit_wave(wave)
-            if not any(o is not None for o in self._occupants):
-                if pending is not None:
-                    self._consume(*pending)
-                    pending = None
-                    continue
-                self._wake.wait(timeout=0.05)
-                self._wake.clear()
+                inflight.extend(self._admit_wave(wave))
+            # dispatch one decode chunk over the slots with budget left
+            active_flags = [
+                req is not None and req.dispatched < req.max_new_tokens
+                and req.index0 + req.dispatched < self.max_length - 1
+                for req in self._occupants]
+            if any(active_flags):
+                remaining = np.asarray(
+                    [(req.max_new_tokens - req.dispatched)
+                     if is_a else 0
+                     for req, is_a in zip(self._occupants, active_flags)],
+                    np.int32)
+                self._state, toks = self._step(
+                    self.params, self._state, jnp.asarray(active_flags),
+                    jnp.asarray(remaining))
+                snapshot = [req if is_a else None for req, is_a
+                            in zip(self._occupants, active_flags)]
+                for req, is_a in zip(self._occupants, active_flags):
+                    if is_a:
+                        req.dispatched = min(req.dispatched + self.chunk,
+                                             req.max_new_tokens)
+                inflight.append(("chunk", toks, snapshot))
+            elif not inflight:
+                # nothing running, nothing pending: wait for a submit
+                if not wave:
+                    self._wake.wait(timeout=0.05)
+                    self._wake.clear()
                 continue
-            active_flags = [o is not None for o in self._occupants]
-            remaining = np.asarray(
-                [(req.max_new_tokens - len(req.tokens)) if req is not None
-                 else 0 for req in self._occupants], np.int32)
-            self._state, toks = self._step(
-                self.params, self._state, jnp.asarray(active_flags),
-                jnp.asarray(remaining))
-            snapshot = list(self._occupants)
-            if pending is not None:
-                self._consume(*pending)
-            pending = (toks, snapshot)
+            # drain down to the pipeline depth; when every occupant has
+            # exhausted its dispatch budget the loop above stops issuing,
+            # so fully drain to learn the outcomes
+            limit = self.pipeline_depth if any(active_flags) else 0
+            while len(inflight) > limit:
+                self._consume(inflight.popleft())
+
+
+class DeviceContinuousDecoder:
+    """Device-resident continuous batching for offline / batch generation.
+
+    The ENTIRE mixed-length workload — slot admission (in-loop prefill),
+    chunked greedy decode, EOS/budget retirement, and slot refill — runs
+    inside one jitted ``lax.while_loop``: ONE device dispatch per call, so
+    throughput is device-bound no matter how slow the host link is (the
+    thread-based ContinuousBatcher pays a host round-trip per chunk; through
+    a high-latency link that dominates). Same token-exactness guarantee:
+    each request's output equals standalone greedy decoding of its prompt.
+
+    Use this for batch/offline inference (the whole request set is known up
+    front); use ContinuousBatcher for online streaming arrivals.
+    """
+
+    def __init__(self, module, params, max_slots=8, max_length=128,
+                 prompt_bucket=32, eos_token_id=None, pad_token_id=0,
+                 chunk_size=16):
+        from easynlp_tpu.modelzoo.quantization import dequantize_params
+        assert prompt_bucket < max_length
+        self.module = module
+        self.params = params
+        self.slots = int(max_slots)
+        self.max_length = int(max_length)
+        self.bucket = int(prompt_bucket)
+        self.eos = eos_token_id
+        self.pad = pad_token_id
+        self.chunk = max(1, int(chunk_size))
+        self._dq = dequantize_params
+        self._fn_cache: Dict[Any, Any] = {}
+
+    def __call__(self, prompts, max_new_tokens):
+        """prompts: list of token-id lists (each <= prompt_bucket);
+        max_new_tokens: int or per-request list. Returns a list of
+        generated-token lists (EOS included, as in ContinuousBatcher)."""
+        from easynlp_tpu.modelzoo.generation_utils import left_pad
+        n = len(prompts)
+        if n == 0:
+            return []
+        budgets = ([int(max_new_tokens)] * n
+                   if np.isscalar(max_new_tokens)
+                   else [int(b) for b in max_new_tokens])
+        for ids in prompts:
+            if len(ids) > self.bucket:
+                raise ValueError(
+                    "prompt length %d exceeds prompt_bucket %d"
+                    % (len(ids), self.bucket))
+        g = max(max(budgets), 1)
+        g = min(g, self.max_length - 1)
+        # pad N up to a multiple of SLOTS to bound distinct compile shapes
+        n_pad = -(-n // self.slots) * self.slots
+        rows = [list(p) for p in prompts] + [[self.pad]] * (n_pad - n)
+        ids, mask = left_pad(rows, pad_token_id=self.pad, length=self.bucket)
+        bud = np.zeros(n_pad + 1, np.int32)  # +1 = scatter-sink row
+        bud[:n] = np.minimum(budgets, g)
+        ids = np.concatenate([np.asarray(ids, np.int32),
+                              np.zeros((1, self.bucket), np.int32)])
+        mask = np.concatenate([np.asarray(mask, np.int32),
+                               np.zeros((1, self.bucket), np.int32)])
+        fn = self._get_fn(n_pad, g)
+        out, counts = fn(self.params, jnp.asarray(ids), jnp.asarray(mask),
+                         jnp.asarray(bud))
+        out = np.asarray(out)
+        counts = np.asarray(counts)
+        return [out[i, :counts[i]].tolist() for i in range(n)]
+
+    def _get_fn(self, n, g):
+        key = (n, g)
+        fn = self._fn_cache.get(key)
+        if fn is None:
+            fn = jax.jit(self._build(n, g))
+            self._fn_cache[key] = fn
+        return fn
+
+    def _build(self, n, g):
+        module, s, t, p = self.module, self.slots, self.max_length, \
+            self.bucket
+        eos, pad, n_chunk = self.eos, self.pad, self.chunk
+        sink = n  # scatter-sink row index in out/written
+
+        def run(params, ids, mask, budgets):
+            dparams = self._dq(params)
+            c = module.config
+            heads, dim = c.n_head, c.n_embd // c.n_head
+            bidx = jnp.arange(s)
+            state = {
+                "k": jnp.zeros((c.n_layer, s, t, heads, dim), module.dtype),
+                "v": jnp.zeros((c.n_layer, s, t, heads, dim), module.dtype),
+                "mask": jnp.zeros((s, t), jnp.int32),
+                "index": jnp.zeros((s,), jnp.int32),
+                "last": jnp.full((s,), pad, jnp.int32),
+            }
+            carry0 = {
+                "state": state,
+                "slot_req": jnp.full((s,), sink, jnp.int32),
+                "active": jnp.zeros((s,), bool),
+                "remaining": jnp.zeros((s,), jnp.int32),
+                "produced": jnp.zeros((s,), jnp.int32),
+                "next_req": jnp.int32(0),
+                "out": jnp.full((n + 1, g), pad, jnp.int32),
+                "written": jnp.zeros((n + 1,), jnp.int32),
+            }
+
+            def admit(carry):
+                """Prefill the next waiting requests into the free slots:
+                the in-loop equivalent of ContinuousBatcher._admit_fn."""
+                state = carry["state"]
+                free = ~carry["active"]
+                order = jnp.cumsum(free.astype(jnp.int32)) - 1
+                want = free & (carry["next_req"] + order < n)
+                reqi = jnp.where(want, carry["next_req"] + order, sink)
+                rows, rmask = ids[reqi], mask[reqi]
+                cache0 = module.init_cache(s, p, dtype=module.dtype)
+                cache0["mask"] = rmask
+                outp = module.apply(
+                    {"params": dparams}, input_ids=rows,
+                    attention_mask=rmask, cache=cache0, deterministic=True)
+                first = jnp.argmax(
+                    outp["logits"][:, -1].astype(jnp.float32),
+                    -1).astype(jnp.int32)
+                wk = want[None, :, None, None, None]
+                k1 = outp["cache"]["k"].astype(state["k"].dtype)
+                v1 = outp["cache"]["v"].astype(state["v"].dtype)
+                full_mask = jnp.zeros((s, t), jnp.int32).at[:, :p].set(rmask)
+                new_state = {
+                    "k": state["k"].at[:, :, :p].set(
+                        jnp.where(wk, k1, state["k"][:, :, :p])),
+                    "v": state["v"].at[:, :, :p].set(
+                        jnp.where(wk, v1, state["v"][:, :, :p])),
+                    "mask": jnp.where(want[:, None], full_mask,
+                                      state["mask"]),
+                    "index": jnp.where(want, p, state["index"]),
+                    "last": jnp.where(want, first, state["last"]),
+                }
+                budget = budgets[reqi]
+                has_tok = want & (budget >= 1)
+                out = carry["out"].at[
+                    jnp.where(has_tok, reqi, sink), 0].set(
+                    jnp.where(has_tok, first, pad))
+                written = carry["written"].at[
+                    jnp.where(want, reqi, sink)].set(
+                    jnp.minimum(budget, 1))
+                still = has_tok & (budget > 1) & (p < t - 1)
+                if eos is not None:
+                    still = still & (first != eos)
+                return {
+                    "state": new_state,
+                    "slot_req": jnp.where(want, reqi, carry["slot_req"]),
+                    "active": jnp.where(want, still, carry["active"]),
+                    "remaining": jnp.where(want, budget - 1,
+                                           carry["remaining"]),
+                    "produced": jnp.where(want, jnp.minimum(budget, 1),
+                                          carry["produced"]),
+                    "next_req": carry["next_req"]
+                    + jnp.sum(want.astype(jnp.int32)),
+                    "out": out,
+                    "written": written,
+                }
+
+            def chunk(carry):
+                """`n_chunk` greedy steps (same math as
+                ContinuousBatcher._step) + in-loop result scatter."""
+                def body(inner, _):
+                    state, active, remaining = inner
+                    tokens = state["last"][:, None]
+                    positions = jnp.sum(state["mask"], -1, keepdims=True)
+                    mk = state["mask"].at[bidx, state["index"]].set(
+                        active.astype(jnp.int32))
+                    cache = {"k": state["k"], "v": state["v"], "mask": mk,
+                             "index": state["index"]}
+                    o = module.apply(
+                        {"params": dparams}, input_ids=tokens,
+                        position_ids=positions, cache=cache,
+                        deterministic=True)
+                    logits = o["logits"][:, -1].astype(jnp.float32)
+                    nxt = jnp.where(active, jnp.argmax(logits, -1),
+                                    pad).astype(jnp.int32)
+                    new_index = jnp.where(active, state["index"] + 1,
+                                          state["index"])
+                    new_remaining = remaining - active.astype(jnp.int32)
+                    still = active & (new_remaining > 0) \
+                        & (new_index < t - 1)
+                    if eos is not None:
+                        still = still & (nxt != eos)
+                    new = {"k": o["cache"]["k"], "v": o["cache"]["v"],
+                           "mask": mk, "index": new_index,
+                           "last": jnp.where(active, nxt, state["last"])}
+                    return (new, still, new_remaining), (nxt, active)
+
+                (state, still, remaining), (toks, act) = jax.lax.scan(
+                    body, (carry["state"], carry["active"],
+                           carry["remaining"]), None, length=n_chunk)
+                # scatter the chunk's tokens straight into out[req, pos]
+                steps = jnp.cumsum(act.astype(jnp.int32), axis=0) - 1
+                rows = jnp.where(act, carry["slot_req"][None, :], sink)
+                cols = jnp.clip(carry["produced"][None, :] + steps, 0,
+                                g - 1)
+                out = carry["out"].at[rows, cols].set(
+                    jnp.where(act, toks, pad))
+                produced = carry["produced"] \
+                    + jnp.sum(act.astype(jnp.int32), axis=0)
+                written = carry["written"].at[carry["slot_req"]].set(
+                    produced)
+                return {
+                    "state": state, "slot_req": carry["slot_req"],
+                    "active": still, "remaining": remaining,
+                    "produced": produced, "next_req": carry["next_req"],
+                    "out": out, "written": written,
+                }
+
+            def cond(carry):
+                return (carry["next_req"] < n) | jnp.any(carry["active"])
+
+            def body(carry):
+                can_admit = jnp.any(~carry["active"]) \
+                    & (carry["next_req"] < n)
+                carry = jax.lax.cond(can_admit, admit, lambda x: x, carry)
+                carry = jax.lax.cond(jnp.any(carry["active"]), chunk,
+                                     lambda x: x, carry)
+                return carry
+
+            final = jax.lax.while_loop(cond, body, carry0)
+            return final["out"][:n], final["written"][:n]
+
+        return run

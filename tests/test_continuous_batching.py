@@ -174,3 +174,46 @@ def test_result_timeout_mid_decode_keeps_batcher_alive():
         assert out2 == ref2
     finally:
         batcher.stop()
+
+
+def test_device_decoder_matches_standalone_greedy():
+    """DeviceContinuousDecoder (one while_loop for the whole workload) is
+    token-exact vs standalone greedy: mixed prompt lengths, mixed budgets,
+    more requests than slots (forces in-loop retirement + refill)."""
+    from easynlp_tpu.serving.continuous import DeviceContinuousDecoder
+
+    m, params = _tiny_model()
+    dec = DeviceContinuousDecoder(m, params, max_slots=2, max_length=48,
+                                  prompt_bucket=16, pad_token_id=0,
+                                  chunk_size=3)
+    prompts = [[5, 6, 7, 5, 6, 7], [11, 23, 42], [9, 10],
+               [50, 60, 70, 80], [3, 1, 4, 1, 5, 9, 2, 6], [2, 7]]
+    n_new = [10, 7, 12, 5, 9, 1]
+    outs = dec(prompts, n_new)
+    for i, prompt in enumerate(prompts):
+        ref = _standalone_greedy(m, params, prompt, n_new[i])[:n_new[i]]
+        assert outs[i] == ref, (i, outs[i], ref)
+
+
+def test_device_decoder_eos_and_scalar_budget():
+    """EOS retires a slot mid-chunk (trailing in-chunk tokens must not be
+    emitted), the freed slot is refilled in-loop, and a scalar
+    max_new_tokens broadcasts."""
+    from easynlp_tpu.serving.continuous import DeviceContinuousDecoder
+
+    m, params = _tiny_model()
+    probe = _standalone_greedy(m, params, [5, 6, 7], 6)
+    eos = probe[3]
+    dec = DeviceContinuousDecoder(m, params, max_slots=2, max_length=48,
+                                  prompt_bucket=16, eos_token_id=eos,
+                                  pad_token_id=0, chunk_size=5)
+    outs = dec([[5, 6, 7]] * 5, 20)
+    ref = _standalone_greedy(m, params, [5, 6, 7], 20, eos=eos)
+    ref_until_eos = probe[:4]  # up to and including the eos
+    for out in outs:
+        assert out == ref_until_eos or out == ref, (out, ref_until_eos)
+    # empty workload and overlong prompt are handled explicitly
+    assert dec([], 4) == []
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        dec([list(range(17))], 4)
