@@ -73,6 +73,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from easynlp_tpu.utils.initializer import enable_compile_cache
+    enable_compile_cache()
+
     from easynlp_tpu.modelzoo.generation_utils import greedy_or_sample
     from easynlp_tpu.modelzoo.models.gpt2.generation import (
         make_gpt2_generation_fns)
