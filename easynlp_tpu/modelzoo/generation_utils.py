@@ -75,6 +75,59 @@ def apply_top_p(logits, top_p):
     return jnp.where(logits < cutoff, NEG_INF, logits)
 
 
+def rowwise_warp_and_sample(logits, do_sample, temperature, top_k, top_p,
+                            seeds, positions):
+    """Per-ROW sampling with per-row warp parameters and per-row PRNG
+    streams — the serving-path counterpart of apply_temperature/top_k/top_p
+    (same warp order and keep-set semantics, but every parameter is a traced
+    [B] array so heterogeneous requests share ONE compiled step).
+
+    The PRNG stream is per-request, not per-batch: row i's key is
+    ``fold_in(PRNGKey(seeds[i]), positions[i])`` where ``positions[i]`` is
+    how many tokens request i has produced so far. A request's sampled
+    tokens are therefore a pure function of (prompt, seed) — independent of
+    slot assignment, chunk boundaries, co-tenant requests, and of WHICH
+    continuous-batching implementation runs it (thread batcher vs
+    device-resident decoder); tests assert that cross-implementation
+    equality. Rows with ``do_sample[i] == False`` return plain argmax.
+
+    logits [B, V] float32; do_sample [B] bool; temperature/top_p [B] f32;
+    top_k [B] i32 (<=0 = disabled); seeds [B] uint32; positions [B] i32.
+    """
+    v = logits.shape[-1]
+    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    temp = jnp.maximum(temperature.astype(jnp.float32), 1e-6)
+    scaled = logits.astype(jnp.float32) / temp[:, None]
+    # one descending sort serves both warps: top-k masks ranks >= k, and
+    # top-p's cumulative softmax runs over the top-k-masked sorted values
+    # (matching the temperature -> top_k -> top_p order of the engine)
+    sorted_desc = jnp.sort(scaled, axis=-1)[:, ::-1]
+    k_eff = jnp.where(top_k <= 0, v, jnp.clip(top_k, 1, v)).astype(jnp.int32)
+    ranks = jnp.arange(v)[None, :]
+    sorted_k = jnp.where(ranks < k_eff[:, None], sorted_desc, NEG_INF)
+    kth = jnp.take_along_axis(sorted_desc, k_eff[:, None] - 1, axis=-1)
+    warped = jnp.where(scaled < kth, NEG_INF, scaled)
+
+    probs = jax.nn.softmax(sorted_k, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    # keep the smallest set with cumulative prob >= top_p (top-1 always
+    # kept); top_p >= 1 keeps everything because cum - probs < 1 by
+    # construction
+    drop = cum - probs >= top_p.astype(jnp.float32)[:, None]
+    cutoff = jnp.where(drop, jnp.inf, sorted_k).min(axis=-1, keepdims=True)
+    warped = jnp.where(scaled < cutoff, NEG_INF, warped)
+
+    def _sample_row(seed, pos, row):
+        key = jax.random.fold_in(jax.random.PRNGKey(seed), pos)
+        return jax.random.categorical(key, row)
+
+    sampled = jax.vmap(_sample_row)(seeds.astype(jnp.uint32),
+                                    positions.astype(jnp.int32),
+                                    warped).astype(jnp.int32)
+    return jnp.where(do_sample, sampled, greedy)
+
+
 def apply_repetition_penalty(logits, sequences, valid_mask, penalty):
     """Reference semantics: divide positive logits of seen tokens by penalty,
     multiply negative ones."""

@@ -15,9 +15,14 @@ Capability beyond the reference: its serving story is the commented-out
 elastic predictor spec (reference easynlp/core/predictor.py:232-490);
 nothing streams requests through a shared decode loop.
 
-Greedy, decoder-only (gpt2 family), token-id API. Exact: each request's
-output equals standalone greedy decoding of its prompt (tests assert
-token equality).
+Decoder-only (gpt2 family), token-id API; greedy or per-request sampling
+(temperature / top-k / top-p / seed — the PRNG stream is per-request:
+token n draws from fold_in(PRNGKey(seed), n), so sampled outputs are a
+pure function of (prompt, seed), independent of slot assignment, chunk
+boundaries, co-tenants, and of which implementation runs the request).
+Exact: each greedy request's output equals standalone greedy decoding of
+its prompt, and each sampled request's output is identical between
+ContinuousBatcher and DeviceContinuousDecoder (tests assert both).
 """
 
 import queue
@@ -31,11 +36,18 @@ import numpy as np
 
 class _Pending:
     __slots__ = ("ids", "max_new_tokens", "event", "tokens", "slot",
-                 "index0", "dispatched", "error")
+                 "index0", "dispatched", "error", "do_sample", "temperature",
+                 "top_k", "top_p", "seed")
 
-    def __init__(self, ids, max_new_tokens):
+    def __init__(self, ids, max_new_tokens, do_sample=False, temperature=1.0,
+                 top_k=0, top_p=1.0, seed=0):
         self.ids = ids
         self.max_new_tokens = max_new_tokens
+        self.do_sample = bool(do_sample)
+        self.temperature = float(temperature)
+        self.top_k = int(top_k)
+        self.top_p = float(top_p)
+        self.seed = int(seed)
         self.event = threading.Event()
         self.tokens: List[int] = []
         self.slot = -1
@@ -52,6 +64,11 @@ class _Pending:
         if self.error is not None:
             raise RuntimeError("generation failed") from self.error
         return self.tokens
+
+
+# placeholder for empty slots when gathering per-slot decode params: plain
+# greedy, position 0 — its row is masked inactive so the values never matter
+_GREEDY_DEFAULTS = _Pending([], 0)
 
 
 class ContinuousBatcher:
@@ -104,49 +121,76 @@ class ContinuousBatcher:
         eos = self.eos
         n_chunk = self.chunk
 
-        def step(params, state, active, remaining):
-            """`n_chunk` greedy steps in ONE dispatch; returns the per-step
+        def make_step(sampling):
+            """`n_chunk` decode steps in ONE dispatch; returns the per-step
             tokens [n_chunk, SLOTS]. `remaining` is each slot's outstanding
             token budget so in-scan deactivation mirrors the host's
-            retirement conditions (EOS / budget / cache end)."""
-            dparams = self._dq(params)
-            bidx = jnp.arange(max_slots)
-            cache_t = t  # cache time extent (== max_length)
+            retirement conditions (EOS / budget / cache end). The greedy
+            variant keeps the sort-free argmax step; the sampling variant
+            threads per-slot warp params + per-request PRNG streams
+            (fold_in(seed, tokens_produced)) so mixed greedy/sampling
+            occupants share one compiled step."""
+            from easynlp_tpu.modelzoo.generation_utils import (
+                rowwise_warp_and_sample)
 
-            def body(carry, _):
-                state, active, remaining = carry
-                tokens = state["last"][:, None]
-                positions = jnp.sum(state["mask"], -1, keepdims=True)
-                mask = state["mask"].at[bidx, state["index"]].set(
-                    active.astype(jnp.int32))
-                cache = {"k": state["k"], "v": state["v"], "mask": mask,
-                         "index": state["index"]}
-                out = self.module.apply(
-                    {"params": dparams}, input_ids=tokens,
-                    position_ids=positions, cache=cache, deterministic=True)
-                logits = out["logits"][:, -1].astype(jnp.float32)
-                nxt = jnp.where(active, jnp.argmax(logits, -1),
-                                pad_token_id).astype(jnp.int32)
-                new_index = jnp.where(active, state["index"] + 1,
-                                      state["index"])
-                new_remaining = remaining - active.astype(jnp.int32)
-                still = active & (new_remaining > 0) \
-                    & (new_index < cache_t - 1)
-                if eos is not None:
-                    still = still & (nxt != eos)
-                new = {
-                    "k": out["cache"]["k"], "v": out["cache"]["v"],
-                    "mask": mask, "index": new_index,
-                    "last": jnp.where(active, nxt, state["last"]),
-                }
-                return (new, still, new_remaining), nxt
+            def step(params, state, active, remaining, seeds=None,
+                     pos0=None, ds=None, temp=None, tk=None, tp=None):
+                dparams = self._dq(params)
+                bidx = jnp.arange(max_slots)
+                cache_t = t  # cache time extent (== max_length)
 
-            (state, _, _), toks = jax.lax.scan(
-                body, (state, active, remaining), None, length=n_chunk)
-            return state, toks
+                def body(carry, _):
+                    state, active, remaining, pos = carry
+                    tokens = state["last"][:, None]
+                    positions = jnp.sum(state["mask"], -1, keepdims=True)
+                    mask = state["mask"].at[bidx, state["index"]].set(
+                        active.astype(jnp.int32))
+                    cache = {"k": state["k"], "v": state["v"], "mask": mask,
+                             "index": state["index"]}
+                    out = self.module.apply(
+                        {"params": dparams}, input_ids=tokens,
+                        position_ids=positions, cache=cache,
+                        deterministic=True)
+                    logits = out["logits"][:, -1].astype(jnp.float32)
+                    if sampling:
+                        picked = rowwise_warp_and_sample(
+                            logits, ds, temp, tk, tp, seeds, pos)
+                    else:
+                        picked = jnp.argmax(logits, -1)
+                    nxt = jnp.where(active, picked,
+                                    pad_token_id).astype(jnp.int32)
+                    new_index = jnp.where(active, state["index"] + 1,
+                                          state["index"])
+                    new_remaining = remaining - active.astype(jnp.int32)
+                    still = active & (new_remaining > 0) \
+                        & (new_index < cache_t - 1)
+                    if eos is not None:
+                        still = still & (nxt != eos)
+                    new = {
+                        "k": out["cache"]["k"], "v": out["cache"]["v"],
+                        "mask": mask, "index": new_index,
+                        "last": jnp.where(active, nxt, state["last"]),
+                    }
+                    new_pos = pos + active.astype(jnp.int32)
+                    return (new, still, new_remaining, new_pos), nxt
 
-        self._step = jax.jit(step, donate_argnums=(1,))
-        self._admit_cache: Dict[int, Any] = {}
+                pos = (jnp.zeros((max_slots,), jnp.int32)
+                       if pos0 is None else pos0)
+                (state, _, _, _), toks = jax.lax.scan(
+                    body, (state, active, remaining, pos), None,
+                    length=n_chunk)
+                return state, toks
+
+            if sampling:
+                return jax.jit(step, donate_argnums=(1,))
+            return jax.jit(lambda params, state, active, remaining:
+                           step(params, state, active, remaining),
+                           donate_argnums=(1,))
+
+        self._step = make_step(sampling=False)
+        self._make_step = make_step
+        self._step_sample = None  # compiled lazily on first sampling request
+        self._admit_cache: Dict[Any, Any] = {}
 
         self._queue: "queue.Queue[_Pending]" = queue.Queue()
         self._occupants: List[Optional[_Pending]] = [None] * max_slots
@@ -159,7 +203,13 @@ class ContinuousBatcher:
 
     # -- host scheduling ------------------------------------------------------
 
-    def submit(self, prompt_ids, max_new_tokens=32) -> _Pending:
+    def submit(self, prompt_ids, max_new_tokens=32, do_sample=False,
+               temperature=1.0, top_k=0, top_p=1.0, seed=0) -> _Pending:
+        """Sampling is per-request: a request's sampled tokens are a pure
+        function of (prompt, seed) — fold_in(PRNGKey(seed), n) draws token
+        n — so they do not depend on slot assignment, chunk boundaries, or
+        co-tenant requests, and equal the DeviceContinuousDecoder's output
+        for the same request (asserted in tests)."""
         ids = list(int(x) for x in prompt_ids)
         # fail loudly rather than silently truncate: truncation would break
         # the token-exactness guarantee (output == standalone greedy decode)
@@ -168,7 +218,9 @@ class ContinuousBatcher:
                 "prompt length %d exceeds the largest prompt bucket %d; "
                 "construct the batcher with a larger prompt_buckets entry"
                 % (len(ids), self.buckets[-1]))
-        req = _Pending(ids, max_new_tokens)
+        req = _Pending(ids, max_new_tokens, do_sample=do_sample,
+                       temperature=temperature, top_k=top_k, top_p=top_p,
+                       seed=seed)
         if self._dead is not None:
             # scheduler already crashed: fail fast instead of letting the
             # caller block until its result() timeout
@@ -214,19 +266,24 @@ class ContinuousBatcher:
                 return b
         return self.buckets[-1]
 
-    def _admit_fn(self, p):
+    def _admit_fn(self, p, sampling=False):
         """Batched prefill + slot insertion in ONE dispatch: up to SLOTS
         same-bucket prompts prefill as a [SLOTS, p] batch and their KV/mask/
         index/last rows scatter into the shared state, `valid` gating the
         padding rows (their `sidx` entries are the UNUSED slot numbers so the
         scatter has no duplicate indices — they write back the current
         values). Per-request prefill+insert dispatches were the dominant
-        scheduler cost through the runtime's per-dispatch latency."""
-        fn = self._admit_cache.get(p)
+        scheduler cost through the runtime's per-dispatch latency.
+        The sampling variant draws the first token (PRNG position 0) from
+        per-row warped logits instead of argmax."""
+        fn = self._admit_cache.get((p, sampling))
         if fn is None:
+            from easynlp_tpu.modelzoo.generation_utils import (
+                rowwise_warp_and_sample)
             slots, t = self.slots, self.max_length
 
-            def admit(params, state, ids, mask, sidx, valid):
+            def admit(params, state, ids, mask, sidx, valid, seeds=None,
+                      ds=None, temp=None, tk=None, tp=None):
                 cache = self.module.init_cache(slots, p,
                                                dtype=self.module.dtype)
                 cache["mask"] = mask.astype(jnp.int32)
@@ -234,7 +291,12 @@ class ContinuousBatcher:
                     {"params": self._dq(params)}, input_ids=ids,
                     attention_mask=mask, cache=cache, deterministic=True)
                 logits = out["logits"][:, -1].astype(jnp.float32)
-                first = jnp.argmax(logits, -1).astype(jnp.int32)
+                if sampling:
+                    first = rowwise_warp_and_sample(
+                        logits, ds, temp, tk, tp, seeds,
+                        jnp.zeros((slots,), jnp.int32))
+                else:
+                    first = jnp.argmax(logits, -1).astype(jnp.int32)
                 k1 = out["cache"]["k"].astype(state["k"].dtype)
                 v1 = out["cache"]["v"].astype(state["v"].dtype)
                 vk = valid[None, :, None, None, None]
@@ -255,8 +317,14 @@ class ContinuousBatcher:
                 return ({"k": new_k, "v": new_v, "mask": new_mask,
                          "index": new_index, "last": new_last}, first)
 
-            fn = jax.jit(admit, donate_argnums=(1,))
-            self._admit_cache[p] = fn
+            if sampling:
+                fn = jax.jit(admit, donate_argnums=(1,))
+            else:
+                fn = jax.jit(
+                    lambda params, state, ids, mask, sidx, valid:
+                    admit(params, state, ids, mask, sidx, valid),
+                    donate_argnums=(1,))
+            self._admit_cache[(p, sampling)] = fn
         return fn
 
     def _admit_wave(self, wave):
@@ -280,10 +348,24 @@ class ContinuousBatcher:
             rows = [req.ids for req, _ in group]
             rows += [rows[0]] * (self.slots - len(rows))
             ids, mask = left_pad(rows, pad_token_id=self.pad, length=p)
-            self._state, first = self._admit_fn(p)(
-                self.params, self._state, jnp.asarray(ids),
-                jnp.asarray(mask), jnp.asarray(sidx, jnp.int32),
-                jnp.asarray(valid))
+            sampling = any(req.do_sample for req, _ in group)
+            if sampling:
+                reqs = [req for req, _ in group]
+                reqs += [reqs[0]] * (self.slots - len(reqs))
+                self._state, first = self._admit_fn(p, sampling=True)(
+                    self.params, self._state, jnp.asarray(ids),
+                    jnp.asarray(mask), jnp.asarray(sidx, jnp.int32),
+                    jnp.asarray(valid),
+                    jnp.asarray([r.seed for r in reqs], jnp.uint32),
+                    jnp.asarray([r.do_sample for r in reqs]),
+                    jnp.asarray([r.temperature for r in reqs], jnp.float32),
+                    jnp.asarray([r.top_k for r in reqs], jnp.int32),
+                    jnp.asarray([r.top_p for r in reqs], jnp.float32))
+            else:
+                self._state, first = self._admit_fn(p)(
+                    self.params, self._state, jnp.asarray(ids),
+                    jnp.asarray(mask), jnp.asarray(sidx, jnp.int32),
+                    jnp.asarray(valid))
             for req, slot in group:
                 self._occupants[slot] = req
                 req.slot = slot
@@ -389,9 +471,33 @@ class ContinuousBatcher:
                      if is_a else 0
                      for req, is_a in zip(self._occupants, active_flags)],
                     np.int32)
-                self._state, toks = self._step(
-                    self.params, self._state, jnp.asarray(active_flags),
-                    jnp.asarray(remaining))
+                occ = [req if req is not None else _GREEDY_DEFAULTS
+                       for req in self._occupants]
+                if any(req.do_sample for req, is_a
+                       in zip(occ, active_flags) if is_a):
+                    if self._step_sample is None:
+                        self._step_sample = self._make_step(sampling=True)
+                    # PRNG position of each slot's next token = steps ISSUED
+                    # for its request so far (prefill = position 0); the
+                    # in-scan counter advances it per active step, so the
+                    # consumed stream is fold_in(seed, 0..n-1) regardless of
+                    # chunk boundaries or pipelined over-dispatch (dropped
+                    # tokens burn positions the host never consumes — both
+                    # sides key off steps issued, which match)
+                    self._state, toks = self._step_sample(
+                        self.params, self._state, jnp.asarray(active_flags),
+                        jnp.asarray(remaining),
+                        jnp.asarray([r.seed for r in occ], jnp.uint32),
+                        jnp.asarray([r.dispatched for r in occ], jnp.int32),
+                        jnp.asarray([r.do_sample for r in occ]),
+                        jnp.asarray([r.temperature for r in occ],
+                                    jnp.float32),
+                        jnp.asarray([r.top_k for r in occ], jnp.int32),
+                        jnp.asarray([r.top_p for r in occ], jnp.float32))
+                else:
+                    self._state, toks = self._step(
+                        self.params, self._state, jnp.asarray(active_flags),
+                        jnp.asarray(remaining))
                 snapshot = [req if is_a else None for req, is_a
                             in zip(self._occupants, active_flags)]
                 for req, is_a in zip(self._occupants, active_flags):
@@ -417,8 +523,8 @@ class DeviceContinuousDecoder:
     """Device-resident continuous batching for offline / batch generation.
 
     The ENTIRE mixed-length workload — slot admission (in-loop prefill),
-    chunked greedy decode, EOS/budget retirement, and slot refill — runs
-    inside one jitted ``lax.while_loop``: ONE device dispatch per call, so
+    chunked greedy/sampled decode, EOS/budget retirement, and slot refill —
+    runs inside one jitted ``lax.while_loop``: ONE device dispatch per call, so
     throughput is device-bound no matter how slow the host link is (the
     thread-based ContinuousBatcher pays a host round-trip per chunk; through
     a high-latency link that dominates). Same token-exactness guarantee:
@@ -444,17 +550,29 @@ class DeviceContinuousDecoder:
         self._dq = dequantize_params
         self._fn_cache: Dict[Any, Any] = {}
 
-    def __call__(self, prompts, max_new_tokens):
+    def __call__(self, prompts, max_new_tokens, do_sample=False,
+                 temperature=1.0, top_k=0, top_p=1.0, seed=0):
         """prompts: list of token-id lists (each <= prompt_bucket);
-        max_new_tokens: int or per-request list. Returns a list of
-        generated-token lists (EOS included, as in ContinuousBatcher)."""
+        max_new_tokens and the sampling params are an int/scalar or a
+        per-request list. Returns a list of generated-token lists (EOS
+        included, as in ContinuousBatcher). Request i's sampled stream is
+        fold_in(PRNGKey(seed[i]), n) for token n — identical to the thread
+        batcher's for the same request."""
         from easynlp_tpu.modelzoo.generation_utils import left_pad
         n = len(prompts)
         if n == 0:
             return []
-        budgets = ([int(max_new_tokens)] * n
-                   if np.isscalar(max_new_tokens)
-                   else [int(b) for b in max_new_tokens])
+
+        def per_req(x, cast):
+            return ([cast(x)] * n if np.isscalar(x)
+                    else [cast(v) for v in x])
+
+        budgets = per_req(max_new_tokens, int)
+        ds = per_req(do_sample, bool)
+        temp = per_req(temperature, float)
+        tk = per_req(top_k, int)
+        tp = per_req(top_p, float)
+        seeds = per_req(seed, int)
         for ids in prompts:
             if len(ids) > self.bucket:
                 raise ValueError(
@@ -468,32 +586,49 @@ class DeviceContinuousDecoder:
         ids, mask = left_pad(rows, pad_token_id=self.pad, length=self.bucket)
         bud = np.zeros(n_pad + 1, np.int32)  # +1 = scatter-sink row
         bud[:n] = np.minimum(budgets, g)
+
+        def padded(vals, dtype, fill):
+            arr = np.full(n_pad + 1, fill, dtype)
+            arr[:n] = vals
+            return jnp.asarray(arr)
+
         ids = np.concatenate([np.asarray(ids, np.int32),
                               np.zeros((1, self.bucket), np.int32)])
         mask = np.concatenate([np.asarray(mask, np.int32),
                                np.zeros((1, self.bucket), np.int32)])
-        fn = self._get_fn(n_pad, g)
-        out, counts = fn(self.params, jnp.asarray(ids), jnp.asarray(mask),
-                         jnp.asarray(bud))
+        sampling = any(ds)
+        fn = self._get_fn(n_pad, g, sampling)
+        args = (self.params, jnp.asarray(ids), jnp.asarray(mask),
+                jnp.asarray(bud))
+        if sampling:
+            args += (padded(seeds, np.uint32, 0),
+                     padded(ds, bool, False),
+                     padded(temp, np.float32, 1.0),
+                     padded(tk, np.int32, 0),
+                     padded(tp, np.float32, 1.0))
+        out, counts = fn(*args)
         out = np.asarray(out)
         counts = np.asarray(counts)
         return [out[i, :counts[i]].tolist() for i in range(n)]
 
-    def _get_fn(self, n, g):
-        key = (n, g)
+    def _get_fn(self, n, g, sampling=False):
+        key = (n, g, sampling)
         fn = self._fn_cache.get(key)
         if fn is None:
-            fn = jax.jit(self._build(n, g))
+            fn = jax.jit(self._build(n, g, sampling))
             self._fn_cache[key] = fn
         return fn
 
-    def _build(self, n, g):
+    def _build(self, n, g, sampling=False):
+        from easynlp_tpu.modelzoo.generation_utils import (
+            rowwise_warp_and_sample)
         module, s, t, p = self.module, self.slots, self.max_length, \
             self.bucket
         eos, pad, n_chunk = self.eos, self.pad, self.chunk
         sink = n  # scatter-sink row index in out/written
 
-        def run(params, ids, mask, budgets):
+        def run(params, ids, mask, budgets, seeds=None, ds=None, temp=None,
+                tk=None, tp=None):
             dparams = self._dq(params)
             c = module.config
             heads, dim = c.n_head, c.n_embd // c.n_head
@@ -530,9 +665,13 @@ class DeviceContinuousDecoder:
                 outp = module.apply(
                     {"params": dparams}, input_ids=rows,
                     attention_mask=rmask, cache=cache0, deterministic=True)
-                first = jnp.argmax(
-                    outp["logits"][:, -1].astype(jnp.float32),
-                    -1).astype(jnp.int32)
+                logits0 = outp["logits"][:, -1].astype(jnp.float32)
+                if sampling:
+                    first = rowwise_warp_and_sample(
+                        logits0, ds[reqi], temp[reqi], tk[reqi], tp[reqi],
+                        seeds[reqi], jnp.zeros((s,), jnp.int32))
+                else:
+                    first = jnp.argmax(logits0, -1).astype(jnp.int32)
                 wk = want[None, :, None, None, None]
                 k1 = outp["cache"]["k"].astype(state["k"].dtype)
                 v1 = outp["cache"]["v"].astype(state["v"].dtype)
@@ -573,10 +712,19 @@ class DeviceContinuousDecoder:
                 }
 
             def chunk(carry):
-                """`n_chunk` greedy steps (same math as
-                ContinuousBatcher._step) + in-loop result scatter."""
+                """`n_chunk` decode steps (same math as
+                ContinuousBatcher._step) + in-loop result scatter. Per-slot
+                sampling params gather by the slot's request index; the PRNG
+                position is the slot's produced counter, advancing per
+                active step — so a request's sampled stream is
+                fold_in(seed, 0..n-1) exactly like the thread batcher's."""
+                if sampling:
+                    sr = carry["slot_req"]
+                    p_seed, p_ds = seeds[sr], ds[sr]
+                    p_temp, p_tk, p_tp = temp[sr], tk[sr], tp[sr]
+
                 def body(inner, _):
-                    state, active, remaining = inner
+                    state, active, remaining, pos = inner
                     tokens = state["last"][:, None]
                     positions = jnp.sum(state["mask"], -1, keepdims=True)
                     mk = state["mask"].at[bidx, state["index"]].set(
@@ -588,8 +736,12 @@ class DeviceContinuousDecoder:
                         position_ids=positions, cache=cache,
                         deterministic=True)
                     logits = o["logits"][:, -1].astype(jnp.float32)
-                    nxt = jnp.where(active, jnp.argmax(logits, -1),
-                                    pad).astype(jnp.int32)
+                    if sampling:
+                        picked = rowwise_warp_and_sample(
+                            logits, p_ds, p_temp, p_tk, p_tp, p_seed, pos)
+                    else:
+                        picked = jnp.argmax(logits, -1)
+                    nxt = jnp.where(active, picked, pad).astype(jnp.int32)
                     new_index = jnp.where(active, state["index"] + 1,
                                           state["index"])
                     new_remaining = remaining - active.astype(jnp.int32)
@@ -600,11 +752,14 @@ class DeviceContinuousDecoder:
                     new = {"k": o["cache"]["k"], "v": o["cache"]["v"],
                            "mask": mk, "index": new_index,
                            "last": jnp.where(active, nxt, state["last"])}
-                    return (new, still, new_remaining), (nxt, active)
+                    new_pos = pos + active.astype(jnp.int32)
+                    return (new, still, new_remaining, new_pos), (nxt,
+                                                                  active)
 
-                (state, still, remaining), (toks, act) = jax.lax.scan(
+                (state, still, remaining, _), (toks, act) = jax.lax.scan(
                     body, (carry["state"], carry["active"],
-                           carry["remaining"]), None, length=n_chunk)
+                           carry["remaining"], carry["produced"]),
+                    None, length=n_chunk)
                 # scatter the chunk's tokens straight into out[req, pos]
                 steps = jnp.cumsum(act.astype(jnp.int32), axis=0) - 1
                 rows = jnp.where(act, carry["slot_req"][None, :], sink)
