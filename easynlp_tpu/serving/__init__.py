@@ -9,5 +9,7 @@ micro-batching, so concurrent requests are coalesced into one fixed-shape
 device batch (one jit program, MXU-friendly) instead of N singleton calls.
 """
 
-from easynlp_tpu.serving.continuous import ContinuousBatcher  # noqa: F401
-from easynlp_tpu.serving.server import PredictionServer, serve  # noqa: F401
+from easynlp_tpu.serving.continuous import (ContinuousBatcher,  # noqa: F401
+                                            DeviceContinuousDecoder)
+from easynlp_tpu.serving.server import (GenerationServer,  # noqa: F401
+                                        PredictionServer, serve)

@@ -242,7 +242,12 @@ class ContinuousBatcher:
         self._stop.set()
         self._wake.set()
         self._thread.join(timeout=30)
-        self._fail_all(RuntimeError("batcher stopped"))
+        stopped = RuntimeError("batcher stopped")
+        # a stopped scheduler is dead to later submits too: without this a
+        # post-stop submit would enqueue and block until its result timeout
+        if self._dead is None:
+            self._dead = stopped
+        self._fail_all(stopped)
 
     def _fail_all(self, exc: BaseException):
         """Resolve every in-flight and queued request with an error so no

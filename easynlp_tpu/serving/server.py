@@ -236,6 +236,192 @@ class PredictionServer:
             self.stop()
 
 
+class GenerationServer:
+    """HTTP front-end over a ContinuousBatcher: every request joins the
+    shared continuous decode loop, so concurrent generations interleave at
+    token granularity (short requests drain early, slots refill) instead of
+    coalescing into fixed batches like PredictionServer. Per-request
+    sampling params ride through to the batcher — a sampled output is a
+    pure function of (prompt, seed) regardless of co-tenants.
+
+    Endpoints:
+        GET  /health    → {"status": "ok"}
+        GET  /info      → slots / max_length / prompt_buckets / stats
+        POST /generate  → single: {"prompt_ids": [...], ...params}
+                          batch:  {"prompts": [[...], ...], ...params}
+                          (with a tokenizer: "text" / "texts" instead)
+                          params: max_new_tokens, do_sample, temperature,
+                          top_k, top_p, seed — scalar, or per-request list
+                          in batch mode.
+                          Response: {"output_ids": [...]} /
+                          {"outputs": [[...], ...]} (+ "text"/"texts" when
+                          a tokenizer is attached).
+
+    Threading: ThreadingHTTPServer gives each request its own handler
+    thread, which submits straight to the batcher and blocks on its result
+    — the batcher IS the coalescer, so no server-side batching worker
+    exists. Bad requests (prompt over the largest bucket, malformed JSON)
+    → 400; a dead batcher scheduler → 503 with the cause.
+    """
+
+    def __init__(self, batcher, host="127.0.0.1", port=8080, tokenizer=None,
+                 default_max_new_tokens=32, request_timeout_s=600.0,
+                 info=None):
+        self.batcher = batcher
+        self.host, self.port = host, port
+        self.tokenizer = tokenizer
+        self.default_max_new_tokens = int(default_max_new_tokens)
+        self.request_timeout_s = float(request_timeout_s)
+        self.info = dict(info or {})
+        self.info.setdefault("slots", batcher.slots)
+        self.info.setdefault("max_length", batcher.max_length)
+        self.info.setdefault("prompt_buckets", list(batcher.buckets))
+        self.stats = {"requests": 0, "generated_tokens": 0, "errors": 0}
+        self._httpd = None
+
+    # ---------------- request handling ----------------
+
+    def _parse(self, payload):
+        """→ (prompt_id_lists, per-request param dicts, single?)."""
+        single = False
+        if "prompt_ids" in payload:
+            prompts, single = [payload["prompt_ids"]], True
+        elif "prompts" in payload:
+            prompts = payload["prompts"]
+        elif "text" in payload or "texts" in payload:
+            if self.tokenizer is None:
+                raise ValueError(
+                    "this server has no tokenizer; send 'prompt_ids' or "
+                    "'prompts' (token ids)")
+            single = "text" in payload
+            texts = [payload["text"]] if single else payload["texts"]
+            prompts = [self.tokenizer.encode(t) for t in texts]
+        else:
+            raise ValueError(
+                "provide 'prompt_ids', 'prompts', 'text', or 'texts'")
+        if (not isinstance(prompts, list) or not prompts
+                or not all(isinstance(p, list) and p for p in prompts)):
+            raise ValueError("prompts must be non-empty lists of token ids")
+        n = len(prompts)
+
+        def per_req(name, default, cast):
+            v = payload.get(name, default)
+            if isinstance(v, list):
+                if len(v) != n:
+                    raise ValueError(
+                        "%s has %d entries for %d prompts"
+                        % (name, len(v), n))
+                return [cast(x) for x in v]
+            return [cast(v)] * n
+
+        params = {
+            "max_new_tokens": per_req("max_new_tokens",
+                                      self.default_max_new_tokens, int),
+            "do_sample": per_req("do_sample", False, bool),
+            "temperature": per_req("temperature", 1.0, float),
+            "top_k": per_req("top_k", 0, int),
+            "top_p": per_req("top_p", 1.0, float),
+            "seed": per_req("seed", 0, int),
+        }
+        return prompts, params, single
+
+    def _generate(self, payload):
+        prompts, params, single = self._parse(payload)
+        # submit everything first so the batcher interleaves the whole
+        # request set, then block for results in order
+        handles = [
+            self.batcher.submit(
+                ids, max_new_tokens=params["max_new_tokens"][i],
+                do_sample=params["do_sample"][i],
+                temperature=params["temperature"][i],
+                top_k=params["top_k"][i], top_p=params["top_p"][i],
+                seed=params["seed"][i])
+            for i, ids in enumerate(prompts)
+        ]
+        outs = [h.result(timeout=self.request_timeout_s) for h in handles]
+        self.stats["requests"] += len(prompts)
+        self.stats["generated_tokens"] += sum(len(o) for o in outs)
+        resp = ({"output_ids": outs[0]} if single else {"outputs": outs})
+        if self.tokenizer is not None:
+            texts = [self.tokenizer.decode(o) for o in outs]
+            resp["text" if single else "texts"] = (texts[0] if single
+                                                   else texts)
+        return resp
+
+    def _make_handler(self):
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            protocol_version = "HTTP/1.1"
+
+            def log_message(self, fmt, *fargs):
+                logger.debug("serving: " + fmt, *fargs)
+
+            def _send(self, code, payload):
+                body = json.dumps(payload).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                if self.path == "/health":
+                    self._send(200, {"status": "ok"})
+                elif self.path == "/info":
+                    self._send(200, dict(server.info, stats=server.stats))
+                else:
+                    self._send(404, {"error": "unknown path %s" % self.path})
+
+            def do_POST(self):
+                length = int(self.headers.get("Content-Length", 0))
+                body = self.rfile.read(length) if length else b"{}"
+                if self.path != "/generate":
+                    self._send(404, {"error": "unknown path %s" % self.path})
+                    return
+                try:
+                    payload = json.loads(body or b"{}")
+                    self._send(200, _jsonable(server._generate(payload)))
+                except ValueError as e:  # bad request (incl. bucket overflow)
+                    server.stats["errors"] += 1
+                    self._send(400, {"error": str(e)})
+                except RuntimeError as e:  # batcher scheduler dead
+                    server.stats["errors"] += 1
+                    self._send(503, {"error": str(e)})
+                except Exception as e:
+                    server.stats["errors"] += 1
+                    self._send(500, {"error": str(e)})
+
+        return Handler
+
+    # ---------------- lifecycle ----------------
+
+    def start(self):
+        self._httpd = ThreadingHTTPServer((self.host, self.port),
+                                          self._make_handler())
+        self.port = self._httpd.server_address[1]
+        t = threading.Thread(target=self._httpd.serve_forever, daemon=True)
+        t.start()
+        logger.info("generation server on http://%s:%d (slots=%d)",
+                    self.host, self.port, self.batcher.slots)
+        return self
+
+    def stop(self, stop_batcher=True):
+        if self._httpd is not None:
+            self._httpd.shutdown()
+            self._httpd.server_close()
+        if stop_batcher:
+            self.batcher.stop()
+
+    def serve_forever(self):
+        self.start()
+        try:
+            while True:
+                time.sleep(3600)
+        except KeyboardInterrupt:
+            self.stop()
+
+
 def serve(task_or_model_path, host="127.0.0.1", port=8080, max_batch_size=32,
           max_delay_ms=5.0, blocking=True, request_timeout_s=600.0,
           **pipeline_kwargs):

@@ -1,0 +1,142 @@
+"""GenerationServer: HTTP /generate over the ContinuousBatcher.
+
+Contract: token-id requests join the shared continuous decode loop; each
+response equals what the batcher (and, for sampled requests, the
+DeviceContinuousDecoder) produces for the same (prompt, params) — HTTP is
+a pure transport, adding no batching semantics of its own. Capability
+beyond the reference: its serving story is the commented-out elastic
+predictor spec (reference easynlp/core/predictor.py:232-490)."""
+
+import numpy as np
+import pytest
+
+from tests.test_continuous_batching import _standalone_greedy, _tiny_model
+from tests.test_serving import _get, _post
+
+
+@pytest.fixture(scope="module")
+def gen_server():
+    from easynlp_tpu.serving import ContinuousBatcher, GenerationServer
+    m, params = _tiny_model()
+    b = ContinuousBatcher(m, params, max_slots=2, max_length=48,
+                          prompt_buckets=(16,), pad_token_id=0, chunk_size=4)
+    srv = GenerationServer(b, port=0, default_max_new_tokens=8).start()
+    yield m, params, srv
+    srv.stop()
+
+
+def test_single_greedy_matches_standalone(gen_server):
+    m, params, srv = gen_server
+    rng = np.random.RandomState(0)
+    prompt = rng.randint(1, 96, size=7).tolist()
+    status, body = _post(srv.port, {"prompt_ids": prompt,
+                                    "max_new_tokens": 10},
+                         path="/generate")
+    assert status == 200, body
+    assert body["output_ids"] == _standalone_greedy(m, params, prompt, 10)
+
+
+def test_batch_mixed_sampling_matches_device_decoder(gen_server):
+    """Mixed greedy/sampled batch over HTTP == DeviceContinuousDecoder for
+    the same requests: the per-(prompt, seed) PRNG stream survives the
+    transport + continuous-batching path."""
+    from easynlp_tpu.serving import DeviceContinuousDecoder
+    m, params, srv = gen_server
+    rng = np.random.RandomState(1)
+    prompts = [rng.randint(1, 96, size=rng.randint(3, 10)).tolist()
+               for _ in range(5)]
+    payload = {
+        "prompts": prompts,
+        "max_new_tokens": 12,
+        "do_sample": [False, True, True, False, True],
+        "temperature": [1.0, 0.7, 1.3, 1.0, 0.9],
+        "top_k": [0, 5, 0, 0, 3],
+        "top_p": [1.0, 1.0, 0.9, 1.0, 0.95],
+        "seed": [0, 11, 22, 33, 44],
+    }
+    status, body = _post(srv.port, payload, path="/generate")
+    assert status == 200, body
+    dec = DeviceContinuousDecoder(m, params, max_slots=2, max_length=48,
+                                  prompt_bucket=16, pad_token_id=0,
+                                  chunk_size=4)
+    want = dec(prompts, max_new_tokens=12, do_sample=payload["do_sample"],
+               temperature=payload["temperature"], top_k=payload["top_k"],
+               top_p=payload["top_p"], seed=payload["seed"])
+    assert body["outputs"] == want
+
+
+def test_bad_requests_are_400_and_server_survives(gen_server):
+    m, params, srv = gen_server
+    # prompt over the largest bucket → 400 (batcher's fail-loud contract)
+    status, body = _post(srv.port, {"prompt_ids": list(range(1, 30))},
+                         path="/generate")
+    assert status == 400 and "bucket" in body["error"]
+    # no prompt at all
+    status, body = _post(srv.port, {"max_new_tokens": 4}, path="/generate")
+    assert status == 400
+    # text without a tokenizer
+    status, body = _post(srv.port, {"text": "hi"}, path="/generate")
+    assert status == 400 and "tokenizer" in body["error"]
+    # per-request list of the wrong length
+    status, body = _post(srv.port, {"prompts": [[1, 2], [3, 4]],
+                                    "seed": [1]}, path="/generate")
+    assert status == 400 and "entries" in body["error"]
+    # unknown path → 404
+    status, body = _post(srv.port, {"prompt_ids": [1]}, path="/nope")
+    assert status == 404
+    # server still generates fine
+    status, body = _post(srv.port, {"prompt_ids": [5, 6, 7]},
+                         path="/generate")
+    assert status == 200
+    assert body["output_ids"] == _standalone_greedy(m, params, [5, 6, 7], 8)
+
+
+def test_info_and_health(gen_server):
+    _, _, srv = gen_server
+    status, body = _get(srv.port, "/health")
+    assert status == 200 and body["status"] == "ok"
+    status, body = _get(srv.port, "/info")
+    assert status == 200
+    assert body["slots"] == 2 and body["prompt_buckets"] == [16]
+    assert body["stats"]["requests"] >= 1
+
+
+def test_tokenizer_text_roundtrip():
+    """With a tokenizer attached, text in → ids → decode loop → text out."""
+    from easynlp_tpu.serving import ContinuousBatcher, GenerationServer
+
+    class _Tok:
+        def encode(self, s):
+            return [ord(c) % 90 + 1 for c in s]
+
+        def decode(self, ids):
+            return "".join(chr(i + 60) for i in ids)
+
+    m, params = _tiny_model()
+    b = ContinuousBatcher(m, params, max_slots=2, max_length=32,
+                          prompt_buckets=(16,), pad_token_id=0, chunk_size=4)
+    srv = GenerationServer(b, port=0, tokenizer=_Tok(),
+                           default_max_new_tokens=5).start()
+    try:
+        status, body = _post(srv.port, {"text": "hello"}, path="/generate")
+        assert status == 200, body
+        want = _standalone_greedy(m, params, _Tok().encode("hello"), 5)
+        assert body["output_ids"] == want
+        assert body["text"] == _Tok().decode(want)
+    finally:
+        srv.stop()
+
+
+def test_dead_batcher_is_503():
+    from easynlp_tpu.serving import ContinuousBatcher, GenerationServer
+    m, params = _tiny_model()
+    b = ContinuousBatcher(m, params, max_slots=2, max_length=32,
+                          prompt_buckets=(16,), pad_token_id=0, chunk_size=4)
+    srv = GenerationServer(b, port=0).start()
+    try:
+        b.stop()  # scheduler gone: submits fail fast → 503 per contract
+        status, body = _post(srv.port, {"prompt_ids": [1, 2]},
+                             path="/generate")
+        assert status == 503, (status, body)
+    finally:
+        srv.stop(stop_batcher=False)
