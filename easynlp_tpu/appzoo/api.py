@@ -441,6 +441,72 @@ def _tokenizer_for(path):
         return BertTokenizer.from_pretrained(path)
 
 
+def _serve_continuous_main(args, udp, dtype):
+    """--mode=serve + serve_continuous=true: continuous-batching generation
+    serving for decoder-only checkpoints. Loads the module/params via
+    AutoModel, wraps them in a ContinuousBatcher (requests join/leave the
+    shared decode loop mid-flight), and exposes POST /generate with
+    per-request sampling params through GenerationServer — the TPU-native
+    online-generation counterpart of the reference's commented-out elastic
+    predictor spec (reference easynlp/core/predictor.py:232-490).
+
+    udp keys: serve_host/serve_port/serve_blocking (shared with the
+    pipeline server), serve_slots (decode batch width, default 8),
+    serve_chunk_size (decode steps per dispatch, default 16),
+    serve_prompt_buckets (comma-separated prefill widths, default
+    sequence_length//4), serve_max_new_tokens (default 32),
+    serve_quantize=int8 (weight-only int8, dequantized per-dispatch).
+    The KV window is --sequence_length: size it to prompt + generation
+    like max_model_len in any slot-based server."""
+    from easynlp_tpu.modelzoo.models.auto.auto_factory import AutoModel
+    from easynlp_tpu.serving import ContinuousBatcher, GenerationServer
+
+    module, params = AutoModel.from_pretrained(args.checkpoint_dir,
+                                               dtype=dtype)
+    if params is None:
+        raise ValueError("no loadable checkpoint in %r"
+                         % args.checkpoint_dir)
+    if str(udp.get("serve_quantize", "")) == "int8":
+        from easynlp_tpu.modelzoo.quantization import quantize_params
+        params = quantize_params(params)
+    tokenizer = _tokenizer_for(args.checkpoint_dir)
+    max_length = int(args.sequence_length)
+    raw = udp.get("serve_prompt_buckets")
+    if raw:
+        buckets = tuple(sorted(int(b) for b in str(raw).split(",")))
+    else:
+        buckets = (max(8, max_length // 4),)
+    if buckets[-1] >= max_length:
+        raise ValueError(
+            "largest prompt bucket %d must stay below the KV window "
+            "(--sequence_length=%d) to leave room for generation"
+            % (buckets[-1], max_length))
+    eos = udp.get("serve_eos_token_id",
+                  getattr(tokenizer, "eos_token_id", None))
+    pad = udp.get("serve_pad_token_id",
+                  getattr(tokenizer, "pad_token_id", None))
+    batcher = ContinuousBatcher(
+        module, params,
+        max_slots=int(udp.get("serve_slots", 8)),
+        max_length=max_length,
+        prompt_buckets=buckets,
+        eos_token_id=None if eos is None else int(eos),
+        pad_token_id=0 if pad is None else int(pad),
+        chunk_size=int(udp.get("serve_chunk_size", 16)))
+    server = GenerationServer(
+        batcher,
+        host=udp.get("serve_host", "127.0.0.1"),
+        port=int(udp.get("serve_port", 8080)),
+        tokenizer=tokenizer,
+        default_max_new_tokens=int(udp.get("serve_max_new_tokens", 32)),
+        info={"model": str(args.checkpoint_dir), "mode": "continuous"})
+    if str(udp.get("serve_blocking", "True")) != "False":
+        server.serve_forever()
+    else:
+        server.start()
+    return server
+
+
 # --------------------------------------------------------------------------
 # default main (reference api.py:471-614)
 # --------------------------------------------------------------------------
@@ -460,6 +526,8 @@ def default_main_fn(args=None):
         # HTTP online serving over the pipeline() view of the checkpoint
         # (easynlp_tpu/serving). udp keys: serve_host/serve_port/
         # serve_max_delay_ms/serve_blocking.
+        if str(udp.get("serve_continuous", "")).lower() in ("1", "true"):
+            return _serve_continuous_main(args, udp, dtype)
         from easynlp_tpu.serving import serve
         return serve(
             args.checkpoint_dir,

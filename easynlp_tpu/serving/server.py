@@ -281,6 +281,15 @@ class GenerationServer:
 
     # ---------------- request handling ----------------
 
+    def _encode(self, text):
+        """Raw prompt ids — no special tokens, no padding (the batcher
+        left-pads to its prompt bucket itself). Supports both HF-style
+        .encode() and this repo's tokenize/convert_tokens_to_ids base."""
+        tok = self.tokenizer
+        if hasattr(tok, "encode"):
+            return list(tok.encode(text))
+        return list(tok.convert_tokens_to_ids(tok.tokenize(text)))
+
     def _parse(self, payload):
         """→ (prompt_id_lists, per-request param dicts, single?)."""
         single = False
@@ -295,7 +304,7 @@ class GenerationServer:
                     "'prompts' (token ids)")
             single = "text" in payload
             texts = [payload["text"]] if single else payload["texts"]
-            prompts = [self.tokenizer.encode(t) for t in texts]
+            prompts = [self._encode(t) for t in texts]
         else:
             raise ValueError(
                 "provide 'prompt_ids', 'prompts', 'text', or 'texts'")

@@ -170,6 +170,43 @@ if __name__ == "__main__":
     print(base)
 
 
+def make_gpt2_ckpt(ckpt):
+    """Servable tiny GPT-2 checkpoint for the continuous-batching serve
+    path: byte-level BPE tokenizer files (no merges), config, initialized
+    flax params."""
+    os.makedirs(ckpt, exist_ok=True)
+    from easynlp_tpu.modelzoo.models.gpt2.tokenization_gpt2 import (
+        bytes_to_unicode)
+    symbols = list(bytes_to_unicode().values())
+    vocab = {s: i for i, s in enumerate(symbols)}
+    vocab["<|endoftext|>"] = len(vocab)
+    with open(os.path.join(ckpt, "vocab.json"), "w") as f:
+        json.dump(vocab, f)
+    with open(os.path.join(ckpt, "merges.txt"), "w") as f:
+        f.write("#version: 0.2\n")
+    cfg = dict(model_type="gpt2", vocab_size=len(vocab), n_positions=64,
+               n_embd=32, n_layer=2, n_head=2, resid_pdrop=0.0,
+               embd_pdrop=0.0, attn_pdrop=0.0,
+               eos_token_id=len(vocab) - 1)
+    with open(os.path.join(ckpt, "config.json"), "w") as f:
+        json.dump(cfg, f)
+
+    import jax
+    import jax.numpy as jnp
+    from flax import linen as nn
+
+    from easynlp_tpu.modelzoo.modeling_utils import save_params
+    from easynlp_tpu.modelzoo.models.gpt2 import GPT2Config, GPT2LMHeadModel
+    module = GPT2LMHeadModel.from_config(GPT2Config(**cfg),
+                                         dtype=jnp.float32)
+    rng = jax.random.PRNGKey(0)
+    params = module.init({"params": rng, "dropout": rng},
+                         input_ids=jnp.ones((1, 4), jnp.int32),
+                         deterministic=True)["params"]
+    save_params(nn.unbox(params), ckpt)
+    return ckpt
+
+
 def make_bart_ckpt(ckpt, user_defined_parameters=""):
     """Servable tiny BART sequence_generation checkpoint: byte-level BPE
     tokenizer files (no merges), config, initialized params, train_config."""

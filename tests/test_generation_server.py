@@ -127,6 +127,46 @@ def test_tokenizer_text_roundtrip():
         srv.stop()
 
 
+def test_cli_serve_continuous(tmp_path):
+    """--mode=serve + serve_continuous=true: checkpoint-dir → AutoModel →
+    ContinuousBatcher → GenerationServer, all through the CLI main."""
+    import os as _os
+    import sys as _sys
+    _sys.path.insert(0, _os.path.join(_os.path.dirname(__file__),
+                                      "fixtures"))
+    from make_fixtures import make_gpt2_ckpt
+
+    from easynlp_tpu.appzoo.api import default_main_fn
+    from easynlp_tpu.testing import make_args
+
+    ckpt = make_gpt2_ckpt(str(tmp_path / "gptck"))
+    args = make_args(
+        mode="serve", checkpoint_dir=ckpt, sequence_length=48,
+        user_defined_parameters_dict={
+            "serve_continuous": "true", "serve_blocking": "False",
+            "serve_port": 0, "serve_slots": 2, "serve_chunk_size": 4,
+            "serve_prompt_buckets": "16", "serve_max_new_tokens": 6,
+        })
+    srv = default_main_fn(args)
+    try:
+        status, body = _get(srv.port, "/info")
+        assert status == 200 and body["mode"] == "continuous"
+        assert body["slots"] == 2 and body["max_length"] == 48
+        # text in/out through the checkpoint's own BPE tokenizer
+        status, body = _post(srv.port, {"text": "ab", "do_sample": True,
+                                        "temperature": 0.8, "seed": 3},
+                             path="/generate")
+        assert status == 200, body
+        assert isinstance(body["text"], str)
+        # same (prompt, seed) → same sampled tokens, co-tenant-independent
+        status2, body2 = _post(srv.port, {"text": "ab", "do_sample": True,
+                                          "temperature": 0.8, "seed": 3},
+                               path="/generate")
+        assert body2["output_ids"] == body["output_ids"]
+    finally:
+        srv.stop()
+
+
 def test_dead_batcher_is_503():
     from easynlp_tpu.serving import ContinuousBatcher, GenerationServer
     m, params = _tiny_model()
