@@ -353,17 +353,22 @@ def main(argv=None):
     del results["_stage"]
 
     leg_timeout = int(os.environ.get("BENCH_LEG_TIMEOUT", "900"))
+    # leg order = information density under the global deadline: the legs a
+    # truncated run loses should be the least informative ones. clip_e2e
+    # runs LAST because through the sandbox's tunneled TPU it measures link
+    # bandwidth, not the host pipeline (docs/performance.md) — a 1500s-
+    # deadline run observed losing diffusion/decode/continuous to it.
     legs = [
         ("bert", [py, os.path.join(here, "bench.py"), "--only", "bert"]),
         ("e2e", [py, os.path.join(here, "bench.py"), "--only", "e2e"]),
         ("clip", [py, os.path.join(here, "bench.py"), "--only", "clip"]),
-        ("clip_e2e",
-         [py, os.path.join(here, "bench.py"), "--only", "clip_e2e"]),
-        ("diffusion",
-         [py, os.path.join(here, "bench.py"), "--only", "diffusion"]),
         ("decode", [py, os.path.join(here, "bench.py"), "--only", "decode"]),
         ("continuous",
          [py, os.path.join(here, "bench.py"), "--only", "continuous"]),
+        ("diffusion",
+         [py, os.path.join(here, "bench.py"), "--only", "diffusion"]),
+        ("clip_e2e",
+         [py, os.path.join(here, "bench.py"), "--only", "clip_e2e"]),
     ]
     skip = set(filter(None, os.environ.get("BENCH_SKIP", "").split(",")))
     for name, cmd in legs:

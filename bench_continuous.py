@@ -106,6 +106,30 @@ def bench_device_decoder(m, params, reqs):
     return sum(len(o) for o in outs), elapsed
 
 
+def bench_device_decoder_spec(m, params, reqs):
+    """Speculative variant: prompt-lookup drafts + [SLOTS, K+1] verify
+    inside the same while_loop. Token-exact vs the plain decoder; the
+    tokens/forward gain tracks how repetitive the greedy stream is (real
+    copy-heavy serving — summarization/dialogue/code — accepts most
+    drafts; this synthetic workload's acceptance comes from greedy
+    attractor loops and is reported alongside)."""
+    from easynlp_tpu.serving.continuous import DeviceContinuousDecoder
+    dec = DeviceContinuousDecoder(
+        m, params, max_slots=SLOTS, max_length=MAX_LEN + 8,
+        prompt_bucket=PROMPT, pad_token_id=0,
+        speculative=(2, 4))
+    prompts = [ids for ids, _ in reqs]
+    budgets = [g for _, g in reqs]
+    dec(prompts, budgets)  # warmup = compile
+    t0 = time.perf_counter()
+    outs = dec(prompts, budgets)
+    elapsed = time.perf_counter() - t0
+    stats = dec.last_spec_stats or {}
+    rounds = max(stats.get("verify_rounds", 0), 1)
+    per_round = stats.get("tokens_committed_in_rounds", 0) / rounds
+    return sum(len(o) for o in outs), elapsed, per_round
+
+
 def bench_coalesced(m, params, reqs):
     """Sequential SLOTS-wide batches; each batch decodes to its max gen."""
     import jax
@@ -154,6 +178,8 @@ def main():
     reqs = _requests(cfg.vocab_size)
     cont_tokens, cont_s = bench_continuous(m, params, reqs)
     dev_tokens, dev_s = bench_device_decoder(m, params, reqs)
+    spec_tokens, spec_s, spec_acc = bench_device_decoder_spec(m, params,
+                                                              reqs)
     coal_tokens, coal_s = bench_coalesced(m, params, reqs)
     # Primary = the device-resident decoder: it IS continuous batching
     # (admission / retirement / refill), just scheduled in-graph, and it is
@@ -172,6 +198,9 @@ def main():
             "completion_speedup": round(coal_s / dev_s, 3),
             "online_batcher_tokens_per_sec": round(cont_tokens / cont_s, 1),
             "online_batcher_over_coalesced": round(coal_s / cont_s, 3),
+            "speculative_tokens_per_sec": round(spec_tokens / spec_s, 1),
+            "speculative_over_plain": round(dev_s / spec_s, 3),
+            "speculative_tokens_per_verify_round": round(spec_acc, 2),
         },
     }))
     return 0

@@ -66,18 +66,36 @@ class GPT2Attention(nn.Module):
             new_cache = None
         elif cache_index is not None and getattr(cache_index, "ndim", 0) == 1:
             # per-SLOT write indices (continuous-batching decode): each row
-            # advances independently, so the single-token write is a scatter
-            # instead of a shared dynamic_update_slice. Visibility is still
-            # the per-row kv_mask.
-            assert s == 1, "per-row cache_index requires single-token decode"
+            # advances independently, so the write is a scatter instead of a
+            # shared dynamic_update_slice. Visibility is still the per-row
+            # kv_mask. s == 1 is the plain decode step; s > 1 is a
+            # speculative-verify chunk — S entries land at row offsets
+            # cache_index..cache_index+S-1 and within-chunk causality is a
+            # per-row additive bias (the [B,1,S,T] bias broadcasts over
+            # heads; rejected drafts' stale KV stays invisible because the
+            # caller only commits accepted positions into the mask).
             bidx = jnp.arange(b)
             k_cache, v_cache = layer_cache
-            k_cache = k_cache.at[bidx, cache_index].set(
-                k[:, 0].astype(k_cache.dtype))
-            v_cache = v_cache.at[bidx, cache_index].set(
-                v[:, 0].astype(v_cache.dtype))
-            new_cache = (k_cache, v_cache)
-            ctx = attention(q, k_cache, v_cache, kv_mask=kv_mask)
+            if s == 1:
+                k_cache = k_cache.at[bidx, cache_index].set(
+                    k[:, 0].astype(k_cache.dtype))
+                v_cache = v_cache.at[bidx, cache_index].set(
+                    v[:, 0].astype(v_cache.dtype))
+                new_cache = (k_cache, v_cache)
+                ctx = attention(q, k_cache, v_cache, kv_mask=kv_mask)
+            else:
+                pos = cache_index[:, None] + jnp.arange(s)[None, :]  # [B,S]
+                k_cache = k_cache.at[bidx[:, None], pos].set(
+                    k.astype(k_cache.dtype))
+                v_cache = v_cache.at[bidx[:, None], pos].set(
+                    v.astype(v_cache.dtype))
+                new_cache = (k_cache, v_cache)
+                t = k_cache.shape[1]
+                bias = jnp.where(
+                    jnp.arange(t)[None, None, :] <= pos[:, :, None],
+                    0.0, -1e30)[:, None]                          # [B,1,S,T]
+                ctx = attention(q, k_cache, v_cache, kv_mask=kv_mask,
+                                bias=bias)
         else:
             if len(layer_cache) == 4:
                 # int8 KV cache: per-(token, head) symmetric scales — halves

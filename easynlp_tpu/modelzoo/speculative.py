@@ -89,6 +89,41 @@ def prompt_lookup_drafts(sequences, valid, cur_len, num_draft_tokens,
                      jnp.full_like(draft, pad_token_id)).astype(jnp.int32)
 
 
+def prompt_lookup_drafts_rowwise(sequences, valid, cur_len,
+                                 num_draft_tokens, ngram_size,
+                                 pad_token_id=0):
+    """Per-ROW prompt lookup: like prompt_lookup_drafts but `cur_len` is a
+    [B] array — the continuous-batching slot layout, where every slot's
+    committed length differs (and rows may be left-padded, so the trailing
+    n-gram is additionally required to sit on valid positions). Rows with
+    no usable match draft `pad_token_id` repeats; drafts never affect
+    correctness (verify rejects them), only acceptance."""
+    b, t = sequences.shape
+    n = ngram_size
+    k = num_draft_tokens
+    cur_len = cur_len.astype(jnp.int32)
+    tail_idx = jnp.clip(cur_len[:, None] - n + jnp.arange(n)[None, :],
+                        0, t - 1)                                  # [B, n]
+    ngram = jnp.take_along_axis(sequences, tail_idx, axis=1)       # [B, n]
+    tail_ok = jnp.all(
+        jnp.take_along_axis(valid, tail_idx, axis=1) == 1, axis=-1) \
+        & (cur_len >= n)                                           # [B]
+    starts = jnp.arange(t - n + 1)
+    win_idx = starts[:, None] + jnp.arange(n)[None, :]             # [P, n]
+    windows = sequences[:, win_idx]                                 # [B, P, n]
+    win_valid = jnp.all(valid[:, win_idx] == 1, axis=-1)            # [B, P]
+    eq = jnp.all(windows == ngram[:, None, :], axis=-1)             # [B, P]
+    usable = (starts[None, :] + n) <= (cur_len[:, None] - 1)        # [B, P]
+    score = jnp.where(eq & win_valid & usable, starts[None, :], -1)
+    p_best = jnp.max(score, axis=-1)                                # [B]
+    found = (p_best >= 0) & tail_ok
+    src = jnp.clip(p_best + n, 0, t - 1)
+    draft_idx = jnp.clip(src[:, None] + jnp.arange(k)[None, :], 0, t - 1)
+    draft = jnp.take_along_axis(sequences, draft_idx, axis=1)       # [B, K]
+    return jnp.where(found[:, None], draft,
+                     jnp.full_like(draft, pad_token_id)).astype(jnp.int32)
+
+
 class SpecState(NamedTuple):
     step: Any        # scalar: next write position (committed length)
     sequences: Any   # [B, Tb]

@@ -541,7 +541,18 @@ class DeviceContinuousDecoder:
 
     def __init__(self, module, params, max_slots=8, max_length=128,
                  prompt_bucket=32, eos_token_id=None, pad_token_id=0,
-                 chunk_size=16):
+                 chunk_size=16, speculative=None):
+        """speculative=(ngram_size, num_draft_tokens) enables prompt-lookup
+        speculative decoding INSIDE the device loop for greedy requests:
+        each round drafts K tokens by matching the slot's trailing n-gram
+        against its own token history (kept in a device-resident [S, T]
+        ids buffer), verifies them in ONE [S, K+1] forward (per-row chunk
+        cache writes + causal bias), and commits the longest prefix that
+        agrees with the model's own greedy choices — token-exact vs plain
+        greedy, up to K+1 tokens per forward on copy-heavy text. Calls with
+        any sampled request fall back to the non-speculative build. Slots
+        retire when fewer than K+1 cache entries remain, so provision
+        max_length >= prompt_bucket + max_new_tokens + K + 1."""
         from easynlp_tpu.modelzoo.quantization import dequantize_params
         assert prompt_bucket < max_length
         self.module = module
@@ -552,6 +563,15 @@ class DeviceContinuousDecoder:
         self.eos = eos_token_id
         self.pad = pad_token_id
         self.chunk = max(1, int(chunk_size))
+        self.spec = None
+        if speculative is not None:
+            ngram, k = speculative
+            assert k >= 1 and ngram >= 1
+            assert self.bucket + k + 1 < self.max_length, \
+                "speculative verify needs K+1 free cache entries past the " \
+                "prompt bucket"
+            self.spec = (int(ngram), int(k))
+        self.last_spec_stats: Optional[Dict[str, int]] = None
         self._dq = dequantize_params
         self._fn_cache: Dict[Any, Any] = {}
 
@@ -583,8 +603,11 @@ class DeviceContinuousDecoder:
                 raise ValueError(
                     "prompt length %d exceeds prompt_bucket %d"
                     % (len(ids), self.bucket))
+        spec = self.spec is not None and not any(ds)
         g = max(max(budgets), 1)
-        g = min(g, self.max_length - 1)
+        # speculative verify writes K+1 cache entries per round, so a slot
+        # must retire K entries before the window end
+        g = min(g, self.max_length - 1 - (self.spec[1] if spec else 0))
         # pad N up to a multiple of SLOTS to bound distinct compile shapes
         n_pad = -(-n // self.slots) * self.slots
         rows = [list(p) for p in prompts] + [[self.pad]] * (n_pad - n)
@@ -602,7 +625,7 @@ class DeviceContinuousDecoder:
         mask = np.concatenate([np.asarray(mask, np.int32),
                                np.zeros((1, self.bucket), np.int32)])
         sampling = any(ds)
-        fn = self._get_fn(n_pad, g, sampling)
+        fn = self._get_fn(n_pad, g, sampling, spec)
         args = (self.params, jnp.asarray(ids), jnp.asarray(mask),
                 jnp.asarray(bud))
         if sampling:
@@ -611,16 +634,25 @@ class DeviceContinuousDecoder:
                      padded(temp, np.float32, 1.0),
                      padded(tk, np.int32, 0),
                      padded(tp, np.float32, 1.0))
-        out, counts = fn(*args)
+        if spec:
+            out, counts, rounds, committed = fn(*args)
+            self.last_spec_stats = {
+                "verify_rounds": int(rounds),
+                "tokens_committed_in_rounds": int(committed),
+            }
+        else:
+            out, counts = fn(*args)
+            self.last_spec_stats = None
         out = np.asarray(out)
         counts = np.asarray(counts)
         return [out[i, :counts[i]].tolist() for i in range(n)]
 
-    def _get_fn(self, n, g, sampling=False):
-        key = (n, g, sampling)
+    def _get_fn(self, n, g, sampling=False, spec=False):
+        key = (n, g, sampling, spec)
         fn = self._fn_cache.get(key)
         if fn is None:
-            fn = jax.jit(self._build(n, g, sampling))
+            build = self._build_spec if spec else self._build
+            fn = jax.jit(build(n, g) if spec else build(n, g, sampling))
             self._fn_cache[key] = fn
         return fn
 
@@ -796,5 +828,205 @@ class DeviceContinuousDecoder:
 
             final = jax.lax.while_loop(cond, body, carry0)
             return final["out"][:n], final["written"][:n]
+
+        return run
+
+    def _build_spec(self, n, g):
+        """Speculative (greedy-only) variant of _build: each while-loop
+        round drafts K tokens by per-row prompt lookup over the slot's own
+        committed history, verifies [last, d_1..d_K] in ONE forward, and
+        commits the longest draft prefix agreeing with the model's greedy
+        choices (+1 bonus token). Token-exact vs the plain build: position
+        i of the verify chunk is conditioned on exactly the committed
+        prefix, so the greedy argmax stream is unchanged — acceptance only
+        changes how many forwards the stream costs."""
+        from easynlp_tpu.modelzoo.speculative import (
+            prompt_lookup_drafts_rowwise)
+        module, s, t, p = self.module, self.slots, self.max_length, \
+            self.bucket
+        eos, pad = self.eos, self.pad
+        ngram, kd = self.spec
+        sink = n
+
+        def run(params, ids, mask, budgets):
+            dparams = self._dq(params)
+            c = module.config
+            heads, dim = c.n_head, c.n_embd // c.n_head
+            bidx = jnp.arange(s)
+            state = {
+                "k": jnp.zeros((c.n_layer, s, t, heads, dim), module.dtype),
+                "v": jnp.zeros((c.n_layer, s, t, heads, dim), module.dtype),
+                "mask": jnp.zeros((s, t), jnp.int32),
+                "index": jnp.zeros((s,), jnp.int32),
+                "last": jnp.full((s,), pad, jnp.int32),
+                # committed token at each cache position (the draft corpus)
+                "ids": jnp.full((s, t), pad, jnp.int32),
+            }
+            carry0 = {
+                "state": state,
+                "slot_req": jnp.full((s,), sink, jnp.int32),
+                "active": jnp.zeros((s,), bool),
+                "remaining": jnp.zeros((s,), jnp.int32),
+                "produced": jnp.zeros((s,), jnp.int32),
+                "next_req": jnp.int32(0),
+                "out": jnp.full((n + 1, g), pad, jnp.int32),
+                "written": jnp.zeros((n + 1,), jnp.int32),
+                "rounds": jnp.int32(0),
+                "committed": jnp.int32(0),
+            }
+
+            def admit(carry):
+                state = carry["state"]
+                free = ~carry["active"]
+                order = jnp.cumsum(free.astype(jnp.int32)) - 1
+                want = free & (carry["next_req"] + order < n)
+                reqi = jnp.where(want, carry["next_req"] + order, sink)
+                rows, rmask = ids[reqi], mask[reqi]
+                cache0 = module.init_cache(s, p, dtype=module.dtype)
+                cache0["mask"] = rmask
+                outp = module.apply(
+                    {"params": dparams}, input_ids=rows,
+                    attention_mask=rmask, cache=cache0, deterministic=True)
+                first = jnp.argmax(
+                    outp["logits"][:, -1].astype(jnp.float32),
+                    -1).astype(jnp.int32)
+                wk = want[None, :, None, None, None]
+                k1 = outp["cache"]["k"].astype(state["k"].dtype)
+                v1 = outp["cache"]["v"].astype(state["v"].dtype)
+                full_mask = jnp.zeros((s, t), jnp.int32).at[:, :p].set(rmask)
+                new_state = {
+                    "k": state["k"].at[:, :, :p].set(
+                        jnp.where(wk, k1, state["k"][:, :, :p])),
+                    "v": state["v"].at[:, :, :p].set(
+                        jnp.where(wk, v1, state["v"][:, :, :p])),
+                    "mask": jnp.where(want[:, None], full_mask,
+                                      state["mask"]),
+                    "index": jnp.where(want, p, state["index"]),
+                    "last": jnp.where(want, first, state["last"]),
+                    "ids": state["ids"].at[:, :p].set(
+                        jnp.where(want[:, None], rows,
+                                  state["ids"][:, :p])),
+                }
+                budget = budgets[reqi]
+                has_tok = want & (budget >= 1)
+                out = carry["out"].at[
+                    jnp.where(has_tok, reqi, sink), 0].set(
+                    jnp.where(has_tok, first, pad))
+                written = carry["written"].at[
+                    jnp.where(want, reqi, sink)].set(
+                    jnp.minimum(budget, 1))
+                still = has_tok & (budget > 1) & (p + kd + 1 <= t)
+                if eos is not None:
+                    still = still & (first != eos)
+                return dict(
+                    carry,
+                    state=new_state,
+                    slot_req=jnp.where(want, reqi, carry["slot_req"]),
+                    active=jnp.where(want, still, carry["active"]),
+                    remaining=jnp.where(want, budget - 1,
+                                        carry["remaining"]),
+                    produced=jnp.where(want, jnp.minimum(budget, 1),
+                                       carry["produced"]),
+                    next_req=carry["next_req"]
+                    + jnp.sum(want.astype(jnp.int32)),
+                    out=out, written=written)
+
+            def spec_round(carry):
+                state = carry["state"]
+                active = carry["active"]
+                remaining = carry["remaining"]
+                index, last = state["index"], state["last"]
+
+                # draft corpus = committed ids + the pending `last` token
+                seq_m = state["ids"].at[bidx, index].set(last)
+                val_m = state["mask"].at[bidx, index].set(1)
+                drafts = prompt_lookup_drafts_rowwise(
+                    seq_m, val_m, index + 1, kd, ngram, pad)       # [S, K]
+                chunk_toks = jnp.concatenate([last[:, None], drafts],
+                                             axis=1)              # [S, K+1]
+                positions = (jnp.sum(state["mask"], -1)[:, None]
+                             + jnp.arange(kd + 1)[None, :])
+                pos = index[:, None] + jnp.arange(kd + 1)[None, :]
+                mk = state["mask"].at[bidx[:, None], pos].set(
+                    active[:, None].astype(jnp.int32))
+                cache = {"k": state["k"], "v": state["v"], "mask": mk,
+                         "index": index}
+                o = module.apply(
+                    {"params": dparams}, input_ids=chunk_toks,
+                    position_ids=positions, cache=cache,
+                    deterministic=True)
+                gt = jnp.argmax(o["logits"].astype(jnp.float32),
+                                -1).astype(jnp.int32)              # [S, K+1]
+
+                # longest draft prefix agreeing with the greedy stream
+                match = drafts == gt[:, :kd]                       # [S, K]
+                acc = jnp.sum(jnp.cumprod(match.astype(jnp.int32),
+                                          axis=1), axis=1)         # [S]
+                n_new = jnp.minimum(acc + 1, remaining)
+                if eos is not None:
+                    # stop at the first committed EOS, inclusive
+                    is_eos = gt == eos                             # [S, K+1]
+                    first_eos = jnp.argmax(is_eos, axis=1)
+                    has_eos_any = jnp.any(is_eos, axis=1)
+                    n_new = jnp.where(
+                        has_eos_any & (first_eos + 1 <= n_new),
+                        first_eos + 1, n_new)
+                n_new = jnp.where(active, n_new, 0)
+
+                commit = (jnp.arange(kd + 1)[None, :]
+                          < n_new[:, None])                        # [S, K+1]
+                old_ids = jnp.take_along_axis(state["ids"], pos, axis=1)
+                new_state = {
+                    "k": o["cache"]["k"], "v": o["cache"]["v"],
+                    "mask": state["mask"].at[bidx[:, None], pos].set(
+                        commit.astype(jnp.int32)),
+                    "index": index + n_new,
+                    "ids": state["ids"].at[bidx[:, None], pos].set(
+                        jnp.where(commit, chunk_toks, old_ids)),
+                    "last": jnp.where(
+                        active,
+                        jnp.take_along_axis(
+                            gt, jnp.maximum(n_new - 1, 0)[:, None],
+                            axis=1)[:, 0],
+                        last),
+                }
+                new_remaining = remaining - n_new
+                still = active & (new_remaining > 0) \
+                    & (index + n_new + kd + 1 <= t)
+                if eos is not None:
+                    last_tok = new_state["last"]
+                    still = still & (last_tok != eos)
+
+                rows = jnp.where(commit, carry["slot_req"][:, None], sink)
+                cols = jnp.clip(carry["produced"][:, None]
+                                + jnp.arange(kd + 1)[None, :], 0, g - 1)
+                out = carry["out"].at[rows, cols].set(
+                    jnp.where(commit, gt, pad))
+                produced = carry["produced"] + n_new
+                written = carry["written"].at[carry["slot_req"]].set(
+                    produced)
+                return dict(
+                    carry,
+                    state=new_state, active=still,
+                    remaining=new_remaining, produced=produced,
+                    out=out, written=written,
+                    rounds=carry["rounds"]
+                    + jnp.any(active).astype(jnp.int32),
+                    committed=carry["committed"] + jnp.sum(n_new))
+
+            def cond(carry):
+                return (carry["next_req"] < n) | jnp.any(carry["active"])
+
+            def body(carry):
+                can_admit = jnp.any(~carry["active"]) \
+                    & (carry["next_req"] < n)
+                carry = jax.lax.cond(can_admit, admit, lambda x: x, carry)
+                carry = jax.lax.cond(jnp.any(carry["active"]), spec_round,
+                                     lambda x: x, carry)
+                return carry
+
+            final = jax.lax.while_loop(cond, body, carry0)
+            return (final["out"][:n], final["written"][:n],
+                    final["rounds"], final["committed"])
 
         return run
