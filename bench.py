@@ -37,7 +37,7 @@ PRIMARY_METRIC = "bert_base_finetune_samples_per_sec_per_chip"
 # far is the record — so this module prints a parseable JSON line (a) at
 # startup, (b) after EVERY completed leg, and (c) from a SIGALRM backstop
 # handler, making an empty tail impossible.
-DEADLINE_S = float(os.environ.get("BENCH_DEADLINE", "1500"))
+DEADLINE_S = float(os.environ.get("BENCH_DEADLINE", "2040"))
 
 # BENCH_TINY=1: shrink the model/batch so the harness itself can be
 # smoke-tested on CPU in seconds (numbers are then meaningless)

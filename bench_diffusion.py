@@ -40,7 +40,7 @@ def main():
     float(imgs[0, 0, 0, 0])  # fence (block_until_ready unreliable on axon)
 
     t0 = time.perf_counter()
-    n_rounds = 3
+    n_rounds = 2
     for i in range(n_rounds):
         imgs = sample(jax.random.PRNGKey(i + 1))
     float(imgs[0, 0, 0, 0])
