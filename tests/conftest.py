@@ -51,3 +51,32 @@ def _clear_jax_caches_per_module():
     yield
     jax.clear_caches()
     gc.collect()
+
+
+# --- smoke/slow tiers ---------------------------------------------------------
+# `pytest -m smoke` = the fast tier (<10 min single-core); the full suite (no
+# -m filter) stays the round gate. Modules listed here dominated the measured
+# full-suite wall clock (--durations of the 2026-08-19 run: e2e tutorial runs
+# 35-72s each, LDM train step 94s, ...); every test NOT in a slow module is
+# auto-marked smoke so the fast tier tracks new tests by default.
+
+SLOW_MODULES = {
+    "test_examples", "test_example_utils", "test_latent_diffusion",
+    "test_diffusion_stack", "test_controlnet", "test_olss",
+    "test_e2e_classification", "test_e2e_vision", "test_apps2",
+    "test_kangaroo", "test_pipeline_parallel", "test_multichip_parity",
+    "test_multihost", "test_glm_finetune", "test_metakd",
+    "test_multimodal", "test_clue_benchmark", "test_hf_adapter",
+    "test_optimizer_trajectory", "test_trajectory_mrc_labeling",
+    "test_generation", "test_seq2seq", "test_continuous_batching",
+    "test_speculative", "test_lora",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = item.nodeid.split("::")[0].rsplit("/", 1)[-1][:-3]
+        if mod in SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)
+        elif item.get_closest_marker("slow") is None:
+            item.add_marker(pytest.mark.smoke)
