@@ -455,9 +455,12 @@ def _serve_continuous_main(args, udp, dtype):
     serve_chunk_size (decode steps per dispatch, default 16),
     serve_prompt_buckets (comma-separated prefill widths, default
     sequence_length//4), serve_max_new_tokens (default 32),
-    serve_quantize=int8 (weight-only int8, dequantized per-dispatch).
-    The KV window is --sequence_length: size it to prompt + generation
-    like max_model_len in any slot-based server."""
+    serve_quantize=int8 (weight-only int8, dequantized per-dispatch),
+    serve_shared_prefix (system-prompt text, tokenized once; requests then
+    send only suffixes — the prefix KV is prefilled once and reused) or
+    serve_shared_prefix_ids (comma-separated token ids, same effect).
+    The KV window is --sequence_length: size it to prefix + prompt +
+    generation like max_model_len in any slot-based server."""
     from easynlp_tpu.modelzoo.models.auto.auto_factory import AutoModel
     from easynlp_tpu.serving import ContinuousBatcher, GenerationServer
 
@@ -485,6 +488,21 @@ def _serve_continuous_main(args, udp, dtype):
                   getattr(tokenizer, "eos_token_id", None))
     pad = udp.get("serve_pad_token_id",
                   getattr(tokenizer, "pad_token_id", None))
+    prefix = None
+    if udp.get("serve_shared_prefix_ids"):
+        prefix = [int(x) for x in
+                  str(udp["serve_shared_prefix_ids"]).split(",")]
+    elif udp.get("serve_shared_prefix"):
+        text = str(udp["serve_shared_prefix"])
+        prefix = (list(tokenizer.encode(text))
+                  if hasattr(tokenizer, "encode") else
+                  list(tokenizer.convert_tokens_to_ids(
+                      tokenizer.tokenize(text))))
+    if prefix and len(prefix) + buckets[-1] >= max_length:
+        raise ValueError(
+            "shared prefix (%d tokens) + largest prompt bucket %d must "
+            "stay below the KV window (--sequence_length=%d)"
+            % (len(prefix), buckets[-1], max_length))
     batcher = ContinuousBatcher(
         module, params,
         max_slots=int(udp.get("serve_slots", 8)),
@@ -492,7 +510,8 @@ def _serve_continuous_main(args, udp, dtype):
         prompt_buckets=buckets,
         eos_token_id=None if eos is None else int(eos),
         pad_token_id=0 if pad is None else int(pad),
-        chunk_size=int(udp.get("serve_chunk_size", 16)))
+        chunk_size=int(udp.get("serve_chunk_size", 16)),
+        shared_prefix=prefix)
     server = GenerationServer(
         batcher,
         host=udp.get("serve_host", "127.0.0.1"),

@@ -71,6 +71,24 @@ class _Pending:
 _GREEDY_DEFAULTS = _Pending([], 0)
 
 
+def _prefill_prefix(module, params, prefix_ids, dq):
+    """One-time KV prefill of a shared prompt prefix: returns
+    (k, v) of shape [L, 1, P0, H, D] ready to broadcast across slots."""
+    p0 = len(prefix_ids)
+    pids = jnp.asarray([prefix_ids], jnp.int32)
+    pmask = jnp.ones((1, p0), jnp.int32)
+
+    def prefill(ps):
+        cache = module.init_cache(1, p0, dtype=module.dtype)
+        cache["mask"] = pmask
+        out = module.apply({"params": dq(ps)}, input_ids=pids,
+                           attention_mask=pmask, cache=cache,
+                           deterministic=True)
+        return out["cache"]["k"], out["cache"]["v"]
+
+    return jax.jit(prefill)(params)
+
+
 class ContinuousBatcher:
     """Slot-based continuous decode over a GPT2-family module.
 
@@ -80,7 +98,15 @@ class ContinuousBatcher:
 
     def __init__(self, module, params, max_slots=4, max_length=128,
                  prompt_buckets=(16, 32, 64), eos_token_id=None,
-                 pad_token_id=0, chunk_size=8, pipeline_depth=2):
+                 pad_token_id=0, chunk_size=8, pipeline_depth=2,
+                 shared_prefix=None):
+        """shared_prefix: token ids of a batcher-wide shared prompt prefix
+        (a system prompt). Its KV is prefilled ONCE here and reused by every
+        request: submit() then takes only the per-request SUFFIX, admits
+        prefill just the suffix at position offset len(prefix), and outputs
+        are token-exact vs submitting prefix+suffix to a prefix-less batcher
+        (asserted in tests). The prefix KV rows are written into each slot at
+        admit time, so slot reuse needs no invalidation."""
         from easynlp_tpu.modelzoo.quantization import dequantize_params
         self.module = module
         self.params = params
@@ -101,9 +127,12 @@ class ContinuousBatcher:
         # results), at the cost of slot retirement/refill lagging by up to
         # depth-1 chunks. depth=1 = classic dispatch-then-sync.
         self.pipeline_depth = max(1, int(pipeline_depth))
+        self.prefix = [int(x) for x in (shared_prefix or [])]
+        self._p0 = len(self.prefix)
         self.buckets = tuple(sorted(b for b in prompt_buckets
-                                    if b < max_length))
-        assert self.buckets, "need at least one prompt bucket < max_length"
+                                    if self._p0 + b < max_length))
+        assert self.buckets, ("need at least one prompt bucket with "
+                              "prefix_len + bucket < max_length")
         self.eos = eos_token_id
         self.pad = pad_token_id
         c = module.config
@@ -117,6 +146,11 @@ class ContinuousBatcher:
             "last": jnp.full((max_slots,), pad_token_id, jnp.int32),
         }
         self._dq = dequantize_params
+        # shared-prefix KV, computed once: [L, 1, P0, H, D] — admits
+        # broadcast it across slots, so no per-request prefix prefill
+        self._prefix_kv = (_prefill_prefix(module, params, self.prefix,
+                                           self._dq)
+                           if self._p0 else None)
 
         eos = self.eos
         n_chunk = self.chunk
@@ -285,16 +319,35 @@ class ContinuousBatcher:
         if fn is None:
             from easynlp_tpu.modelzoo.generation_utils import (
                 rowwise_warp_and_sample)
-            slots, t = self.slots, self.max_length
+            slots, t, p0 = self.slots, self.max_length, self._p0
+            pb = p0 + p  # prefilled row extent: shared prefix + this bucket
 
-            def admit(params, state, ids, mask, sidx, valid, seeds=None,
-                      ds=None, temp=None, tk=None, tp=None):
-                cache = self.module.init_cache(slots, p,
+            def admit(params, state, prefix_kv, ids, mask, sidx, valid,
+                      seeds=None, ds=None, temp=None, tk=None, tp=None):
+                cache = self.module.init_cache(slots, pb,
                                                dtype=self.module.dtype)
-                cache["mask"] = mask.astype(jnp.int32)
+                smask = mask.astype(jnp.int32)
+                positions = None
+                if p0:
+                    # suffix prefill over [prefix KV; suffix]: queries write
+                    # at offset p0 and see the prefix through the cache mask;
+                    # positions are absolute (prefix occupies 0..p0-1)
+                    pk, pv = prefix_kv
+                    cache["k"] = cache["k"].at[:, :, :p0].set(
+                        pk.astype(cache["k"].dtype))
+                    cache["v"] = cache["v"].at[:, :, :p0].set(
+                        pv.astype(cache["v"].dtype))
+                    cache["index"] = jnp.full((), p0, jnp.int32)
+                    cache["mask"] = jnp.concatenate(
+                        [jnp.ones((slots, p0), jnp.int32), smask], axis=1)
+                    positions = p0 + jnp.maximum(
+                        jnp.cumsum(smask, -1) - 1, 0)
+                else:
+                    cache["mask"] = smask
                 out = self.module.apply(
                     {"params": self._dq(params)}, input_ids=ids,
-                    attention_mask=mask, cache=cache, deterministic=True)
+                    attention_mask=mask, position_ids=positions,
+                    cache=cache, deterministic=True)
                 logits = out["logits"][:, -1].astype(jnp.float32)
                 if sampling:
                     first = rowwise_warp_and_sample(
@@ -305,17 +358,17 @@ class ContinuousBatcher:
                 k1 = out["cache"]["k"].astype(state["k"].dtype)
                 v1 = out["cache"]["v"].astype(state["v"].dtype)
                 vk = valid[None, :, None, None, None]
-                new_k = state["k"].at[:, sidx, :p].set(
-                    jnp.where(vk, k1, state["k"][:, sidx, :p]))
-                new_v = state["v"].at[:, sidx, :p].set(
-                    jnp.where(vk, v1, state["v"][:, sidx, :p]))
+                new_k = state["k"].at[:, sidx, :pb].set(
+                    jnp.where(vk, k1, state["k"][:, sidx, :pb]))
+                new_v = state["v"].at[:, sidx, :pb].set(
+                    jnp.where(vk, v1, state["v"][:, sidx, :pb]))
                 full_mask = jnp.zeros((slots, t), jnp.int32) \
-                    .at[:, :p].set(mask.astype(jnp.int32))
+                    .at[:, :pb].set(cache["mask"])
                 new_mask = state["mask"].at[sidx].set(
                     jnp.where(valid[:, None], full_mask,
                               state["mask"][sidx]))
                 new_index = state["index"].at[sidx].set(
-                    jnp.where(valid, jnp.full((slots,), p, jnp.int32),
+                    jnp.where(valid, jnp.full((slots,), pb, jnp.int32),
                               state["index"][sidx]))
                 new_last = state["last"].at[sidx].set(
                     jnp.where(valid, first, state["last"][sidx]))
@@ -326,8 +379,8 @@ class ContinuousBatcher:
                 fn = jax.jit(admit, donate_argnums=(1,))
             else:
                 fn = jax.jit(
-                    lambda params, state, ids, mask, sidx, valid:
-                    admit(params, state, ids, mask, sidx, valid),
+                    lambda params, state, prefix_kv, ids, mask, sidx, valid:
+                    admit(params, state, prefix_kv, ids, mask, sidx, valid),
                     donate_argnums=(1,))
             self._admit_cache[(p, sampling)] = fn
         return fn
@@ -358,7 +411,8 @@ class ContinuousBatcher:
                 reqs = [req for req, _ in group]
                 reqs += [reqs[0]] * (self.slots - len(reqs))
                 self._state, first = self._admit_fn(p, sampling=True)(
-                    self.params, self._state, jnp.asarray(ids),
+                    self.params, self._state, self._prefix_kv,
+                    jnp.asarray(ids),
                     jnp.asarray(mask), jnp.asarray(sidx, jnp.int32),
                     jnp.asarray(valid),
                     jnp.asarray([r.seed for r in reqs], jnp.uint32),
@@ -368,13 +422,14 @@ class ContinuousBatcher:
                     jnp.asarray([r.top_p for r in reqs], jnp.float32))
             else:
                 self._state, first = self._admit_fn(p)(
-                    self.params, self._state, jnp.asarray(ids),
+                    self.params, self._state, self._prefix_kv,
+                    jnp.asarray(ids),
                     jnp.asarray(mask), jnp.asarray(sidx, jnp.int32),
                     jnp.asarray(valid))
             for req, slot in group:
                 self._occupants[slot] = req
                 req.slot = slot
-                req.index0 = p
+                req.index0 = self._p0 + p
                 req.dispatched = 1  # the prefill's first token
             items.append(("admit", first, list(group)))
         return items
@@ -541,8 +596,15 @@ class DeviceContinuousDecoder:
 
     def __init__(self, module, params, max_slots=8, max_length=128,
                  prompt_bucket=32, eos_token_id=None, pad_token_id=0,
-                 chunk_size=16, speculative=None):
-        """speculative=(ngram_size, num_draft_tokens) enables prompt-lookup
+                 chunk_size=16, speculative=None, shared_prefix=None):
+        """shared_prefix: token ids of a decoder-wide shared prompt prefix
+        (a system prompt), prefilled ONCE at construction; calls then pass
+        per-request SUFFIXES (each 1..prompt_bucket tokens) and outputs are
+        token-exact vs a prefix-less decoder run on prefix+suffix. The
+        speculative draft corpus includes the prefix, so prompt-lookup
+        matches against the full context.
+
+        speculative=(ngram_size, num_draft_tokens) enables prompt-lookup
         speculative decoding INSIDE the device loop for greedy requests:
         each round drafts K tokens by matching the slot's trailing n-gram
         against its own token history (kept in a device-resident [S, T]
@@ -554,7 +616,9 @@ class DeviceContinuousDecoder:
         retire when fewer than K+1 cache entries remain, so provision
         max_length >= prompt_bucket + max_new_tokens + K + 1."""
         from easynlp_tpu.modelzoo.quantization import dequantize_params
-        assert prompt_bucket < max_length
+        self.prefix = [int(x) for x in (shared_prefix or [])]
+        self._p0 = len(self.prefix)
+        assert self._p0 + prompt_bucket < max_length
         self.module = module
         self.params = params
         self.slots = int(max_slots)
@@ -567,12 +631,15 @@ class DeviceContinuousDecoder:
         if speculative is not None:
             ngram, k = speculative
             assert k >= 1 and ngram >= 1
-            assert self.bucket + k + 1 < self.max_length, \
+            assert self._p0 + self.bucket + k + 1 < self.max_length, \
                 "speculative verify needs K+1 free cache entries past the " \
-                "prompt bucket"
+                "(shared prefix +) prompt bucket"
             self.spec = (int(ngram), int(k))
         self.last_spec_stats: Optional[Dict[str, int]] = None
         self._dq = dequantize_params
+        self._prefix_kv = (_prefill_prefix(module, params, self.prefix,
+                                           self._dq)
+                           if self._p0 else None)
         self._fn_cache: Dict[Any, Any] = {}
 
     def __call__(self, prompts, max_new_tokens, do_sample=False,
@@ -603,6 +670,11 @@ class DeviceContinuousDecoder:
                 raise ValueError(
                     "prompt length %d exceeds prompt_bucket %d"
                     % (len(ids), self.bucket))
+            if self._p0 and not len(ids):
+                raise ValueError(
+                    "with shared_prefix each request still needs >= 1 "
+                    "suffix token (the admit forward reads its first-token "
+                    "logits from the last suffix position)")
         spec = self.spec is not None and not any(ds)
         g = max(max(budgets), 1)
         # speculative verify writes K+1 cache entries per round, so a slot
@@ -626,8 +698,8 @@ class DeviceContinuousDecoder:
                                np.zeros((1, self.bucket), np.int32)])
         sampling = any(ds)
         fn = self._get_fn(n_pad, g, sampling, spec)
-        args = (self.params, jnp.asarray(ids), jnp.asarray(mask),
-                jnp.asarray(bud))
+        args = (self.params, self._prefix_kv, jnp.asarray(ids),
+                jnp.asarray(mask), jnp.asarray(bud))
         if sampling:
             args += (padded(seeds, np.uint32, 0),
                      padded(ds, bool, False),
@@ -662,10 +734,11 @@ class DeviceContinuousDecoder:
         module, s, t, p = self.module, self.slots, self.max_length, \
             self.bucket
         eos, pad, n_chunk = self.eos, self.pad, self.chunk
+        p0, pb = self._p0, self._p0 + self.bucket
         sink = n  # scatter-sink row index in out/written
 
-        def run(params, ids, mask, budgets, seeds=None, ds=None, temp=None,
-                tk=None, tp=None):
+        def run(params, prefix_kv, ids, mask, budgets, seeds=None, ds=None,
+                temp=None, tk=None, tp=None):
             dparams = self._dq(params)
             c = module.config
             heads, dim = c.n_head, c.n_embd // c.n_head
@@ -697,11 +770,25 @@ class DeviceContinuousDecoder:
                 want = free & (carry["next_req"] + order < n)
                 reqi = jnp.where(want, carry["next_req"] + order, sink)
                 rows, rmask = ids[reqi], mask[reqi]
-                cache0 = module.init_cache(s, p, dtype=module.dtype)
-                cache0["mask"] = rmask
+                cache0 = module.init_cache(s, pb, dtype=module.dtype)
+                positions = None
+                if p0:
+                    pk, pv = prefix_kv
+                    cache0["k"] = cache0["k"].at[:, :, :p0].set(
+                        pk.astype(cache0["k"].dtype))
+                    cache0["v"] = cache0["v"].at[:, :, :p0].set(
+                        pv.astype(cache0["v"].dtype))
+                    cache0["index"] = jnp.full((), p0, jnp.int32)
+                    cache0["mask"] = jnp.concatenate(
+                        [jnp.ones((s, p0), jnp.int32), rmask], axis=1)
+                    positions = p0 + jnp.maximum(
+                        jnp.cumsum(rmask, -1) - 1, 0)
+                else:
+                    cache0["mask"] = rmask
                 outp = module.apply(
                     {"params": dparams}, input_ids=rows,
-                    attention_mask=rmask, cache=cache0, deterministic=True)
+                    attention_mask=rmask, position_ids=positions,
+                    cache=cache0, deterministic=True)
                 logits0 = outp["logits"][:, -1].astype(jnp.float32)
                 if sampling:
                     first = rowwise_warp_and_sample(
@@ -712,15 +799,16 @@ class DeviceContinuousDecoder:
                 wk = want[None, :, None, None, None]
                 k1 = outp["cache"]["k"].astype(state["k"].dtype)
                 v1 = outp["cache"]["v"].astype(state["v"].dtype)
-                full_mask = jnp.zeros((s, t), jnp.int32).at[:, :p].set(rmask)
+                full_mask = jnp.zeros((s, t), jnp.int32) \
+                    .at[:, :pb].set(cache0["mask"])
                 new_state = {
-                    "k": state["k"].at[:, :, :p].set(
-                        jnp.where(wk, k1, state["k"][:, :, :p])),
-                    "v": state["v"].at[:, :, :p].set(
-                        jnp.where(wk, v1, state["v"][:, :, :p])),
+                    "k": state["k"].at[:, :, :pb].set(
+                        jnp.where(wk, k1, state["k"][:, :, :pb])),
+                    "v": state["v"].at[:, :, :pb].set(
+                        jnp.where(wk, v1, state["v"][:, :, :pb])),
                     "mask": jnp.where(want[:, None], full_mask,
                                       state["mask"]),
-                    "index": jnp.where(want, p, state["index"]),
+                    "index": jnp.where(want, pb, state["index"]),
                     "last": jnp.where(want, first, state["last"]),
                 }
                 budget = budgets[reqi]
@@ -731,7 +819,7 @@ class DeviceContinuousDecoder:
                 written = carry["written"].at[
                     jnp.where(want, reqi, sink)].set(
                     jnp.minimum(budget, 1))
-                still = has_tok & (budget > 1) & (p < t - 1)
+                still = has_tok & (budget > 1) & (pb < t - 1)
                 if eos is not None:
                     still = still & (first != eos)
                 return {
@@ -846,9 +934,12 @@ class DeviceContinuousDecoder:
             self.bucket
         eos, pad = self.eos, self.pad
         ngram, kd = self.spec
+        p0, pb = self._p0, self._p0 + self.bucket
+        prefix_row = (jnp.asarray(self.prefix, jnp.int32) if p0
+                      else None)  # draft corpus includes the shared prefix
         sink = n
 
-        def run(params, ids, mask, budgets):
+        def run(params, prefix_kv, ids, mask, budgets):
             dparams = self._dq(params)
             c = module.config
             heads, dim = c.n_head, c.n_embd // c.n_head
@@ -859,8 +950,12 @@ class DeviceContinuousDecoder:
                 "mask": jnp.zeros((s, t), jnp.int32),
                 "index": jnp.zeros((s,), jnp.int32),
                 "last": jnp.full((s,), pad, jnp.int32),
-                # committed token at each cache position (the draft corpus)
-                "ids": jnp.full((s, t), pad, jnp.int32),
+                # committed token at each cache position (the draft corpus);
+                # the shared prefix sits at [:p0] for every slot, validity
+                # still gated by the mask written at admit
+                "ids": (jnp.full((s, t), pad, jnp.int32) if p0 == 0 else
+                        jnp.full((s, t), pad, jnp.int32)
+                        .at[:, :p0].set(prefix_row[None, :])),
             }
             carry0 = {
                 "state": state,
@@ -882,30 +977,45 @@ class DeviceContinuousDecoder:
                 want = free & (carry["next_req"] + order < n)
                 reqi = jnp.where(want, carry["next_req"] + order, sink)
                 rows, rmask = ids[reqi], mask[reqi]
-                cache0 = module.init_cache(s, p, dtype=module.dtype)
-                cache0["mask"] = rmask
+                cache0 = module.init_cache(s, pb, dtype=module.dtype)
+                positions = None
+                if p0:
+                    pk, pv = prefix_kv
+                    cache0["k"] = cache0["k"].at[:, :, :p0].set(
+                        pk.astype(cache0["k"].dtype))
+                    cache0["v"] = cache0["v"].at[:, :, :p0].set(
+                        pv.astype(cache0["v"].dtype))
+                    cache0["index"] = jnp.full((), p0, jnp.int32)
+                    cache0["mask"] = jnp.concatenate(
+                        [jnp.ones((s, p0), jnp.int32), rmask], axis=1)
+                    positions = p0 + jnp.maximum(
+                        jnp.cumsum(rmask, -1) - 1, 0)
+                else:
+                    cache0["mask"] = rmask
                 outp = module.apply(
                     {"params": dparams}, input_ids=rows,
-                    attention_mask=rmask, cache=cache0, deterministic=True)
+                    attention_mask=rmask, position_ids=positions,
+                    cache=cache0, deterministic=True)
                 first = jnp.argmax(
                     outp["logits"][:, -1].astype(jnp.float32),
                     -1).astype(jnp.int32)
                 wk = want[None, :, None, None, None]
                 k1 = outp["cache"]["k"].astype(state["k"].dtype)
                 v1 = outp["cache"]["v"].astype(state["v"].dtype)
-                full_mask = jnp.zeros((s, t), jnp.int32).at[:, :p].set(rmask)
+                full_mask = jnp.zeros((s, t), jnp.int32) \
+                    .at[:, :pb].set(cache0["mask"])
                 new_state = {
-                    "k": state["k"].at[:, :, :p].set(
-                        jnp.where(wk, k1, state["k"][:, :, :p])),
-                    "v": state["v"].at[:, :, :p].set(
-                        jnp.where(wk, v1, state["v"][:, :, :p])),
+                    "k": state["k"].at[:, :, :pb].set(
+                        jnp.where(wk, k1, state["k"][:, :, :pb])),
+                    "v": state["v"].at[:, :, :pb].set(
+                        jnp.where(wk, v1, state["v"][:, :, :pb])),
                     "mask": jnp.where(want[:, None], full_mask,
                                       state["mask"]),
-                    "index": jnp.where(want, p, state["index"]),
+                    "index": jnp.where(want, pb, state["index"]),
                     "last": jnp.where(want, first, state["last"]),
-                    "ids": state["ids"].at[:, :p].set(
+                    "ids": state["ids"].at[:, p0:pb].set(
                         jnp.where(want[:, None], rows,
-                                  state["ids"][:, :p])),
+                                  state["ids"][:, p0:pb])),
                 }
                 budget = budgets[reqi]
                 has_tok = want & (budget >= 1)
@@ -915,7 +1025,7 @@ class DeviceContinuousDecoder:
                 written = carry["written"].at[
                     jnp.where(want, reqi, sink)].set(
                     jnp.minimum(budget, 1))
-                still = has_tok & (budget > 1) & (p + kd + 1 <= t)
+                still = has_tok & (budget > 1) & (pb + kd + 1 <= t)
                 if eos is not None:
                     still = still & (first != eos)
                 return dict(

@@ -69,7 +69,7 @@ SLOW_MODULES = {
     "test_multimodal", "test_clue_benchmark", "test_hf_adapter",
     "test_optimizer_trajectory", "test_trajectory_mrc_labeling",
     "test_generation", "test_seq2seq", "test_continuous_batching",
-    "test_speculative", "test_lora",
+    "test_continuous_prefix", "test_speculative", "test_lora",
 }
 
 
