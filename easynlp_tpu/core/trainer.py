@@ -355,6 +355,9 @@ class Trainer:
         else:
             self.app.params = self.params
         self._eval_and_save(final=True)
+        # the final save must be durable before train() returns (async mode
+        # hands writes to a daemon thread that must not outlive the run)
+        self._join_pending_save()
         self.stats.close()
 
     def _eval_and_save(self, final=False):
@@ -424,6 +427,52 @@ class Trainer:
                 jax.device_get(self.ema_state["num_updates"]))
         if not args.is_master_node:
             return
+        # snapshot everything the writer needs NOW: global_step/best_score
+        # advance while an async write is in flight
+        meta = {"global_step": self.global_step,
+                "epoch": self.global_step // self.steps_per_epoch,
+                "best_score": self.best_score}
+        if ema_updates is not None:
+            meta["ema_num_updates"] = ema_updates
+        cfg = {k: v for k, v in vars(args).items()
+               if isinstance(v, (str, int, float, bool, type(None)))}
+        self._join_pending_save()  # at most one write in flight
+        if getattr(args, "async_save", False):
+            import threading
+            self._save_thread = threading.Thread(
+                target=self._write_checkpoint_guarded,
+                args=(out, params_host, extra_host, opt_host, ema_host,
+                      meta, cfg),
+                daemon=True)
+            self._save_thread.start()
+        else:
+            self._write_checkpoint(out, params_host, extra_host, opt_host,
+                                   ema_host, meta, cfg)
+
+    # save_checkpoint's host-side writer: pure host data in, files out —
+    # safe on a background thread (config/tokenizer/label_mapping are not
+    # mutated during training)
+    _save_thread = None
+    _save_error = None
+
+    def _write_checkpoint_guarded(self, *a):
+        try:
+            self._write_checkpoint(*a)
+        except BaseException as exc:  # surfaced by _join_pending_save
+            self._save_error = exc
+            logger.error("async checkpoint write failed: %s", exc)
+
+    def _join_pending_save(self):
+        t = self._save_thread
+        if t is not None:
+            t.join()
+            self._save_thread = None
+        if self._save_error is not None:
+            exc, self._save_error = self._save_error, None
+            raise RuntimeError("async checkpoint write failed") from exc
+
+    def _write_checkpoint(self, out, params_host, extra_host, opt_host,
+                          ema_host, meta, cfg):
         io.makedirs(out)
         # apps may reshape the main artifact (e.g. LoRA merges adapters so
         # the checkpoint stays predictor/pipeline-compatible) and add extras
@@ -438,15 +487,8 @@ class Trainer:
             with io.open(os.path.join(out, "label_mapping.json"), "w") as f:
                 json.dump(label_map, f, ensure_ascii=False, indent=2)
         with io.open(os.path.join(out, "train_config.json"), "w") as f:
-            cfg = {k: v for k, v in vars(args).items()
-                   if isinstance(v, (str, int, float, bool, type(None)))}
             json.dump(cfg, f, indent=2)
         with io.open(os.path.join(out, META_NAME), "w") as f:
-            meta = {"global_step": self.global_step,
-                    "epoch": self.global_step // self.steps_per_epoch,
-                    "best_score": self.best_score}
-            if ema_updates is not None:
-                meta["ema_num_updates"] = ema_updates
             json.dump(meta, f)
         from flax import serialization
         with io.open(os.path.join(out, OPT_STATE_NAME), "wb") as f:

@@ -128,6 +128,13 @@ def _add_easynlp_args(parser: argparse.ArgumentParser) -> None:
                             "into this directory (view with xprof/tensorboard)")
     group.add_argument("--profile_steps", default=10, type=int,
                        help="How many steps to trace when --profile_dir is set")
+    group.add_argument("--async_save", action="store_true",
+                       help="Write checkpoint files on a background thread: "
+                            "training resumes as soon as the state is "
+                            "gathered to host (the device-side cost); disk/"
+                            "OSS serialization overlaps the next steps. At "
+                            "most one save in flight; write errors surface "
+                            "at the next save or at train end.")
     group.add_argument("--ema_decay", default=0.0, type=float,
                        help="Keep an EMA of the weights with this decay "
                             "(reference latent_diffusion LitEma; saved as "

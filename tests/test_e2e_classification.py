@@ -321,3 +321,65 @@ def test_4b_ema_state_survives_resume(tmp_path):
     for a, b in zip(jax.tree.leaves(shadow_before),
                     jax.tree.leaves(jax.device_get(tr2.ema_state["shadow"]))):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_4c_async_save_matches_sync_and_surfaces_errors(tmp_path,
+                                                        monkeypatch):
+    """--async_save: per-step background writes produce the same artifact
+    set as synchronous saves (final checkpoint identical), and a write
+    failure surfaces as RuntimeError instead of being lost on the thread."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import pytest
+    from easynlp_tpu.core.trainer import Trainer
+    from easynlp_tpu.modelzoo.modeling_utils import load_params
+    from easynlp_tpu.testing import (SyntheticClassificationDataset,
+                                     make_args, tiny_bert_config)
+    from easynlp_tpu.appzoo.sequence_classification.model import (
+        SequenceClassification, SequenceClassificationModule)
+
+    cfg = tiny_bert_config()
+    module = SequenceClassificationModule(config=cfg, dtype=jnp.float32,
+                                          num_labels=2)
+    ds = SyntheticClassificationDataset(n=32, seq_len=8,
+                                        vocab_size=cfg.vocab_size)
+
+    def run(out, **kw):
+        args = make_args(micro_batch_size=8, sequence_length=8,
+                         dtype="float32", epoch_num=1.0,
+                         logging_steps=10**9, checkpoint_dir=out,
+                         learning_rate=1e-3, save_checkpoint_steps=1, **kw)
+        app = SequenceClassification(
+            module, SequenceClassification.init_params(module, cfg), cfg,
+            label_mapping={"0": 0, "1": 1})
+        tr = Trainer(app, ds, evaluator=None, args=args)
+        tr.train()
+        return tr
+
+    sync_dir = str(tmp_path / "sync")
+    async_dir = str(tmp_path / "async")
+    run(sync_dir)
+    tr = run(async_dir, async_save=True)
+    assert tr._save_thread is None  # final write joined before train() ends
+
+    import json as _json
+    import os as _os
+    for d in (sync_dir, async_dir):
+        with open(_os.path.join(d, "train_config.json")) as f:
+            _json.load(f)
+    a = load_params(sync_dir)
+    b = load_params(async_dir)
+    for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    # error path: a failing background write must surface as RuntimeError
+    # at the next save / train end instead of dying silently on the thread
+    import easynlp_tpu.core.trainer as trainer_mod
+
+    def boom(*a, **k):
+        raise OSError("disk full")
+
+    monkeypatch.setattr(trainer_mod, "save_params", boom)
+    with pytest.raises(RuntimeError, match="async checkpoint write"):
+        run(str(tmp_path / "err"), async_save=True)
