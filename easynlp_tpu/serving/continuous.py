@@ -34,13 +34,18 @@ import jax.numpy as jnp
 import numpy as np
 
 
+# end-of-stream sentinel for _Pending.stream_q (distinct from any token id
+# or exception instance)
+_STREAM_END = object()
+
+
 class _Pending:
     __slots__ = ("ids", "max_new_tokens", "event", "tokens", "slot",
                  "index0", "dispatched", "error", "do_sample", "temperature",
-                 "top_k", "top_p", "seed")
+                 "top_k", "top_p", "seed", "stream_q", "cancelled")
 
     def __init__(self, ids, max_new_tokens, do_sample=False, temperature=1.0,
-                 top_k=0, top_p=1.0, seed=0):
+                 top_k=0, top_p=1.0, seed=0, stream=False):
         self.ids = ids
         self.max_new_tokens = max_new_tokens
         self.do_sample = bool(do_sample)
@@ -57,6 +62,12 @@ class _Pending:
         # scheduler never over-dispatches past max_new_tokens
         self.dispatched = 0
         self.error: Optional[BaseException] = None
+        # streaming consumers read tokens as the scheduler commits them;
+        # the queue carries token ids, then _STREAM_END (or the failure
+        # exception) exactly once
+        self.stream_q: Optional[queue.Queue] = queue.Queue() if stream \
+            else None
+        self.cancelled = False
 
     def result(self, timeout=None) -> List[int]:
         if not self.event.wait(timeout):
@@ -64,6 +75,55 @@ class _Pending:
         if self.error is not None:
             raise RuntimeError("generation failed") from self.error
         return self.tokens
+
+    # ---- scheduler-side commit points (single scheduler thread) ----
+
+    def push(self, tok: int):
+        """Commit one generated token (scheduler thread only)."""
+        self.tokens.append(tok)
+        if self.stream_q is not None:
+            self.stream_q.put(tok)
+
+    def close(self, error: Optional[BaseException] = None):
+        """Resolve the request: wake result() waiters and terminate the
+        token stream. Idempotent — the first close wins, so a request
+        finished by the scheduler is not re-failed by a later stop()."""
+        if self.event.is_set():
+            return
+        if error is not None and self.error is None:
+            self.error = error
+        self.event.set()
+        if self.stream_q is not None:
+            self.stream_q.put(self.error if self.error is not None
+                              else _STREAM_END)
+
+    # ---- consumer side ----
+
+    def cancel(self):
+        """Abandon the request: the scheduler retires its slot at the next
+        loop iteration instead of decoding to budget, so a disconnected
+        client stops costing device steps. No-op once resolved. The handle
+        resolves normally with whatever tokens were committed."""
+        self.cancelled = True
+
+    def iter_tokens(self, timeout=None):
+        """Yield token ids as the batcher commits them (requires
+        submit(..., stream=True)). `timeout` bounds the wait for EACH
+        token; raises RuntimeError if generation failed mid-stream."""
+        if self.stream_q is None:
+            raise ValueError(
+                "request was not submitted with stream=True")
+        while True:
+            try:
+                item = self.stream_q.get(timeout=timeout)
+            except queue.Empty:
+                raise TimeoutError(
+                    "no token produced within the stream timeout") from None
+            if item is _STREAM_END:
+                return
+            if isinstance(item, BaseException):
+                raise RuntimeError("generation failed") from item
+            yield item
 
 
 # placeholder for empty slots when gathering per-slot decode params: plain
@@ -238,12 +298,17 @@ class ContinuousBatcher:
     # -- host scheduling ------------------------------------------------------
 
     def submit(self, prompt_ids, max_new_tokens=32, do_sample=False,
-               temperature=1.0, top_k=0, top_p=1.0, seed=0) -> _Pending:
+               temperature=1.0, top_k=0, top_p=1.0, seed=0,
+               stream=False) -> _Pending:
         """Sampling is per-request: a request's sampled tokens are a pure
         function of (prompt, seed) — fold_in(PRNGKey(seed), n) draws token
         n — so they do not depend on slot assignment, chunk boundaries, or
         co-tenant requests, and equal the DeviceContinuousDecoder's output
-        for the same request (asserted in tests)."""
+        for the same request (asserted in tests).
+
+        `stream=True` additionally exposes tokens incrementally through
+        `handle.iter_tokens()` as the scheduler commits them; the streamed
+        sequence is identical to `handle.result()` (which stays usable)."""
         ids = list(int(x) for x in prompt_ids)
         # fail loudly rather than silently truncate: truncation would break
         # the token-exactness guarantee (output == standalone greedy decode)
@@ -254,12 +319,11 @@ class ContinuousBatcher:
                 % (len(ids), self.buckets[-1]))
         req = _Pending(ids, max_new_tokens, do_sample=do_sample,
                        temperature=temperature, top_k=top_k, top_p=top_p,
-                       seed=seed)
+                       seed=seed, stream=stream)
         if self._dead is not None:
             # scheduler already crashed: fail fast instead of letting the
             # caller block until its result() timeout
-            req.error = self._dead
-            req.event.set()
+            req.close(self._dead)
             return req
         self._queue.put(req)
         # re-check AFTER enqueue: a crash between the check above and the
@@ -289,15 +353,13 @@ class ContinuousBatcher:
         for slot, req in enumerate(self._occupants):
             if req is not None:
                 self._occupants[slot] = None
-                req.error = exc
-                req.event.set()
+                req.close(exc)
         while True:
             try:
                 req = self._queue.get_nowait()
             except queue.Empty:
                 break
-            req.error = exc
-            req.event.set()
+            req.close(exc)
 
     def _bucket(self, n):
         for b in self.buckets:
@@ -440,7 +502,7 @@ class ContinuousBatcher:
             if self._occupants[slot] is not req:
                 continue
             first_tok = int(first[i])
-            req.tokens.append(first_tok)
+            req.push(first_tok)
             if (self.eos is not None and first_tok == self.eos) \
                     or req.max_new_tokens <= 1:
                 self._finish(slot)
@@ -449,7 +511,7 @@ class ContinuousBatcher:
         req = self._occupants[slot]
         self._occupants[slot] = None
         if req is not None:
-            req.event.set()
+            req.close()
 
     def _run(self):
         # any error (compile failure, OOM) is fatal for the loop: _state may
@@ -481,7 +543,7 @@ class ContinuousBatcher:
                 if len(req.tokens) >= req.max_new_tokens:
                     continue  # stale over-dispatch past an EOS'd budget
                 tok = int(toks[k, slot])
-                req.tokens.append(tok)
+                req.push(tok)
                 # host mirrors the slot write index: index0 + steps taken
                 done = (self.eos is not None and tok == self.eos) \
                     or len(req.tokens) >= req.max_new_tokens \
@@ -508,16 +570,33 @@ class ContinuousBatcher:
         from collections import deque
         inflight: "deque" = deque()
         while not self._stop.is_set():
+            # retire cancelled occupants first: their slot frees up this
+            # iteration and the request resolves with the tokens already
+            # committed (in-flight chunks for the slot are dropped by
+            # _consume's snapshot identity check, same as EOS retirement)
+            for slot, req in enumerate(self._occupants):
+                if req is not None and req.cancelled:
+                    self._finish(slot)
             # admit waiting requests into free slots (batched per bucket,
             # dispatch-only — first tokens join the result stream)
             wave = []
             for slot in range(self.slots):
                 if self._occupants[slot] is not None:
                     continue
-                try:
-                    wave.append((self._queue.get_nowait(), slot))
-                except queue.Empty:
+                req = None
+                while req is None:
+                    try:
+                        req = self._queue.get_nowait()
+                    except queue.Empty:
+                        break
+                    if req.cancelled:
+                        # cancelled before admission: resolve empty, never
+                        # spend a prefill on it
+                        req.close()
+                        req = None
+                if req is None:
                     break
+                wave.append((req, slot))
             if wave:
                 inflight.extend(self._admit_wave(wave))
             # dispatch one decode chunk over the slots with budget left

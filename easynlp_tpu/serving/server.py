@@ -16,6 +16,7 @@ serve concurrent small requests. JSON-unserialisable outputs (numpy
 arrays) are converted via .tolist().
 """
 
+import itertools
 import json
 import queue
 import threading
@@ -256,6 +257,12 @@ class GenerationServer:
                           Response: {"output_ids": [...]} /
                           {"outputs": [[...], ...]} (+ "text"/"texts" when
                           a tokenizer is attached).
+                          "stream": true (single prompt only) switches the
+                          response to chunked application/x-ndjson: one
+                          {"token": id[, "text_delta": s]} event per
+                          committed token, then {"done": true,
+                          "output_ids": [...][, "text": s]}; mid-stream
+                          failures end the stream with {"error": ...}.
 
     Threading: ThreadingHTTPServer gives each request its own handler
     thread, which submits straight to the batcher and blocks on its result
@@ -347,7 +354,14 @@ class GenerationServer:
                 seed=params["seed"][i])
             for i, ids in enumerate(prompts)
         ]
-        outs = [h.result(timeout=self.request_timeout_s) for h in handles]
+        try:
+            outs = [h.result(timeout=self.request_timeout_s)
+                    for h in handles]
+        except TimeoutError:
+            # don't leave abandoned generations burning decode slots
+            for h in handles:
+                h.cancel()
+            raise
         self.stats["requests"] += len(prompts)
         self.stats["generated_tokens"] += sum(len(o) for o in outs)
         resp = ({"output_ids": outs[0]} if single else {"outputs": outs})
@@ -356,6 +370,58 @@ class GenerationServer:
             resp["text" if single else "texts"] = (texts[0] if single
                                                    else texts)
         return resp
+
+    def _stream_events(self, payload):
+        """Generator of NDJSON events for `"stream": true` requests: one
+        `{"token": id[, "text_delta": s]}` per committed token, then a
+        final `{"done": true, "output_ids": [...][, "text": s]}`.
+
+        Pre-stream failures (bad request, dead scheduler) raise out of the
+        FIRST next() — before any bytes hit the wire — so the handler can
+        still answer with a proper 400/503 status."""
+        prompts, params, single = self._parse(payload)
+        if not single:
+            raise ValueError(
+                "stream=true supports a single prompt only ('prompt_ids' "
+                "or 'text'); send batch requests without streaming")
+        handle = self.batcher.submit(
+            prompts[0], max_new_tokens=params["max_new_tokens"][0],
+            do_sample=params["do_sample"][0],
+            temperature=params["temperature"][0],
+            top_k=params["top_k"][0], top_p=params["top_p"][0],
+            seed=params["seed"][0], stream=True)
+        toks, text = [], ""
+        try:
+            it = handle.iter_tokens(timeout=self.request_timeout_s)
+            # fetch the first token before the first yield: the handler's
+            # initial next() then surfaces a dead scheduler as an exception
+            # BEFORE the 200 header is committed to the wire
+            try:
+                first = next(it)
+            except StopIteration:
+                first = None
+            if first is not None:
+                for tok in itertools.chain([first], it):
+                    toks.append(tok)
+                    ev = {"token": tok}
+                    if self.tokenizer is not None:
+                        # decode cumulatively and emit the delta: per-token
+                        # decode would split multi-piece characters
+                        full = self.tokenizer.decode(toks)
+                        ev["text_delta"] = full[len(text):]
+                        text = full
+                    yield ev
+        finally:
+            # a consumer that stops early (client disconnect → the handler
+            # close()s this generator) must not leave the generation
+            # burning a decode slot; no-op once the request resolved
+            handle.cancel()
+        self.stats["requests"] += 1
+        self.stats["generated_tokens"] += len(toks)
+        done = {"done": True, "output_ids": toks}
+        if self.tokenizer is not None:
+            done["text"] = text
+        yield done
 
     def _make_handler(self):
         server = self
@@ -382,6 +448,55 @@ class GenerationServer:
                 else:
                     self._send(404, {"error": "unknown path %s" % self.path})
 
+            def _chunk(self, obj):
+                """One NDJSON event as an HTTP/1.1 chunked-encoding chunk
+                (flushed immediately so clients see tokens as they land)."""
+                data = json.dumps(_jsonable(obj)).encode() + b"\n"
+                self.wfile.write(b"%x\r\n" % len(data))
+                self.wfile.write(data + b"\r\n")
+                self.wfile.flush()
+
+            def _stream(self, payload):
+                gen = server._stream_events(payload)
+                # the first next() runs parse + submit + first-token fetch,
+                # so every pre-stream failure still gets a real status code
+                try:
+                    first_ev = next(gen)
+                except ValueError as e:
+                    server.stats["errors"] += 1
+                    self._send(400, {"error": str(e)})
+                    return
+                except (RuntimeError, TimeoutError) as e:
+                    server.stats["errors"] += 1
+                    self._send(503, {"error": str(e)})
+                    return
+                except Exception as e:
+                    server.stats["errors"] += 1
+                    self._send(500, {"error": str(e)})
+                    return
+                self.send_response(200)
+                self.send_header("Content-Type", "application/x-ndjson")
+                self.send_header("Transfer-Encoding", "chunked")
+                self.end_headers()
+                try:
+                    self._chunk(first_ev)
+                    for ev in gen:
+                        self._chunk(ev)
+                except OSError:
+                    # client went away mid-stream: close the generator NOW
+                    # so its finally-cancel frees the decode slot promptly
+                    gen.close()
+                    return
+                except Exception as e:
+                    # 200 is already on the wire: surface the failure as a
+                    # terminal in-band event instead of a silent cutoff
+                    server.stats["errors"] += 1
+                    try:
+                        self._chunk({"error": str(e)})
+                    except OSError:
+                        return
+                self.wfile.write(b"0\r\n\r\n")
+
             def do_POST(self):
                 length = int(self.headers.get("Content-Length", 0))
                 body = self.rfile.read(length) if length else b"{}"
@@ -390,6 +505,14 @@ class GenerationServer:
                     return
                 try:
                     payload = json.loads(body or b"{}")
+                except ValueError as e:
+                    server.stats["errors"] += 1
+                    self._send(400, {"error": "malformed JSON: %s" % e})
+                    return
+                if isinstance(payload, dict) and payload.get("stream"):
+                    self._stream(payload)
+                    return
+                try:
                     self._send(200, _jsonable(server._generate(payload)))
                 except ValueError as e:  # bad request (incl. bucket overflow)
                     server.stats["errors"] += 1

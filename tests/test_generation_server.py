@@ -163,6 +163,17 @@ def test_cli_serve_continuous(tmp_path):
                                           "temperature": 0.8, "seed": 3},
                                path="/generate")
         assert body2["output_ids"] == body["output_ids"]
+        # streamed text request: text_deltas concatenate to the final text
+        # and the token stream equals the non-streaming output
+        status3, events = _post_stream(srv.port, {"text": "ab",
+                                                  "do_sample": True,
+                                                  "temperature": 0.8,
+                                                  "seed": 3,
+                                                  "stream": True})
+        assert status3 == 200, events
+        done = events[-1]
+        assert done["output_ids"] == body["output_ids"]
+        assert "".join(e["text_delta"] for e in events[:-1]) == done["text"]
     finally:
         srv.stop()
 
@@ -177,6 +188,88 @@ def test_dead_batcher_is_503():
         b.stop()  # scheduler gone: submits fail fast → 503 per contract
         status, body = _post(srv.port, {"prompt_ids": [1, 2]},
                              path="/generate")
+        assert status == 503, (status, body)
+    finally:
+        srv.stop(stop_batcher=False)
+
+
+# ---------------- token streaming over HTTP ----------------
+
+def _post_stream(port, payload):
+    """POST /generate with stream=true; returns (status, events) where
+    events are parsed NDJSON lines read incrementally off the chunked
+    response (http.client decodes the chunk framing)."""
+    import http.client
+    import json as _json
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+    try:
+        conn.request("POST", "/generate", body=_json.dumps(payload),
+                     headers={"Content-Type": "application/json"})
+        resp = conn.getresponse()
+        if resp.status != 200:
+            return resp.status, _json.loads(resp.read())
+        assert resp.getheader("Content-Type") == "application/x-ndjson"
+        events = []
+        while True:
+            line = resp.readline()
+            if not line:
+                break
+            events.append(_json.loads(line))
+        return resp.status, events
+    finally:
+        conn.close()
+
+
+def test_http_stream_matches_nonstream(gen_server):
+    m, params, srv = gen_server
+    rng = np.random.RandomState(5)
+    prompt = rng.randint(1, 96, size=8).tolist()
+    status, body = _post(srv.port, {"prompt_ids": prompt,
+                                    "max_new_tokens": 9},
+                         path="/generate")
+    assert status == 200, body
+    status, events = _post_stream(srv.port, {"prompt_ids": prompt,
+                                             "max_new_tokens": 9,
+                                             "stream": True})
+    assert status == 200, events
+    toks = [e["token"] for e in events[:-1]]
+    done = events[-1]
+    assert done.get("done") is True
+    assert toks == done["output_ids"] == body["output_ids"]
+    assert toks == _standalone_greedy(m, params, prompt, 9)
+
+
+def test_http_stream_per_request_sampling(gen_server):
+    """A sampled stream reproduces the non-streaming sampled output for
+    the same (prompt, seed) — the transport doesn't perturb the PRNG."""
+    _, _, srv = gen_server
+    req = {"prompt_ids": [3, 1, 4, 1, 5], "max_new_tokens": 8,
+           "do_sample": True, "temperature": 0.9, "top_k": 5, "seed": 42}
+    status, body = _post(srv.port, req, path="/generate")
+    assert status == 200, body
+    status, events = _post_stream(srv.port, dict(req, stream=True))
+    assert status == 200, events
+    assert events[-1]["output_ids"] == body["output_ids"]
+
+
+def test_http_stream_rejects_batch(gen_server):
+    _, _, srv = gen_server
+    status, body = _post_stream(srv.port, {"prompts": [[1, 2], [3, 4]],
+                                           "stream": True})
+    assert status == 400
+    assert "single prompt" in body["error"]
+
+
+def test_http_stream_dead_batcher_is_503():
+    from easynlp_tpu.serving import ContinuousBatcher, GenerationServer
+    m, params = _tiny_model()
+    b = ContinuousBatcher(m, params, max_slots=2, max_length=32,
+                          prompt_buckets=(16,), pad_token_id=0, chunk_size=4)
+    srv = GenerationServer(b, port=0).start()
+    try:
+        b.stop()
+        status, body = _post_stream(srv.port, {"prompt_ids": [1, 2],
+                                               "stream": True})
         assert status == 503, (status, body)
     finally:
         srv.stop(stop_batcher=False)
