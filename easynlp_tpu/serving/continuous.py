@@ -42,7 +42,8 @@ _STREAM_END = object()
 class _Pending:
     __slots__ = ("ids", "max_new_tokens", "event", "tokens", "slot",
                  "index0", "dispatched", "error", "do_sample", "temperature",
-                 "top_k", "top_p", "seed", "stream_q", "cancelled")
+                 "top_k", "top_p", "seed", "stream_q", "cancelled",
+                 "_close_lock")
 
     def __init__(self, ids, max_new_tokens, do_sample=False, temperature=1.0,
                  top_k=0, top_p=1.0, seed=0, stream=False):
@@ -68,6 +69,11 @@ class _Pending:
         self.stream_q: Optional[queue.Queue] = queue.Queue() if stream \
             else None
         self.cancelled = False
+        # close() is reachable from the scheduler thread (_finish/_fail_all)
+        # AND caller threads (cancel-before-admit, post-enqueue _fail_all):
+        # the lock makes first-close-wins atomic so exactly one terminal
+        # stream item is enqueued and error/clean resolution agree
+        self._close_lock = threading.Lock()
 
     def result(self, timeout=None) -> List[int]:
         if not self.event.wait(timeout):
@@ -79,23 +85,30 @@ class _Pending:
     # ---- scheduler-side commit points (single scheduler thread) ----
 
     def push(self, tok: int):
-        """Commit one generated token (scheduler thread only)."""
+        """Commit one generated token (scheduler thread only). Dropped once
+        the request resolved: a cancel-before-admit race can close() first,
+        and the caller's result() list must not mutate after it returned."""
+        if self.event.is_set():
+            return
         self.tokens.append(tok)
         if self.stream_q is not None:
             self.stream_q.put(tok)
 
     def close(self, error: Optional[BaseException] = None):
         """Resolve the request: wake result() waiters and terminate the
-        token stream. Idempotent — the first close wins, so a request
-        finished by the scheduler is not re-failed by a later stop()."""
-        if self.event.is_set():
-            return
-        if error is not None and self.error is None:
-            self.error = error
-        self.event.set()
-        if self.stream_q is not None:
-            self.stream_q.put(self.error if self.error is not None
-                              else _STREAM_END)
+        token stream. Idempotent and thread-safe — the first close wins
+        (atomically), so a request finished by the scheduler is not
+        re-failed by a racing stop()/_fail_all, and exactly one terminal
+        item reaches the stream."""
+        with self._close_lock:
+            if self.event.is_set():
+                return
+            if error is not None and self.error is None:
+                self.error = error
+            self.event.set()
+            if self.stream_q is not None:
+                self.stream_q.put(self.error if self.error is not None
+                                  else _STREAM_END)
 
     # ---- consumer side ----
 
@@ -103,8 +116,17 @@ class _Pending:
         """Abandon the request: the scheduler retires its slot at the next
         loop iteration instead of decoding to budget, so a disconnected
         client stops costing device steps. No-op once resolved. The handle
-        resolves normally with whatever tokens were committed."""
+        resolves normally with whatever tokens were committed.
+
+        A request that is still QUEUED (never admitted) resolves here,
+        immediately and empty — with every slot busy on long generations
+        there may be no admission opportunity for a long time, and a
+        cancelled caller must not block on result() until one. The admit
+        path skips cancelled requests, and push()/close() tolerate the
+        admit-vs-cancel race (tokens after resolution are dropped)."""
         self.cancelled = True
+        if self.slot < 0:
+            self.close()
 
     def iter_tokens(self, timeout=None):
         """Yield token ids as the batcher commits them (requires

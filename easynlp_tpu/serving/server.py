@@ -406,10 +406,25 @@ class GenerationServer:
                     ev = {"token": tok}
                     if self.tokenizer is not None:
                         # decode cumulatively and emit the delta: per-token
-                        # decode would split multi-piece characters
+                        # decode would split multi-piece characters. A
+                        # trailing U+FFFD run is an INCOMPLETE multi-byte
+                        # sequence (byte-fallback pieces mid-character) —
+                        # hold it back until later tokens complete it
+                        # (vLLM-style), else the replacement char gets baked
+                        # into a delta the next token would rewrite.
                         full = self.tokenizer.decode(toks)
-                        ev["text_delta"] = full[len(text):]
-                        text = full
+                        stable = full.rstrip("�")
+                        if not stable.startswith(text):
+                            # decode REWROTE already-emitted characters:
+                            # resend cumulatively with a replace marker so
+                            # concatenating clients can resynchronise
+                            ev["text"] = stable
+                            ev["replace"] = True
+                            text = stable
+                        elif len(stable) > len(text):
+                            ev["text_delta"] = stable[len(text):]
+                            text = stable
+                        # else: held back — token event without text fields
                     yield ev
         finally:
             # a consumer that stops early (client disconnect → the handler
@@ -420,7 +435,13 @@ class GenerationServer:
         self.stats["generated_tokens"] += len(toks)
         done = {"done": True, "output_ids": toks}
         if self.tokenizer is not None:
-            done["text"] = text
+            # authoritative final decode: any held-back tail (including a
+            # GENUINE trailing U+FFFD the model emitted) lands here, as a
+            # final text_delta when it extends the emitted text cleanly
+            full = self.tokenizer.decode(toks) if toks else text
+            if full.startswith(text) and len(full) > len(text):
+                done["text_delta"] = full[len(text):]
+            done["text"] = full
         yield done
 
     def _make_handler(self):
@@ -517,7 +538,10 @@ class GenerationServer:
                 except ValueError as e:  # bad request (incl. bucket overflow)
                     server.stats["errors"] += 1
                     self._send(400, {"error": str(e)})
-                except RuntimeError as e:  # batcher scheduler dead
+                # TimeoutError subclasses OSError, not RuntimeError: listed
+                # explicitly so a blocking-request timeout gets the same 503
+                # the streaming path maps it to
+                except (RuntimeError, TimeoutError) as e:
                     server.stats["errors"] += 1
                     self._send(503, {"error": str(e)})
                 except Exception as e:

@@ -173,7 +173,10 @@ def test_cli_serve_continuous(tmp_path):
         assert status3 == 200, events
         done = events[-1]
         assert done["output_ids"] == body["output_ids"]
-        assert "".join(e["text_delta"] for e in events[:-1]) == done["text"]
+        # delta protocol: concatenated deltas (incl. the done event's
+        # held-back tail, if any) reconstruct the final text exactly
+        assert "".join(e.get("text_delta", "")
+                       for e in events) == done["text"]
     finally:
         srv.stop()
 
@@ -271,5 +274,87 @@ def test_http_stream_dead_batcher_is_503():
         status, body = _post_stream(srv.port, {"prompt_ids": [1, 2],
                                                "stream": True})
         assert status == 503, (status, body)
+    finally:
+        srv.stop(stop_batcher=False)
+
+
+class _PairTokenizer:
+    """Byte-fallback-style decode: tokens pair up into characters; an odd
+    trailing token is an INCOMPLETE character and decodes to U+FFFD —
+    the shape of SentencePiece byte-fallback mid-multibyte-char."""
+
+    def decode(self, toks):
+        out = []
+        for i in range(0, len(toks) - 1, 2):
+            out.append(chr(0x4E00 + (toks[i] * 97 + toks[i + 1]) % 500))
+        if len(toks) % 2:
+            out.append("�")
+        return "".join(out)
+
+
+def test_stream_deltas_hold_back_incomplete_chars(gen_server):
+    """text_delta never bakes in a U+FFFD from an incomplete multi-piece
+    character: the tail is held back until completed, concatenated deltas
+    equal the final text, and the done event is the authoritative decode."""
+    from easynlp_tpu.serving import GenerationServer
+    _, _, srv0 = gen_server
+    srv = GenerationServer(srv0.batcher, port=0, tokenizer=_PairTokenizer(),
+                           default_max_new_tokens=9)  # odd: genuine U+FFFD tail
+    events = list(srv._stream_events({"prompt_ids": [3, 1, 4]}))
+    done = events[-1]
+    assert done["done"] is True
+    deltas = [e.get("text_delta", "") for e in events]
+    assert "".join(deltas) == done["text"]
+    # no NON-TERMINAL delta may contain the replacement char; the genuine
+    # trailing U+FFFD (odd token count) lands only in the final event
+    assert all("�" not in d for d in deltas[:-1])
+    assert done["text"] == _PairTokenizer().decode(done["output_ids"])
+    assert len(done["output_ids"]) == 9
+
+
+class _RewritingTokenizer:
+    """decode() REWRITES earlier characters once enough tokens arrive (the
+    general non-append case the delta protocol must survive)."""
+
+    def decode(self, toks):
+        s = "".join(chr(97 + t % 26) for t in toks)
+        return s.upper() if len(toks) >= 4 else s
+
+
+def test_stream_rewrite_resyncs_with_replace_event(gen_server):
+    from easynlp_tpu.serving import GenerationServer
+    _, _, srv0 = gen_server
+    srv = GenerationServer(srv0.batcher, port=0,
+                           tokenizer=_RewritingTokenizer(),
+                           default_max_new_tokens=8)
+    events = list(srv._stream_events({"prompt_ids": [3, 1, 4]}))
+    done = events[-1]
+    # replay the client-side protocol: deltas append, replace resets
+    text = ""
+    for e in events[:-1]:
+        if e.get("replace"):
+            text = e["text"]
+        else:
+            text += e.get("text_delta", "")
+    text += done.get("text_delta", "")
+    assert any(e.get("replace") for e in events[:-1])  # rewrite happened
+    assert text == done["text"]
+    assert done["text"] == _RewritingTokenizer().decode(done["output_ids"])
+
+
+def test_blocking_timeout_is_503(gen_server):
+    """A blocking-request TimeoutError maps to 503 on the non-streaming
+    path, matching the streaming path (TimeoutError subclasses OSError,
+    not RuntimeError — it needs its own except clause)."""
+    from easynlp_tpu.serving import GenerationServer
+    _, _, srv0 = gen_server
+    srv = GenerationServer(srv0.batcher, port=0,
+                           request_timeout_s=0.0).start()
+    try:
+        status, body = _post(srv.port, {"prompt_ids": [1, 2],
+                                        "max_new_tokens": 64},
+                             path="/generate")
+        assert status == 503, (status, body)
+        assert "error" in body
     finally:
         srv.stop(stop_batcher=False)

@@ -210,3 +210,65 @@ def test_http_client_disconnect_cancels_generation():
                                                         [9, 9, 2], 7)
     finally:
         srv.stop()
+
+
+def test_cancel_before_admit_resolves_immediately():
+    """cancel() of a still-QUEUED request resolves the handle right away —
+    it must not wait for a slot to free (with every slot busy on a long
+    generation there may be no admission opportunity for a long time)."""
+    import time
+
+    m, params = _tiny_model()
+    b = ContinuousBatcher(m, params, max_slots=1, max_length=256,
+                          prompt_buckets=(16,), pad_token_id=0,
+                          chunk_size=2)
+    try:
+        long_h = b.submit([1, 2, 3], max_new_tokens=200, stream=True)
+        it = long_h.iter_tokens(timeout=120)
+        next(it)  # the slot is definitely occupied now
+        queued = b.submit([4, 5, 6], max_new_tokens=50, stream=True)
+        t0 = time.monotonic()
+        queued.cancel()
+        out = queued.result(timeout=10)
+        dt = time.monotonic() - t0
+        assert out == []
+        assert list(queued.iter_tokens(timeout=5)) == []  # clean stream end
+        assert dt < 5.0, "queued cancel took %.1fs (waited for a slot?)" % dt
+        assert not long_h.event.is_set()  # the occupant was untouched
+        long_h.cancel()
+    finally:
+        b.stop()
+
+
+def test_close_race_single_terminal_item():
+    """Racing closers (scheduler _finish vs caller-side _fail_all) enqueue
+    exactly ONE terminal stream item and agree on error-vs-clean."""
+    from easynlp_tpu.serving.continuous import _STREAM_END, _Pending
+
+    for trial in range(50):
+        req = _Pending([1], 5, stream=True)
+        err = RuntimeError("boom")
+        barrier = threading.Barrier(2)
+
+        def clean_close():
+            barrier.wait()
+            req.close()
+
+        def err_close():
+            barrier.wait()
+            req.close(err)
+
+        ts = [threading.Thread(target=clean_close),
+              threading.Thread(target=err_close)]
+        [t.start() for t in ts]
+        [t.join() for t in ts]
+        assert req.stream_q.qsize() == 1
+        item = req.stream_q.get_nowait()
+        # whichever close won, the stream item and result() agree
+        if req.error is None:
+            assert item is _STREAM_END
+            assert req.result(timeout=1) == []
+        else:
+            assert isinstance(item, BaseException)
+            with pytest.raises(RuntimeError):
+                req.result(timeout=1)
