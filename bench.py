@@ -49,6 +49,36 @@ WARMUP_STEPS = 3
 MEASURE_STEPS = 20 if not TINY else 4
 
 
+def bench_ingest():
+    """Host->device ingest bandwidth probe: raw jax.device_put MB/s on a
+    19 MB uint8 array (the CLIP e2e leg's per-batch pixel payload), 5 reps.
+    Turns the 'clip_e2e measures the tunnel, not the host pipeline' account
+    (docs/performance.md) from arithmetic into a measured number — and on a
+    real TPU VM it automatically proves the opposite."""
+    import time as _time
+
+    import jax
+    import numpy as np
+
+    mb = 19
+    arr = np.random.RandomState(0).randint(
+        0, 255, (mb * 1024 * 1024,), np.uint8)
+    d = jax.device_put(arr)
+    int(d[-1])  # fence (scalar fetch: the only reliable fence on axon)
+    reps = 5
+    t0 = _time.perf_counter()
+    for _ in range(reps):
+        d = jax.device_put(arr)
+        int(d[-1])
+    elapsed = _time.perf_counter() - t0
+    return {
+        "metric": "hbm_ingest_mbps",
+        "value": round(mb * reps / elapsed, 1),
+        "unit": "MB/s (19MB uint8 device_put, 5 reps)",
+        "vs_baseline": None,
+    }
+
+
 def _bert_trainer(dataset, args_extra=None):
     import jax.numpy as jnp
 
@@ -256,22 +286,52 @@ def _emit(bert, results):
         if clip.get("value"):
             extras["clip_e2e_over_device_ratio"] = round(
                 clip_e2e["value"] / clip["value"], 3)
-    if "value" in results.get("diffusion", {}):
-        extras["sd_ddim50_cfg_images_per_min_per_chip"] = \
-            results["diffusion"]["value"]
-    if "value" in results.get("decode", {}):
-        extras["gpt2_decode_tokens_per_sec_per_chip"] = \
-            results["decode"]["value"]
-        extras["speculative_decode_speedup"] = results["decode"].get(
-            "extras", {}).get("speculative_speedup")
-    if "value" in results.get("continuous", {}):
-        extras["continuous_batching_tokens_per_sec"] = \
-            results["continuous"]["value"]
-        extras["continuous_over_coalesced_speedup"] = results[
-            "continuous"].get("extras", {}).get("completion_speedup")
+    if "value" in results.get("ingest", {}):
+        extras["hbm_ingest_mbps"] = results["ingest"]["value"]
+    diff = results.get("diffusion", {})
+    if "value" in diff:
+        extras["sd_ddim50_cfg_images_per_min_per_chip"] = diff["value"]
+        dx = diff.get("extras", {})
+        for k in ("ddim_step_ms", "vae_decode_ms", "extrapolated",
+                  "images_per_min_full_run", "extrapolation_error_pct"):
+            if k in dx:
+                extras["diffusion_" + k] = dx[k]
+    dec = results.get("decode", {})
+    if "value" in dec:
+        extras["gpt2_decode_tokens_per_sec_per_chip"] = dec["value"]
+        dx = dec.get("extras", {})
+        extras["speculative_decode_speedup"] = dx.get("speculative_speedup")
+        for k in ("gpt2_decode_int8_tokens_per_sec", "int8_token_match_rate",
+                  "speculative_auto_disabled", "mean_accepted_per_round"):
+            if k in dx:
+                extras[k] = dx[k]
+    cont = results.get("continuous", {})
+    if "value" in cont:
+        extras["continuous_batching_tokens_per_sec"] = cont["value"]
+        cx = cont.get("extras", {})
+        extras["continuous_over_coalesced_speedup"] = cx.get(
+            "completion_speedup")
+        # every serving claim must be driver-verifiable: speculative,
+        # shared-prefix, int8 and latency-SLO numbers ride the artifact too
+        for k in ("speculative_over_plain", "speculative_tokens_per_sec",
+                  "shared_prefix_speedup", "int8_tokens_per_sec",
+                  "int8_token_match_rate", "serve_p50_latency_ms",
+                  "serve_p99_latency_ms", "serve_p50_ttft_ms",
+                  "serve_p99_ttft_ms"):
+            if k in cx:
+                extras["continuous_" + k] = cx[k]
     failed = {k: v.get("error") for k, v in results.items() if "error" in v}
     if failed:
         extras["legs_failed"] = failed
+    retries = {k: v["retry_error"] for k, v in results.items()
+               if isinstance(v, dict) and "retry_error" in v}
+    if retries:
+        extras["legs_retry_failed"] = retries
+    if "_retried" in results:
+        extras["legs_retried"] = results["_retried"]["note"]
+    for k, v in results.items():
+        if k.startswith("_prewarm_"):
+            extras[k.lstrip("_") + "_failed"] = v["note"]
     line = json.dumps({
         "metric": PRIMARY_METRIC,
         "value": bert.get("value"),
@@ -295,11 +355,12 @@ def main(argv=None):
         import jax
         jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
 
-    if only == "bert":
-        print(json.dumps(bench_bert()), flush=True)
-        return 0
-    if only == "e2e":
-        print(json.dumps(bench_bert_e2e()), flush=True)
+    if only in ("bert", "e2e", "ingest"):
+        from easynlp_tpu.utils.initializer import enable_compile_cache
+        enable_compile_cache()
+        fn = {"bert": bench_bert, "e2e": bench_bert_e2e,
+              "ingest": bench_ingest}[only]
+        print(json.dumps(fn()), flush=True)
         return 0
     if only == "clip":
         import bench_clip
@@ -324,10 +385,15 @@ def main(argv=None):
     results = {"_stage": {"error": "preflight"}}
     _emit(bert, results)  # provisional marker: never an empty tail again
 
+    t_start = time.time()
+
     def _on_deadline(signum, frame):
         results["_stage"] = {"error": "bench deadline %ds hit" % DEADLINE_S}
         _emit(bert, results)
-        os._exit(3)
+        # the record is cumulative: if the primary metric landed before the
+        # deadline the run SUCCEEDED (later legs are extras), so don't hand
+        # the driver a failure rc for a complete primary number
+        os._exit(0 if bert.get("value") is not None else 3)
     signal.signal(signal.SIGALRM, _on_deadline)
     signal.alarm(int(DEADLINE_S))
 
@@ -358,7 +424,10 @@ def main(argv=None):
     # runs LAST because through the sandbox's tunneled TPU it measures link
     # bandwidth, not the host pipeline (docs/performance.md) — a 1500s-
     # deadline run observed losing diffusion/decode/continuous to it.
+    # "ingest" (raw device_put MB/s, seconds of work) runs first: it is the
+    # measured link number every later e2e ratio is interpreted against.
     legs = [
+        ("ingest", [py, os.path.join(here, "bench.py"), "--only", "ingest"]),
         ("bert", [py, os.path.join(here, "bench.py"), "--only", "bert"]),
         ("e2e", [py, os.path.join(here, "bench.py"), "--only", "e2e"]),
         ("clip", [py, os.path.join(here, "bench.py"), "--only", "clip"]),
@@ -370,14 +439,62 @@ def main(argv=None):
         ("clip_e2e",
          [py, os.path.join(here, "bench.py"), "--only", "clip_e2e"]),
     ]
+    per_leg_timeout = {"ingest": 300}
     skip = set(filter(None, os.environ.get("BENCH_SKIP", "").split(",")))
+
+    def remaining():
+        return DEADLINE_S - (time.time() - t_start)
+
+    prewarms = {
+        "clip": [py, os.path.join(here, "bench_clip.py"), "--prewarm"],
+        "diffusion": [py, os.path.join(here, "bench_diffusion.py"),
+                      "--prewarm"],
+    }
     for name, cmd in legs:
+        if name in prewarms and name not in skip:
+            # pre-warm the persistent compile cache in a bounded subprocess
+            # so the measuring leg's timeout window is never eaten by
+            # first-compile (the BENCH_r04 diffusion-timeout mode); failure
+            # is non-fatal — the leg still has its own full window
+            pw = _run_leg_subprocess(
+                prewarms[name],
+                timeout=int(max(60, min(600, remaining() - 300))))
+            if "prewarmed" not in pw:
+                results["_prewarm_" + name] = {
+                    "note": str(pw.get("error", pw))[:200]}
         results[name] = ({"error": "skipped"} if name in skip
-                         else _run_leg_subprocess(cmd, timeout=leg_timeout))
+                         else _run_leg_subprocess(cmd, timeout=leg_timeout
+                                                  if name not in
+                                                  per_leg_timeout else
+                                                  per_leg_timeout[name]))
         if name == "bert" and "value" in results[name]:
             bert = results[name]
         # primary-leg-first: the bert number is on stdout the moment its leg
         # finishes; later legs can only ADD extras, never lose it
+        _emit(bert, results)
+
+    # Retry pass: the tunnel flakes (r02 rc=1, r03 rc=124, r04 one INTERNAL
+    # crash + one timeout) — one retry per failed leg inside the remaining
+    # deadline is cheap insurance, and the persistent compile cache makes
+    # the retry start warm. Most-informative-first = original leg order.
+    retried = []
+    for name, cmd in legs:
+        if name in skip or "error" not in results.get(name, {}):
+            continue
+        budget = remaining() - 30
+        if budget < 120:
+            break
+        retried.append(name)
+        retry = _run_leg_subprocess(
+            cmd, timeout=int(min(per_leg_timeout.get(name, leg_timeout),
+                                 budget)))
+        if "error" in retry:  # keep the FIRST failure's marker, note retry
+            results[name]["retry_error"] = retry["error"]
+        else:
+            results[name] = retry
+            if name == "bert" and "value" in retry:
+                bert = retry
+        results["_retried"] = {"note": ",".join(retried)}
         _emit(bert, results)
 
     return 0 if bert.get("value") is not None else 1

@@ -186,12 +186,17 @@ class LatentDiffusion(Application):
             "latent diffusion uses make_train_loss (needs rng/timesteps)")
 
     # -- sampling -------------------------------------------------------------
-    def make_sampler(self, num_steps=50, guidance_scale=7.5, method="ddim"):
+    def make_sampler(self, num_steps=50, guidance_scale=7.5, method="ddim",
+                     decode=True):
         """Returns sampler(params, input_ids, attention_mask,
         negative_input_ids, rng) → images. Params are an ARGUMENT — jitting a
         closure that captures them would bake gigabytes of weights into the
         compiled program as constants. method: 'ddim' | 'plms' |
-        'dpm++' (DPM-Solver++(2M), good at 15-25 steps)."""
+        'dpm++' (DPM-Solver++(2M), good at 15-25 steps).
+        decode=False returns the final LATENTS instead of VAE-decoded
+        images (pair with make_decoder() to split the two phases — e.g.
+        batching many samplings before one decode pass, or timing the
+        denoise loop separately)."""
         from easynlp_tpu.modelzoo.models.latent_diffusion.ddim import (
             dpm_solver_pp_sample, plms_sample)
         sample_fn = {"ddim": ddim_sample, "plms": plms_sample,
@@ -205,11 +210,25 @@ class LatentDiffusion(Application):
                                          negative_input_ids, guidance_scale)
             latents = sample_fn(denoise, shape, schedule,
                                 num_steps=num_steps, rng=rng)
+            if not decode:
+                return latents
             images = module.apply({"params": params}, latents,
                                   method=module.decode_latents)
             return jnp.clip(images, -1.0, 1.0)
 
         return sampler
+
+    def make_decoder(self):
+        """Returns decoder(params, latents) → images: the VAE-decode half of
+        make_sampler(decode=False)."""
+        module = self.module
+
+        def decoder(params, latents):
+            images = module.apply({"params": params}, latents,
+                                  method=module.decode_latents)
+            return jnp.clip(images, -1.0, 1.0)
+
+        return decoder
 
     def _make_denoise(self, params, input_ids, attention_mask,
                       negative_input_ids, guidance_scale):
