@@ -52,7 +52,20 @@ def _clip_app(args):
                                intermediate_size=3072, scan_unroll=12),
             projection_dim=512)
     module = CLIPApp.build_module(cfg, dtype=jnp.bfloat16)
-    params = CLIPApp.init_params(module, cfg)
+    # zero-init via eval_shape: eager flax init is one dispatch per
+    # parameter — minutes through the tunnel for the two towers — and
+    # training throughput is data-independent (see testing.zeros_like_init)
+    import jax
+
+    from easynlp_tpu.testing import zeros_like_init
+    rng = jax.random.PRNGKey(0)
+    vc = cfg.vision_config
+    params = zeros_like_init(lambda: module.init(
+        {"params": rng, "dropout": rng},
+        input_ids=jnp.ones((1, 8), jnp.int32),
+        pixel_values=jnp.ones((1, vc.image_size, vc.image_size, 3),
+                              jnp.float32),
+        deterministic=True))
     return CLIPApp(module, params, cfg)
 
 

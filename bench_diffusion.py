@@ -77,23 +77,19 @@ def _build():
     # eagerly op-by-op (~hundreds of per-parameter truncated_normal
     # dispatches — MINUTES through the tunnel for the ~1B-param SD stack,
     # the dominant cost of the BENCH_r04 timeout). Sampling throughput is
-    # data-independent on TPU (same dense FLOPs whatever the weights), so
-    # the bench builds the param tree as device-side zeros in one pass.
+    # data-independent on TPU (same dense FLOPs whatever the weights).
     import jax
-    from flax import linen as nn
+
+    from easynlp_tpu.testing import zeros_like_init
 
     rng = jax.random.PRNGKey(0)
-    shapes = jax.eval_shape(
-        lambda: module.init(
-            {"params": rng, "dropout": rng},
-            pixel_values=jnp.ones((1, cfg.image_size, cfg.image_size, 3),
-                                  jnp.float32),
-            input_ids=jnp.ones((1, 8), jnp.int32),
-            timesteps=jnp.zeros((1,), jnp.int32),
-            deterministic=True))
-    import jax.tree_util as jtu
-    variables = jtu.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
-    params = nn.unbox(variables["params"])
+    params = zeros_like_init(lambda: module.init(
+        {"params": rng, "dropout": rng},
+        pixel_values=jnp.ones((1, cfg.image_size, cfg.image_size, 3),
+                              jnp.float32),
+        input_ids=jnp.ones((1, 8), jnp.int32),
+        timesteps=jnp.zeros((1,), jnp.int32),
+        deterministic=True))
     return LatentDiffusion(module, params, cfg)
 
 

@@ -62,3 +62,22 @@ def tiny_bert_config(vocab_size=1000, **overrides):
               intermediate_size=128, max_position_embeddings=64)
     kw.update(overrides)
     return BertConfig(**kw)
+
+
+def zeros_like_init(init_thunk):
+    """Zero param tree shaped by `jax.eval_shape` over a flax init thunk.
+
+    Benchmarks use this instead of eager `module.init`: flax init executes
+    one dispatch per parameter (truncated_normal etc.) which costs minutes
+    through a tunneled device for large models, while throughput is
+    data-independent on TPU (identical dense FLOPs whatever the weights).
+    Not for training/parity tests — those need the real init distribution.
+    """
+    import jax
+    import jax.numpy as jnp
+    import jax.tree_util as jtu
+    from flax import linen as nn
+
+    shapes = jax.eval_shape(init_thunk)
+    variables = jtu.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+    return nn.unbox(variables["params"])
