@@ -302,6 +302,10 @@ def _emit(bert, results):
         dx = dec.get("extras", {})
         extras["speculative_decode_speedup"] = dx.get("speculative_speedup")
         for k in ("gpt2_decode_int8_tokens_per_sec", "int8_token_match_rate",
+                  "gpt2_decode_kv_int8_tokens_per_sec",
+                  "kv_int8_token_match_rate",
+                  "speculative_speedup_shared_min",
+                  "speculative_speedup_random_prompts",
                   "speculative_auto_disabled", "mean_accepted_per_round"):
             if k in dx:
                 extras[k] = dx[k]

@@ -3,10 +3,13 @@
 Primary: greedy tokens/s/chip with the KV cache, whole generation jitted
 (prefill + lax.while_loop decode = ONE device dispatch — essential through
 the axon tunnel's ~2ms/dispatch overhead). Extras: prompt-lookup speculative
-decoding on the same inputs with its measured acceptance rate (the speedup
-is workload-dependent — copy-heavy outputs accept most drafts; the random
+decoding (per-row acceptance — the engine generate() dispatches to — plus
+the batch-shared-min variant BENCH_r04 measured at 0.866x, for context)
+with measured acceptance rates, and int8-weight / int8-KV-cache greedy
+variants with token match rates vs the bf16 baseline. The speedup is
+workload-dependent — copy-heavy outputs accept most drafts; the random
 model here mostly self-loops, so treat the accept rate as the context for
-the speculative number, not a model-quality claim).
+the speculative number, not a model-quality claim.
 
 BENCH_TINY=1 shrinks everything for CPU smoke runs.
 """
@@ -69,6 +72,21 @@ def _prompts(vocab_size):
     return ids, mask
 
 
+def _time_gen(fn, args, iters):
+    """Mean wall time of `fn(*args)` whose first return is a token array;
+    a scalar fetch is the only reliable fence on axon."""
+    import jax.numpy as jnp
+    out = fn(*args)
+    first = out[0] if isinstance(out, tuple) else out
+    float(jnp.sum(first))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    first = out[0] if isinstance(out, tuple) else out
+    float(jnp.sum(first))
+    return (time.perf_counter() - t0) / iters, out
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -79,41 +97,41 @@ def main():
     from easynlp_tpu.modelzoo.generation_utils import greedy_or_sample
     from easynlp_tpu.modelzoo.models.gpt2.generation import (
         make_gpt2_generation_fns)
-    from easynlp_tpu.modelzoo.speculative import speculative_greedy
+    from easynlp_tpu.modelzoo.quantization import quantize_params
+    from easynlp_tpu.modelzoo.speculative import (speculative_greedy,
+                                                  speculative_greedy_rowwise)
 
     m, params, cfg = _model()
     ids, mask = _prompts(cfg.vocab_size)
     ids, mask = jnp.asarray(ids), jnp.asarray(mask)
     total = PROMPT + GEN
+    ndev = jax.device_count()
+
+    def tps(elapsed):
+        return BATCH * GEN / elapsed / ndev
 
     prefill, decode = make_gpt2_generation_fns(m, total)
     greedy_fn = jax.jit(lambda p, i, a: greedy_or_sample(
         prefill, decode, p, i, a, total, pad_token_id=0)[0])
-    s = greedy_fn(params, ids, mask)
-    s.block_until_ready()
-    float(jnp.sum(s))  # scalar fetch: the only reliable fence on axon
-    t0 = time.perf_counter()
-    for _ in range(MEASURE_ITERS):
-        s = greedy_fn(params, ids, mask)
-    float(jnp.sum(s))
-    greedy_elapsed = (time.perf_counter() - t0) / MEASURE_ITERS
-    greedy_tps = BATCH * GEN / greedy_elapsed / jax.device_count()
+    greedy_elapsed, s = _time_gen(greedy_fn, (params, ids, mask),
+                                  MEASURE_ITERS)
+    greedy_tps = tps(greedy_elapsed)
 
+    # speculative: per-row acceptance (what generate() dispatches to for
+    # greedy) + the batch-shared min variant for context — the shared min
+    # is what BENCH_r04 measured at 0.866x: one matchless row drags all
+    # B rows to one committed token per verify round
     sp_prefill, sp_decode = make_gpt2_generation_fns(m, total,
                                                      cache_slack=DRAFT + 1)
-    spec_fn = jax.jit(lambda p, i, a: speculative_greedy(
+    spec_row_fn = jax.jit(lambda p, i, a: speculative_greedy_rowwise(
+        sp_prefill, sp_decode.chunk_rowwise, p, i, a, total,
+        num_draft_tokens=DRAFT, pad_token_id=0))
+    spec_shared_fn = jax.jit(lambda p, i, a: speculative_greedy(
         sp_prefill, sp_decode.chunk, sp_decode.rollback, p, i, a, total,
         num_draft_tokens=DRAFT, pad_token_id=0))
-    s2, _, stats = spec_fn(params, ids, mask)
-    float(jnp.sum(s2))
-    t0 = time.perf_counter()
-    for _ in range(MEASURE_ITERS):
-        s2, _, stats = spec_fn(params, ids, mask)
-    float(jnp.sum(s2))
-    spec_elapsed = (time.perf_counter() - t0) / MEASURE_ITERS
-    spec_tps = BATCH * GEN / spec_elapsed / jax.device_count()
-    rounds = max(int(stats["verify_rounds"]), 1)
-    accepted = int(stats["accepted_drafts"])
+
+    rand_elapsed, (_, _, rand_stats) = _time_gen(
+        spec_row_fn, (params, ids, mask), MEASURE_ITERS)
 
     # Copy-regime workload (what prompt-lookup is FOR — summarisation /
     # code-edit outputs that restate input spans). Greedy decoding is
@@ -122,33 +140,52 @@ def main():
     # prompt — a genuine high-acceptance decode, not a rigged accept rule
     # (the verify forward still checks every draft token).
     ids_copy = s[:, -PROMPT:]
-    s3, _, stats_c = spec_fn(params, ids_copy, mask)
-    float(jnp.sum(s3))
-    t0 = time.perf_counter()
-    for _ in range(MEASURE_ITERS):
-        s3, _, stats_c = spec_fn(params, ids_copy, mask)
-    float(jnp.sum(s3))
-    copy_elapsed = (time.perf_counter() - t0) / MEASURE_ITERS
-    copy_tps = BATCH * GEN / copy_elapsed / jax.device_count()
-    rounds_c = max(int(stats_c["verify_rounds"]), 1)
-    accepted_c = int(stats_c["accepted_drafts"])
+    copy_elapsed, (_, _, copy_stats) = _time_gen(
+        spec_row_fn, (params, ids_copy, mask), MEASURE_ITERS)
+    shared_elapsed, _ = _time_gen(
+        spec_shared_fn, (params, ids_copy, mask), MEASURE_ITERS)
+
+    def mean_acc(stats):
+        return round(int(stats["accepted_drafts"])
+                     / max(int(stats["verify_rounds"]), 1), 2)
+
+    extras = {
+        # copy-heavy regime = the target workload; random regime is the
+        # acceptance floor (drafts mostly rejected -> pure overhead)
+        "speculative_tokens_per_sec": round(tps(copy_elapsed), 1),
+        "speculative_speedup": round(greedy_elapsed / copy_elapsed, 3),
+        "mean_accepted_per_round": mean_acc(copy_stats),
+        "speculative_speedup_random_prompts": round(
+            greedy_elapsed / rand_elapsed, 3),
+        "mean_accepted_per_round_random_prompts": mean_acc(rand_stats),
+        "speculative_speedup_shared_min": round(
+            greedy_elapsed / shared_elapsed, 3),
+    }
+
+    # int8 weight-only: decode is weight-streaming-bound at small batch, so
+    # halving bytes/weight should raise tokens/s directly
+    q = quantize_params(params)
+    int8_elapsed, s8 = _time_gen(greedy_fn, (q, ids, mask), MEASURE_ITERS)
+    extras["gpt2_decode_int8_tokens_per_sec"] = round(tps(int8_elapsed), 1)
+    extras["int8_token_match_rate"] = round(float(
+        jnp.mean((s8 == s).astype(jnp.float32))), 4)
+
+    # int8 KV cache: halves the per-step cache stream at long context
+    kv_prefill, kv_decode = make_gpt2_generation_fns(m, total,
+                                                     kv_cache="int8")
+    kv_fn = jax.jit(lambda p, i, a: greedy_or_sample(
+        kv_prefill, kv_decode, p, i, a, total, pad_token_id=0)[0])
+    kv_elapsed, skv = _time_gen(kv_fn, (params, ids, mask), MEASURE_ITERS)
+    extras["gpt2_decode_kv_int8_tokens_per_sec"] = round(tps(kv_elapsed), 1)
+    extras["kv_int8_token_match_rate"] = round(float(
+        jnp.mean((skv == s).astype(jnp.float32))), 4)
 
     print(json.dumps({
         "metric": "gpt2_decode_tokens_per_sec_per_chip",
         "value": round(greedy_tps, 1),
         "unit": "tokens/s/chip (greedy, B=%d, KV cache, bf16)" % BATCH,
         "vs_baseline": None,
-        "extras": {
-            # copy-heavy regime = the target workload; random regime is the
-            # acceptance floor (drafts mostly rejected -> pure overhead)
-            "speculative_tokens_per_sec": round(copy_tps, 1),
-            "speculative_speedup": round(copy_tps / greedy_tps, 3),
-            "mean_accepted_per_round": round(accepted_c / rounds_c, 2),
-            "speculative_speedup_random_prompts": round(
-                spec_tps / greedy_tps, 3),
-            "mean_accepted_per_round_random_prompts": round(
-                accepted / rounds, 2),
-        },
+        "extras": extras,
     }))
     return 0
 

@@ -509,6 +509,17 @@ def generate(prefill, decode, params, input_ids, attention_mask,
         if not do_sample:
             for k in ("rng", "temperature", "top_k", "top_p"):
                 kwargs.pop(k, None)
+        if not do_sample and hasattr(decode, "chunk_rowwise"):
+            # greedy: per-row acceptance (one slow row no longer drags the
+            # batch to the min — see speculative_greedy_rowwise docstring)
+            from easynlp_tpu.modelzoo.speculative import (
+                speculative_greedy_rowwise)
+            seqs, _, _ = speculative_greedy_rowwise(
+                prefill, decode.chunk_rowwise, params, input_ids,
+                attention_mask, max_length,
+                num_draft_tokens=num_draft_tokens,
+                ngram_size=ngram_size, **kwargs)
+            return seqs
         seqs, _, _ = speculative_greedy(
             prefill, decode.chunk, decode.rollback, params, input_ids,
             attention_mask, max_length, num_draft_tokens=num_draft_tokens,

@@ -66,6 +66,26 @@ def make_gpt2_generation_fns(module, max_length, cache_dtype=None,
                            deterministic=True)
         return out["logits"].astype(jnp.float32), out["cache"]
 
+    def decode_chunk_rowwise(params, tokens, cache):
+        """Per-row verify chunk (speculative_greedy_rowwise): cache["index"]
+        is a [B] array, so each row's S entries land at its own offset —
+        scatter write + per-row causal bias in GPT2Attention
+        (modeling_gpt2.py:67-98, the continuous-batching mechanism). The
+        caller owns acceptance: it re-masks rejected positions and advances
+        the index by the accepted length (no rollback)."""
+        b, s = tokens.shape
+        bidx = jnp.arange(b)
+        base = jnp.sum(cache["mask"], axis=-1, keepdims=True)       # [B, 1]
+        positions = base + jnp.arange(s)[None, :]                   # [B, S]
+        pos = cache["index"][:, None] + jnp.arange(s)[None, :]
+        cache = dict(cache)
+        cache["mask"] = cache["mask"].at[bidx[:, None], pos].set(1)
+        out = module.apply({"params": dequantize_params(params)},
+                           input_ids=tokens,
+                           position_ids=positions, cache=cache,
+                           deterministic=True)
+        return out["logits"].astype(jnp.float32), out["cache"]
+
     def rollback(cache, drop):
         """Invalidate the last `drop` cache entries (rejected draft tokens):
         pull the write index back and re-mask so they are invisible — the
@@ -94,5 +114,9 @@ def make_gpt2_generation_fns(module, max_length, cache_dtype=None,
     prefill.reindex_cache = reindex_cache
     decode.chunk = decode_chunk
     decode.rollback = rollback
+    if kv_cache is None:
+        # the per-row scatter path in GPT2Attention handles (k, v) caches
+        # only; int8 KV keeps the batch-shared speculative variant
+        decode.chunk_rowwise = decode_chunk_rowwise
     decode.cache_slack = cache_slack  # validated by the speculative path
     return prefill, decode

@@ -138,7 +138,8 @@ class SpecState(NamedTuple):
 
 def _process_chunk_logits(logits, step, config):
     """Position-static processors on chunk logits [B, S, V]; position i of
-    the chunk decodes buffer position step + i."""
+    the chunk decodes buffer position step + i. `step` may be a scalar
+    (batch-shared write position) or a [B] array (per-row positions)."""
     logits = logits.astype(jnp.float32)
     bad = config.get("bad_words_mask")
     if bad is not None:
@@ -147,9 +148,12 @@ def _process_chunk_logits(logits, step, config):
     min_length = config.get("min_length")
     eos = config.get("eos_token_id")
     if min_length and eos is not None:
-        pos = step + jnp.arange(logits.shape[1])                   # [S]
-        ban = (pos < min_length)[None, :, None] & (
-            jnp.arange(logits.shape[-1]) == eos)[None, None, :]
+        # [S] for scalar step, [B, S] for per-row step — either broadcasts
+        # against [B, S, V] after the trailing vocab axis is added
+        pos = jnp.expand_dims(jnp.asarray(step), -1) \
+            + jnp.arange(logits.shape[1])
+        ban = (pos < min_length)[..., None] & (
+            jnp.arange(logits.shape[-1]) == eos)
         logits = jnp.where(ban, NEG_INF, logits)
     return logits
 
@@ -265,4 +269,142 @@ def speculative_greedy(prefill, decode_chunk, rollback, params, input_ids,
     seqs = jnp.where(val == 1, seqs, pad_token_id)
     stats = {"accepted_drafts": final.accepted, "verify_rounds": final.rounds,
              "generated": final.step - p}
+    return seqs, val, stats
+
+
+class RowSpecState(NamedTuple):
+    step: Any        # [B] next buffer write position (committed length)
+    sequences: Any   # [B, Tb]
+    valid: Any       # [B, Tb]
+    cache: Any       # per-row write index: cache["index"] is [B]
+    pending: Any     # [B] last committed token, not yet fed to the model
+    finished: Any    # [B] bool (EOS committed)
+    accepted: Any    # scalar: total accepted draft tokens (stats)
+    rounds: Any      # scalar: verify forwards run (stats)
+
+
+def speculative_greedy_rowwise(prefill, decode_chunk_rowwise, params,
+                               input_ids, attention_mask, max_length,
+                               num_draft_tokens=8, ngram_size=2,
+                               eos_token_id=None, pad_token_id=0,
+                               **proc_config):
+    """Greedy prompt-lookup speculation with PER-ROW acceptance.
+
+    The batch-shared variant (`speculative_greedy`) commits
+    1 + min-over-rows accepted drafts per verify round: one row with no
+    usable n-gram match drags the whole batch to one token per round while
+    still paying the chunk-forward cost — measured 0.866x plain greedy at
+    B=8 on v5e (BENCH_r04 `speculative_decode_speedup`). Here every row
+    advances by its own accepted length: the KV cache keeps a [B] write
+    index, chunk entries land at per-row offsets (scatter write + per-row
+    causal bias, the mechanism the continuous-batching decoder already
+    uses — modeling_gpt2.py:67-98), and rejected drafts are dropped by
+    re-masking instead of a rollback (the write index simply advances past
+    the accepted prefix; stale entries stay invisible and are overwritten
+    by later rounds). Token-exact vs plain greedy per row.
+
+    `decode_chunk_rowwise(params, tokens [B,S], cache) -> (logits, cache)`
+    must accept a cache whose "index" is a [B] array (the gpt2 adapter
+    attaches it as `decode.chunk_rowwise`). Greedy-only: sampling keeps
+    the batch-shared path (distribution-exactness is simplest to state
+    there). Cache slack requirement is the same K+1 entries past
+    max_length.
+    """
+    for unsupported in ("repetition_penalty", "no_repeat_ngram_size"):
+        if proc_config.get(unsupported):
+            raise ValueError(
+                f"{unsupported} is sequence-content-dependent per position "
+                "and not supported under speculative decoding; use plain "
+                "greedy (generate() falls back automatically)")
+    b, p = input_ids.shape
+    t = max_length
+    k = num_draft_tokens
+    tb = t + k + 1
+    assert t > p
+    proc = dict(proc_config, eos_token_id=eos_token_id)
+    bidx = jnp.arange(b)
+
+    sequences = jnp.full((b, tb), pad_token_id, jnp.int32)
+    sequences = jax.lax.dynamic_update_slice(sequences, input_ids, (0, 0))
+    valid = jnp.zeros((b, tb), jnp.int32)
+    valid = jax.lax.dynamic_update_slice(valid, attention_mask, (0, 0))
+
+    logits0, cache = prefill(params, input_ids, attention_mask)
+    g0 = jnp.argmax(
+        _process_chunk_logits(logits0[:, None], jnp.asarray(p), proc),
+        axis=-1).astype(jnp.int32)[:, 0]
+    finished0 = (g0 == eos_token_id) if eos_token_id is not None \
+        else jnp.zeros((b,), bool)
+    sequences = jax.lax.dynamic_update_slice(sequences, g0[:, None], (0, p))
+    valid = jax.lax.dynamic_update_slice(
+        valid, jnp.ones((b, 1), jnp.int32), (0, p))
+    # vectorize the write index: every row's prefill ends at p
+    cache = dict(cache, index=jnp.full((b,), cache["index"], jnp.int32))
+    state = RowSpecState(
+        jnp.full((b,), p + 1, jnp.int32), sequences, valid, cache,
+        jnp.where(finished0, pad_token_id, g0).astype(jnp.int32),
+        finished0, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
+
+    def cond(s):
+        return jnp.any(~s.finished & (s.step < t))
+
+    def body(s):
+        active = ~s.finished & (s.step < t)                        # [B]
+        draft = prompt_lookup_drafts_rowwise(s.sequences, s.valid, s.step,
+                                             k, ngram_size, pad_token_id)
+        tokens_in = jnp.concatenate([s.pending[:, None], draft], axis=1)
+        logits, cache_out = decode_chunk_rowwise(params, tokens_in, s.cache)
+        g = jnp.argmax(_process_chunk_logits(logits, s.step, proc),
+                       axis=-1).astype(jnp.int32)                  # [B,K+1]
+
+        match = draft == g[:, :k]                                  # [B, K]
+        acc = jnp.sum(jnp.cumprod(match.astype(jnp.int32), axis=1), 1)
+        n_new = jnp.minimum(acc + 1, t - s.step)          # per-row budget
+        if eos_token_id is not None:
+            is_eos = g == eos_token_id                             # [B,K+1]
+            first_eos = jnp.argmax(is_eos, axis=1)
+            has_eos = jnp.any(is_eos, axis=1)
+            n_new = jnp.where(has_eos,
+                              jnp.minimum(n_new, first_eos + 1), n_new)
+        n_new = jnp.where(active, n_new, 0)
+
+        cidx = jnp.arange(k + 1)
+        commit = cidx[None, :] < n_new[:, None]                    # [B,K+1]
+        pos_buf = s.step[:, None] + cidx[None, :]                  # [B,K+1]
+        old_tok = jnp.take_along_axis(s.sequences, pos_buf, axis=1)
+        old_val = jnp.take_along_axis(s.valid, pos_buf, axis=1)
+        sequences = s.sequences.at[bidx[:, None], pos_buf].set(
+            jnp.where(commit, g, old_tok))
+        valid = s.valid.at[bidx[:, None], pos_buf].set(
+            jnp.where(commit, 1, old_val))
+
+        if eos_token_id is not None:
+            finished = s.finished | jnp.any(is_eos & commit, axis=1)
+        else:
+            finished = s.finished
+
+        # keep pending + accepted drafts visible, drop the rejected tail;
+        # the write index advances by the accepted length only, so later
+        # rounds overwrite the stale entries in place (gap-free per row)
+        pos_cache = s.cache["index"][:, None] + cidx[None, :]
+        cache = dict(cache_out)
+        cache["index"] = s.cache["index"] + n_new
+        cache["mask"] = cache_out["mask"].at[bidx[:, None], pos_cache].set(
+            commit.astype(jnp.int32))
+
+        bonus = jnp.take_along_axis(
+            g, jnp.maximum(n_new - 1, 0)[:, None], axis=1)[:, 0]
+        pending = jnp.where(active, bonus, s.pending)
+        pending = jnp.where(finished, pad_token_id, pending)
+        return RowSpecState(
+            s.step + n_new, sequences, valid, cache, pending, finished,
+            s.accepted + jnp.sum(jnp.maximum(n_new - 1, 0)), s.rounds + 1)
+
+    final = jax.lax.while_loop(cond, body, state)
+    seqs = final.sequences[:, :t]
+    val = final.valid[:, :t]
+    seqs = jnp.where(val == 1, seqs, pad_token_id)
+    stats = {"accepted_drafts": final.accepted,
+             "verify_rounds": final.rounds,
+             "generated": jnp.sum(final.step - p)}
     return seqs, val, stats

@@ -250,6 +250,120 @@ def test_pipeline_sequence_generation_speculative(tmp_path):
     assert all("predictions" in r for r in out)
 
 
+def _speculative_rowwise(m, params, pids, pmask, max_length, k=4, n=2, **kw):
+    from easynlp_tpu.modelzoo.speculative import speculative_greedy_rowwise
+    prefill, decode = make_gpt2_generation_fns(m, max_length,
+                                               cache_slack=k + 1)
+    seqs, valid, stats = speculative_greedy_rowwise(
+        prefill, decode.chunk_rowwise, params, jnp.asarray(pids),
+        jnp.asarray(pmask), max_length, num_draft_tokens=k, ngram_size=n,
+        **kw)
+    return np.asarray(seqs), np.asarray(valid), stats
+
+
+def test_gpt2_rowwise_speculative_token_exact():
+    """Per-row acceptance must stay token-exact vs plain greedy under the
+    same processor configs as the batch-shared variant."""
+    m, params = _tiny_gpt2()
+    prompts = [[5, 6, 7, 5, 6, 7, 5, 6], [11, 23, 42]]
+    pids, pmask = left_pad(prompts, pad_token_id=0, length=8)
+    for kw in ({}, {"eos_token_id": 96}, {"min_length": 12,
+                                          "eos_token_id": 96}):
+        ref_seqs, ref_valid = _greedy_reference(m, params, pids, pmask, 32,
+                                                pad_token_id=0, **kw)
+        row_seqs, row_valid, _ = _speculative_rowwise(
+            m, params, pids, pmask, 32, pad_token_id=0, **kw)
+        np.testing.assert_array_equal(row_seqs, ref_seqs)
+        np.testing.assert_array_equal(row_valid, ref_valid)
+
+
+def _fake_next_token_model(table, p, t, slack):
+    """Deterministic 'model': next token = table[row, current_token]
+    (one-hot logits), with a minimal dict cache carrying the index/mask
+    bookkeeping both speculative engines rely on. Lets tests control the
+    acceptance pattern per row exactly."""
+    v = table.shape[1]
+    table = jnp.asarray(table, jnp.int32)
+
+    def prefill(params, ids, mask):
+        b = ids.shape[0]
+        cache_mask = jnp.zeros((b, t + slack), jnp.int32)
+        cache_mask = jax.lax.dynamic_update_slice(cache_mask, mask, (0, 0))
+        cache = {"index": jnp.asarray(p, jnp.int32), "mask": cache_mask}
+        nxt = table[jnp.arange(b), ids[:, -1]]
+        return jax.nn.one_hot(nxt, v), cache
+
+    def chunk(params, tokens, cache):
+        b, s = tokens.shape
+        nxt = table[jnp.arange(b)[:, None], tokens]
+        return jax.nn.one_hot(nxt, v), dict(cache,
+                                            index=cache["index"] + s)
+
+    def rollback(cache, drop):
+        ni = cache["index"] - drop
+        tlen = cache["mask"].shape[1]
+        mask = jnp.where(jnp.arange(tlen)[None, :] >= ni, 0, cache["mask"])
+        return dict(cache, index=ni, mask=mask)
+
+    def chunk_rowwise(params, tokens, cache):
+        b, s = tokens.shape
+        nxt = table[jnp.arange(b)[:, None], tokens]
+        return jax.nn.one_hot(nxt, v), dict(cache)
+
+    return prefill, chunk, rollback, chunk_rowwise
+
+
+def test_rowwise_not_dragged_by_short_matchless_row():
+    """The failure mode BENCH_r04 measured (0.866x): with batch-shared
+    min-acceptance, a row whose lookup never matches forces EVERY row to
+    one token per verify round while it lives. Here row 1 is matchless
+    (all bigrams distinct) but short (EOS after a few tokens) and row 0 is
+    a clean 2-cycle: the shared engine crawls until row 1 dies and only
+    then speeds up; the rowwise engine lets row 0 accept full drafts from
+    round one — strictly fewer verify rounds for identical output."""
+    from easynlp_tpu.modelzoo.speculative import (speculative_greedy,
+                                                  speculative_greedy_rowwise)
+    v, eos, p, t, k = 16, 15, 4, 40, 4
+    table = np.zeros((2, v), np.int32)
+    table[0, 1], table[0, 2] = 2, 1          # row 0: 1→2→1→... forever
+    for tok in (3, 4, 5, 6, 7):              # row 1: 3→4→...→8→EOS
+        table[1, tok] = tok + 1
+    table[1, 8] = eos
+    pids, pmask = left_pad([[1, 2, 1, 2], [3]], pad_token_id=0, length=p)
+    prefill, chunk, rollback, chunk_row = _fake_next_token_model(
+        table, p, t, slack=k + 1)
+
+    s_seqs, s_valid, s_stats = speculative_greedy(
+        prefill, chunk, rollback, None, jnp.asarray(pids),
+        jnp.asarray(pmask), t, num_draft_tokens=k, ngram_size=2,
+        eos_token_id=eos, pad_token_id=0)
+    r_seqs, r_valid, r_stats = speculative_greedy_rowwise(
+        prefill, chunk_row, None, jnp.asarray(pids), jnp.asarray(pmask),
+        t, num_draft_tokens=k, ngram_size=2, eos_token_id=eos,
+        pad_token_id=0)
+
+    np.testing.assert_array_equal(r_seqs, s_seqs)
+    np.testing.assert_array_equal(r_valid, s_valid)
+    # row 1's output is exactly 4 5 6 7 8 EOS then pads
+    row1 = r_seqs[1][p:]
+    np.testing.assert_array_equal(row1[:6], [4, 5, 6, 7, 8, eos])
+    assert int(r_stats["verify_rounds"]) < int(s_stats["verify_rounds"]), \
+        (dict(r_stats), dict(s_stats))
+    assert int(r_stats["accepted_drafts"]) > int(s_stats["accepted_drafts"])
+
+
+def test_rowwise_speculative_with_quantized_params():
+    from easynlp_tpu.modelzoo.quantization import (is_quantized,
+                                                   quantize_params)
+    m, params = _tiny_gpt2()
+    q = quantize_params(params, min_size=512)
+    assert is_quantized(q)
+    pids, pmask = left_pad([[5, 6, 7, 5, 6, 7]], pad_token_id=0, length=6)
+    ref_seqs, _ = _greedy_reference(m, q, pids, pmask, 20, pad_token_id=0)
+    seqs, valid, _ = _speculative_rowwise(m, q, pids, pmask, 20, k=4)
+    np.testing.assert_array_equal(seqs, ref_seqs)
+
+
 def test_speculative_sampling():
     """Sampling under speculation: top_k=1 collapses to greedy exactly;
     general sampling is rng-deterministic and rng-sensitive."""
