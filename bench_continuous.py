@@ -103,7 +103,7 @@ def bench_device_decoder(m, params, reqs):
     t0 = time.perf_counter()
     outs = dec(prompts, budgets)
     elapsed = time.perf_counter() - t0
-    return sum(len(o) for o in outs), elapsed
+    return sum(len(o) for o in outs), elapsed, outs
 
 
 def bench_device_decoder_spec(m, params, reqs):
@@ -128,6 +128,124 @@ def bench_device_decoder_spec(m, params, reqs):
     rounds = max(stats.get("verify_rounds", 0), 1)
     per_round = stats.get("tokens_committed_in_rounds", 0) / rounds
     return sum(len(o) for o in outs), elapsed, per_round
+
+
+def bench_device_decoder_int8(m, params, reqs, ref_outs):
+    """Plain device decoder with int8 weight-only params: decode is
+    weight-streaming-bound, so halving bytes/weight raises tokens/s;
+    the token match rate vs the bf16 run bounds the rounding cost."""
+    from easynlp_tpu.modelzoo.quantization import quantize_params
+    from easynlp_tpu.serving.continuous import DeviceContinuousDecoder
+    q = quantize_params(params)
+    dec = DeviceContinuousDecoder(
+        m, q, max_slots=SLOTS, max_length=MAX_LEN,
+        prompt_bucket=PROMPT, pad_token_id=0,
+        chunk_size=16 if not TINY else 4)
+    prompts = [ids for ids, _ in reqs]
+    budgets = [g for _, g in reqs]
+    dec(prompts, budgets)  # warmup = compile
+    t0 = time.perf_counter()
+    outs = dec(prompts, budgets)
+    elapsed = time.perf_counter() - t0
+    matched = total = 0
+    for o, r in zip(outs, ref_outs):
+        total += len(r)
+        matched += sum(1 for a, b in zip(o, r) if a == b)
+    return sum(len(o) for o in outs), elapsed, matched / max(total, 1)
+
+
+PREFIX_LEN = 64 if not TINY else 8
+
+
+def bench_shared_prefix(m, params, reqs):
+    """Shared-prefix KV caching: a PREFIX_LEN system prompt prefilled once
+    at construction vs re-prefilled inside every request. Same suffixes,
+    same budgets; speedup = full-prompt wall / suffix-only wall."""
+    import numpy as np
+
+    from easynlp_tpu.serving.continuous import DeviceContinuousDecoder
+    rng = np.random.RandomState(7)
+    prefix = rng.randint(1, 1000, PREFIX_LEN).tolist()
+    suffixes = [ids for ids, _ in reqs]
+    budgets = [g for _, g in reqs]
+
+    full = DeviceContinuousDecoder(
+        m, params, max_slots=SLOTS, max_length=MAX_LEN + PREFIX_LEN,
+        prompt_bucket=PREFIX_LEN + PROMPT, pad_token_id=0,
+        chunk_size=16 if not TINY else 4)
+    full_prompts = [prefix + s for s in suffixes]
+    full(full_prompts, budgets)  # warmup = compile
+    t0 = time.perf_counter()
+    full(full_prompts, budgets)
+    full_s = time.perf_counter() - t0
+
+    pfx = DeviceContinuousDecoder(
+        m, params, max_slots=SLOTS, max_length=MAX_LEN + PREFIX_LEN,
+        prompt_bucket=PROMPT, pad_token_id=0,
+        chunk_size=16 if not TINY else 4, shared_prefix=prefix)
+    pfx(suffixes, budgets)  # warmup = compile
+    t0 = time.perf_counter()
+    pfx(suffixes, budgets)
+    pfx_s = time.perf_counter() - t0
+    return round(full_s / pfx_s, 3)
+
+
+def bench_latency(m, params, reqs, closed_loop_s):
+    """Open-loop latency SLOs on the streaming thread batcher: requests
+    arrive on a fixed schedule at ~90% of the measured closed-loop
+    completion rate; per-request we record time-to-first-token (the
+    streaming path's responsiveness) and full completion latency.
+    Returns p50/p99 of both in ms (N_REQ samples, so p99 ~ max)."""
+    import threading
+
+    from easynlp_tpu.serving.continuous import ContinuousBatcher
+    b = ContinuousBatcher(m, params, max_slots=SLOTS, max_length=MAX_LEN,
+                          prompt_buckets=(PROMPT,), pad_token_id=0,
+                          chunk_size=16 if not TINY else 4)
+    lat, ttft = [None] * len(reqs), [None] * len(reqs)
+    try:
+        b.submit(reqs[0][0], max_new_tokens=2).result(timeout=600)
+        interval = closed_loop_s / len(reqs) / 0.9
+        threads = []
+
+        def consume(i, handle, t_submit):
+            first = True
+            for _ in handle.iter_tokens(timeout=1200):
+                if first:
+                    ttft[i] = time.perf_counter() - t_submit
+                    first = False
+            lat[i] = time.perf_counter() - t_submit
+
+        t_start = time.perf_counter()
+        for i, (ids, g) in enumerate(reqs):
+            target = t_start + i * interval
+            now = time.perf_counter()
+            if target > now:
+                time.sleep(target - now)
+            t_submit = time.perf_counter()
+            h = b.submit(ids, max_new_tokens=g, stream=True)
+            th = threading.Thread(target=consume, args=(i, h, t_submit),
+                                  daemon=True)
+            th.start()
+            threads.append(th)
+        for th in threads:
+            th.join(timeout=1200)
+    finally:
+        b.stop()
+
+    def pct(xs, q):
+        xs = sorted(x for x in xs if x is not None)
+        if not xs:
+            return None
+        idx = min(int(round(q * (len(xs) - 1))), len(xs) - 1)
+        return round(xs[idx] * 1000.0, 1)
+
+    return {
+        "serve_p50_latency_ms": pct(lat, 0.50),
+        "serve_p99_latency_ms": pct(lat, 0.99),
+        "serve_p50_ttft_ms": pct(ttft, 0.50),
+        "serve_p99_ttft_ms": pct(ttft, 0.99),
+    }
 
 
 def bench_coalesced(m, params, reqs):
@@ -177,9 +295,13 @@ def main():
     m, params, cfg = _model()
     reqs = _requests(cfg.vocab_size)
     cont_tokens, cont_s = bench_continuous(m, params, reqs)
-    dev_tokens, dev_s = bench_device_decoder(m, params, reqs)
+    dev_tokens, dev_s, dev_outs = bench_device_decoder(m, params, reqs)
     spec_tokens, spec_s, spec_acc = bench_device_decoder_spec(m, params,
                                                               reqs)
+    int8_tokens, int8_s, int8_match = bench_device_decoder_int8(
+        m, params, reqs, dev_outs)
+    prefix_speedup = bench_shared_prefix(m, params, reqs)
+    latency = bench_latency(m, params, reqs, cont_s)
     coal_tokens, coal_s = bench_coalesced(m, params, reqs)
     # Primary = the device-resident decoder: it IS continuous batching
     # (admission / retirement / refill), just scheduled in-graph, and it is
@@ -201,6 +323,10 @@ def main():
             "speculative_tokens_per_sec": round(spec_tokens / spec_s, 1),
             "speculative_over_plain": round(dev_s / spec_s, 3),
             "speculative_tokens_per_verify_round": round(spec_acc, 2),
+            "int8_tokens_per_sec": round(int8_tokens / int8_s, 1),
+            "int8_token_match_rate": round(int8_match, 4),
+            "shared_prefix_speedup": prefix_speedup,
+            **latency,
         },
     }))
     return 0
