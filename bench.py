@@ -321,7 +321,8 @@ def _emit(bert, results):
                   "shared_prefix_speedup", "int8_tokens_per_sec",
                   "int8_token_match_rate", "serve_p50_latency_ms",
                   "serve_p99_latency_ms", "serve_p50_ttft_ms",
-                  "serve_p99_ttft_ms"):
+                  "serve_p99_ttft_ms", "int8_skipped", "latency_skipped",
+                  "shared_prefix_skipped"):
             if k in cx:
                 extras["continuous_" + k] = cx[k]
     failed = {k: v.get("error") for k, v in results.items() if "error" in v}
