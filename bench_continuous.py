@@ -154,23 +154,28 @@ def bench_device_decoder_int8(m, params, reqs, ref_outs):
     return sum(len(o) for o in outs), elapsed, matched / max(total, 1)
 
 
-PREFIX_LEN = 64 if not TINY else 8
+PREFIX_LEN = 192 if not TINY else 8
 
 
 def bench_shared_prefix(m, params, reqs):
-    """Shared-prefix KV caching: a PREFIX_LEN system prompt prefilled once
-    at construction vs re-prefilled inside every request. Same suffixes,
-    same budgets; speedup = full-prompt wall / suffix-only wall."""
+    """Shared-prefix KV caching in its NATIVE regime: a long system prompt
+    (PREFIX_LEN tokens) over SHORT generations — the few-shot-classify /
+    tool-call serving shape where re-prefilling the prefix per request is
+    the dominant cost. A 64-token prefix under 128-token generations
+    measured ~1.0x (decode steps dominate); the feature exists for the
+    opposite ratio. Same suffixes/budgets both sides; speedup =
+    full-prompt wall / suffix-only wall."""
     import numpy as np
 
     from easynlp_tpu.serving.continuous import DeviceContinuousDecoder
     rng = np.random.RandomState(7)
     prefix = rng.randint(1, 1000, PREFIX_LEN).tolist()
     suffixes = [ids for ids, _ in reqs]
-    budgets = [g for _, g in reqs]
+    budgets = [GEN_SHORT] * len(reqs)
+    window = PREFIX_LEN + PROMPT + GEN_SHORT + 8
 
     full = DeviceContinuousDecoder(
-        m, params, max_slots=SLOTS, max_length=MAX_LEN + PREFIX_LEN,
+        m, params, max_slots=SLOTS, max_length=window,
         prompt_bucket=PREFIX_LEN + PROMPT, pad_token_id=0,
         chunk_size=16 if not TINY else 4)
     full_prompts = [prefix + s for s in suffixes]
@@ -180,7 +185,7 @@ def bench_shared_prefix(m, params, reqs):
     full_s = time.perf_counter() - t0
 
     pfx = DeviceContinuousDecoder(
-        m, params, max_slots=SLOTS, max_length=MAX_LEN + PREFIX_LEN,
+        m, params, max_slots=SLOTS, max_length=window,
         prompt_bucket=PROMPT, pad_token_id=0,
         chunk_size=16 if not TINY else 4, shared_prefix=prefix)
     pfx(suffixes, budgets)  # warmup = compile
