@@ -47,9 +47,9 @@ class PyModelPredictor(Predictor):
             # int8 serving: dequant INSIDE the jit so weights stay int8 in
             # HBM and XLA fuses convert*scale into each consumer matmul
             # (identity on unquantized trees)
-            from easynlp_tpu.modelzoo.quantization import dequantize_params
+            from easynlp_tpu.modelzoo.quantization import dequantize_for
             inputs = {k: batch[k] for k in keys if k in batch}
-            return module.apply({"params": dequantize_params(params)},
+            return module.apply({"params": dequantize_for(module, params)},
                                 **inputs, deterministic=True)
         self._fwd = jax.jit(fwd)
 

@@ -14,7 +14,7 @@ def make_gpt2_generation_fns(module, max_length, cache_dtype=None,
     straddle the max_length boundary before being rolled back.
     kv_cache='int8': quantized KV cache (per-token-per-head scales) —
     halves the cache HBM stream for long-context serving."""
-    from easynlp_tpu.modelzoo.quantization import dequantize_params
+    from easynlp_tpu.modelzoo.quantization import dequantize_for
     if kv_cache not in (None, "int8"):
         raise ValueError("kv_cache must be None or 'int8' (got %r)"
                          % (kv_cache,))
@@ -26,7 +26,7 @@ def make_gpt2_generation_fns(module, max_length, cache_dtype=None,
                                   quantize=kv_cache == "int8")
         cache["mask"] = jax.lax.dynamic_update_slice(
             cache["mask"], attention_mask.astype(jnp.int32), (0, 0))
-        out = module.apply({"params": dequantize_params(params)},
+        out = module.apply({"params": dequantize_for(module, params)},
                            input_ids=input_ids,
                            attention_mask=attention_mask, cache=cache,
                            deterministic=True)
@@ -41,7 +41,7 @@ def make_gpt2_generation_fns(module, max_length, cache_dtype=None,
         cache = dict(cache)
         cache["mask"] = jax.lax.dynamic_update_slice(
             cache["mask"], jnp.ones((b, 1), jnp.int32), (0, cache["index"]))
-        out = module.apply({"params": dequantize_params(params)},
+        out = module.apply({"params": dequantize_for(module, params)},
                            input_ids=token,
                            position_ids=positions, cache=cache,
                            deterministic=True)
@@ -60,7 +60,7 @@ def make_gpt2_generation_fns(module, max_length, cache_dtype=None,
         cache = dict(cache)
         cache["mask"] = jax.lax.dynamic_update_slice(
             cache["mask"], jnp.ones((b, s), jnp.int32), (0, cache["index"]))
-        out = module.apply({"params": dequantize_params(params)},
+        out = module.apply({"params": dequantize_for(module, params)},
                            input_ids=tokens,
                            position_ids=positions, cache=cache,
                            deterministic=True)
@@ -80,7 +80,7 @@ def make_gpt2_generation_fns(module, max_length, cache_dtype=None,
         pos = cache["index"][:, None] + jnp.arange(s)[None, :]
         cache = dict(cache)
         cache["mask"] = cache["mask"].at[bidx[:, None], pos].set(1)
-        out = module.apply({"params": dequantize_params(params)},
+        out = module.apply({"params": dequantize_for(module, params)},
                            input_ids=tokens,
                            position_ids=positions, cache=cache,
                            deterministic=True)

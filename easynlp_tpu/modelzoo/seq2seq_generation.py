@@ -11,11 +11,11 @@ import jax.numpy as jnp
 
 def make_encoder_decoder_fns(module, max_length, src_ids, src_mask,
                            cache_dtype=None, cache_slack=0):
-    from easynlp_tpu.modelzoo.quantization import dequantize_params
+    from easynlp_tpu.modelzoo.quantization import dequantize_for
 
     def prefill(raw_params, decoder_start_ids, decoder_start_mask):
         # int8 serving: dequant inside the trace (identity when unquantized)
-        params = dequantize_params(raw_params)
+        params = dequantize_for(module, raw_params)
         bk = decoder_start_ids.shape[0]
         b = src_ids.shape[0]
         k = bk // b
@@ -43,7 +43,7 @@ def make_encoder_decoder_fns(module, max_length, src_ids, src_mask,
         return logits[:, -1].astype(jnp.float32), state
 
     def decode(raw_params, token, state):
-        params = dequantize_params(raw_params)
+        params = dequantize_for(module, raw_params)
         logits, self_cache = module.apply(
             {"params": params}, token, state["enc"], state["enc_mask"],
             cache=state["self"], cache_index=state["index"],
@@ -59,7 +59,7 @@ def make_encoder_decoder_fns(module, max_length, src_ids, src_mask,
         decoder cache index, logits for ALL S positions. Intra-chunk
         causality is folded into the cached-decode masks/bias by the
         modeling code (bart/t5 s>1 paths)."""
-        params = dequantize_params(raw_params)
+        params = dequantize_for(module, raw_params)
         s = tokens.shape[1]
         logits, self_cache = module.apply(
             {"params": params}, tokens, state["enc"], state["enc_mask"],

@@ -189,7 +189,8 @@ class ContinuousBatcher:
         are token-exact vs submitting prefix+suffix to a prefix-less batcher
         (asserted in tests). The prefix KV rows are written into each slot at
         admit time, so slot reuse needs no invalidation."""
-        from easynlp_tpu.modelzoo.quantization import dequantize_params
+        from easynlp_tpu.modelzoo.quantization import dequantize_for
+        import functools
         self.module = module
         self.params = params
         self.slots = max_slots
@@ -227,7 +228,7 @@ class ContinuousBatcher:
             "index": jnp.zeros((max_slots,), jnp.int32),
             "last": jnp.full((max_slots,), pad_token_id, jnp.int32),
         }
-        self._dq = dequantize_params
+        self._dq = functools.partial(dequantize_for, module)
         # shared-prefix KV, computed once: [L, 1, P0, H, D] — admits
         # broadcast it across slots, so no per-request prefix prefill
         self._prefix_kv = (_prefill_prefix(module, params, self.prefix,
@@ -716,7 +717,8 @@ class DeviceContinuousDecoder:
         any sampled request fall back to the non-speculative build. Slots
         retire when fewer than K+1 cache entries remain, so provision
         max_length >= prompt_bucket + max_new_tokens + K + 1."""
-        from easynlp_tpu.modelzoo.quantization import dequantize_params
+        from easynlp_tpu.modelzoo.quantization import dequantize_for
+        import functools
         self.prefix = [int(x) for x in (shared_prefix or [])]
         self._p0 = len(self.prefix)
         assert self._p0 + prompt_bucket < max_length
@@ -737,7 +739,7 @@ class DeviceContinuousDecoder:
                 "(shared prefix +) prompt bucket"
             self.spec = (int(ngram), int(k))
         self.last_spec_stats: Optional[Dict[str, int]] = None
-        self._dq = dequantize_params
+        self._dq = functools.partial(dequantize_for, module)
         self._prefix_kv = (_prefill_prefix(module, params, self.prefix,
                                            self._dq)
                            if self._p0 else None)
