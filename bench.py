@@ -304,6 +304,9 @@ def _emit(bert, results):
         for k in ("gpt2_decode_int8_tokens_per_sec", "int8_token_match_rate",
                   "gpt2_decode_kv_int8_tokens_per_sec",
                   "kv_int8_token_match_rate",
+                  "gpt2_decode_bf16_weights_tokens_per_sec",
+                  "bf16_weights_token_match_rate",
+                  "gpt2_decode_bf16_spec_tokens_per_sec",
                   "speculative_speedup_shared_min",
                   "speculative_speedup_random_prompts",
                   "speculative_auto_disabled", "mean_accepted_per_round"):

@@ -162,6 +162,22 @@ def main():
             greedy_elapsed / shared_elapsed, 3),
     }
 
+    # bf16-weight serving cast (the recommended TPU serving config,
+    # serve_params_dtype default): stored params are f32, matmuls read bf16
+    # operands either way — casting halves the decode loop's weight stream
+    from easynlp_tpu.modelzoo.quantization import cast_params
+    pbf16 = cast_params(params)
+    bf16_elapsed, sbf = _time_gen(greedy_fn, (pbf16, ids, mask),
+                                  MEASURE_ITERS)
+    extras["gpt2_decode_bf16_weights_tokens_per_sec"] = round(
+        tps(bf16_elapsed), 1)
+    extras["bf16_weights_token_match_rate"] = round(float(
+        jnp.mean((sbf == s).astype(jnp.float32))), 4)
+    spec_bf16_elapsed, _ = _time_gen(
+        spec_row_fn, (pbf16, ids_copy, mask), MEASURE_ITERS)
+    extras["gpt2_decode_bf16_spec_tokens_per_sec"] = round(
+        tps(spec_bf16_elapsed), 1)
+
     # int8 weight-only: decode is weight-streaming-bound at small batch, so
     # halving bytes/weight should raise tokens/s directly
     q = quantize_params(params)

@@ -472,6 +472,15 @@ def _serve_continuous_main(args, udp, dtype):
     if str(udp.get("serve_quantize", "")) == "int8":
         from easynlp_tpu.modelzoo.quantization import quantize_params
         params = quantize_params(params)
+    # generation serving is weight-streaming-bound: cast the (f32-stored)
+    # kernels to the compute dtype by default under bf16 so the decode loop
+    # streams half the bytes — the matmuls read bf16 operands either way.
+    # Opt out with serve_params_dtype=float32.
+    pd = str(udp.get("serve_params_dtype",
+                     "bfloat16" if args.dtype == "bfloat16" else "")).strip()
+    if pd in ("bfloat16", "bf16"):
+        from easynlp_tpu.modelzoo.quantization import cast_params
+        params = cast_params(params, jnp.bfloat16)
     tokenizer = _tokenizer_for(args.checkpoint_dir)
     max_length = int(args.sequence_length)
     raw = udp.get("serve_prompt_buckets")
@@ -560,7 +569,8 @@ def default_main_fn(args=None):
             sequence_length=args.sequence_length,
             batch_size=args.micro_batch_size,
             dtype=dtype,
-            quantize=udp.get("serve_quantize") or None)
+            quantize=udp.get("serve_quantize") or None,
+            params_dtype=udp.get("serve_params_dtype") or None)
 
     tables = (args.tables or "").split(",")
     model_cls = get_application_model(args.app_name, udp)

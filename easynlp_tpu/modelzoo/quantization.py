@@ -85,6 +85,41 @@ def dequantize_params(params, dtype=jnp.float32):
     return walk(params)
 
 
+CAST_SKIP = ("layernorm", "layer_norm", "ln_", "_ln", "norm", "bias",
+             "scale", "shift")
+
+
+def cast_params(params, dtype=jnp.bfloat16, skip=CAST_SKIP):
+    """Serving-side weight cast: float leaves -> `dtype`, except paths
+    containing a `skip` substring (LayerNorm scale/shift, biases — tiny
+    and precision-sensitive) which stay as loaded.
+
+    Checkpoints store f32 params and the compute dtype is usually bf16, so
+    every serving matmul already rounds its operands to bf16 — but the HBM
+    WEIGHT STREAM, which bounds small-batch decode throughput, stays f32.
+    Casting the kernels (incl. embeddings: GPT-2's tied lm head streams
+    the [V, E] table every step) halves those bytes with no change to what
+    the MXU computes. Unlike int8 this needs no dequant in-trace, so there
+    is nothing for XLA to materialise. Composes with quantize_params
+    (int8 marker subtrees pass through untouched; quantize first, then
+    cast the remainder)."""
+
+    def walk(node, path):
+        if _is_qleaf(node):
+            return node
+        if isinstance(node, dict):
+            return {k: walk(v, path + "/" + k.lower())
+                    for k, v in node.items()}
+        arr = node
+        if (hasattr(arr, "dtype")
+                and jnp.issubdtype(jnp.asarray(arr).dtype, jnp.floating)
+                and not any(s in path for s in skip)):
+            return jnp.asarray(arr, dtype)
+        return arr
+
+    return walk(params, "")
+
+
 def dequantize_for(module, params):
     """dequantize_params at the MODULE'S compute dtype.
 

@@ -15,7 +15,7 @@ from easynlp_tpu.utils.io_utils import io
 class Pipeline:
     def __init__(self, task, model_path, first_sequence="first_sequence",
                  second_sequence=None, sequence_length=128, batch_size=32,
-                 dtype=jnp.bfloat16, quantize=None):
+                 dtype=jnp.bfloat16, quantize=None, params_dtype=None):
         from easynlp_tpu.pipelines import SUPPORTED_TASKS
         if not has_args():
             from easynlp_tpu.testing import make_args
@@ -62,6 +62,13 @@ class Pipeline:
             from easynlp_tpu.utils.logger import logger
             logger.info("int8 weight quantization: %d kernels, params "
                         "%.1f MB -> %.1f MB", n, ob / 1e6, qb / 1e6)
+        if params_dtype:
+            # serving-side weight cast (e.g. "bfloat16"): halves the HBM
+            # weight stream vs f32 checkpoints — the matmuls already read
+            # operands at the compute dtype, so the MXU math is unchanged.
+            # Composes with quantize: int8 subtrees pass through untouched.
+            from easynlp_tpu.modelzoo.quantization import cast_params
+            app.params = cast_params(app.params, jnp.dtype(params_dtype))
         self.first_sequence = first_sequence
         self.second_sequence = second_sequence
         self.predictor = predictor_cls(

@@ -46,6 +46,7 @@ USER_DEFINED_PARAMETERS_TYPES = {
     "controlnet_hint": str,
     "controlnet_hint_column": str,
     "serve_quantize": str,
+    "serve_params_dtype": str,
 }
 
 

@@ -274,3 +274,101 @@ def test_int8_kv_cache_generation():
                                num_draft_tokens=4))
     assert spec.shape == (2, 16)
     assert (spec >= 0).all() and (spec < 97).all()
+
+
+def test_cast_params_skips_and_composes():
+    """cast_params: float kernels + embeddings -> bf16; LayerNorm scale/
+    shift and biases stay f32; int8 marker subtrees pass through; ints
+    untouched."""
+    from easynlp_tpu.modelzoo.quantization import cast_params
+    rng = np.random.RandomState(2)
+    params = {
+        "embeddings": {"word_embeddings":
+                       jnp.asarray(rng.randn(100, 64), jnp.float32)},
+        "layer_norm": {"scale": jnp.ones((64,), jnp.float32),
+                       "bias": jnp.zeros((64,), jnp.float32)},
+        "dense": {"kernel": jnp.asarray(rng.randn(64, 128), jnp.float32),
+                  "bias": jnp.zeros((128,), jnp.float32)},
+        "steps": jnp.asarray(3, jnp.int32),
+    }
+    c = cast_params(params)
+    assert c["embeddings"]["word_embeddings"].dtype == jnp.bfloat16
+    assert c["dense"]["kernel"].dtype == jnp.bfloat16
+    assert c["layer_norm"]["scale"].dtype == jnp.float32
+    assert c["layer_norm"]["bias"].dtype == jnp.float32
+    assert c["dense"]["bias"].dtype == jnp.float32
+    assert c["steps"].dtype == jnp.int32
+
+    # quantize-then-cast: int8 subtree untouched, remainder cast
+    q = quantize_params(params)
+    qc = cast_params(q)
+    assert qc["dense"]["kernel"]["__int8_weight__"].dtype == jnp.int8
+    assert qc["dense"]["kernel"]["scale"].dtype == jnp.float32
+    assert qc["embeddings"]["word_embeddings"].dtype == jnp.bfloat16
+
+
+def test_cast_params_decode_token_match():
+    """bf16-weight greedy decode matches the f32-weight decode on a tiny
+    bf16-compute model: operands are rounded to bf16 at the matmuls either
+    way, so outputs should agree (tiny model, short generation)."""
+    from easynlp_tpu.modelzoo.generation_utils import (greedy_or_sample,
+                                                       left_pad)
+    from easynlp_tpu.modelzoo.models.gpt2 import GPT2Config, GPT2LMHeadModel
+    from easynlp_tpu.modelzoo.models.gpt2.generation import (
+        make_gpt2_generation_fns)
+    from easynlp_tpu.modelzoo.quantization import cast_params
+    from flax import linen as nn
+
+    cfg = GPT2Config(vocab_size=97, n_positions=64, n_embd=32, n_layer=2,
+                     n_head=2, resid_pdrop=0.0, embd_pdrop=0.0,
+                     attn_pdrop=0.0)
+    m = GPT2LMHeadModel.from_config(cfg, dtype=jnp.bfloat16)
+    rng = jax.random.PRNGKey(0)
+    params = nn.unbox(m.init({"params": rng, "dropout": rng},
+                             input_ids=jnp.ones((1, 4), jnp.int32),
+                             deterministic=True)["params"])
+    pids, pmask = left_pad([[5, 6, 7, 5, 6, 7], [11, 23, 42]],
+                           pad_token_id=0, length=6)
+    prefill, decode = make_gpt2_generation_fns(m, 20)
+    ref, _ = greedy_or_sample(prefill, decode, params, jnp.asarray(pids),
+                              jnp.asarray(pmask), 20, pad_token_id=0)
+    out, _ = greedy_or_sample(prefill, decode, cast_params(params),
+                              jnp.asarray(pids), jnp.asarray(pmask), 20,
+                              pad_token_id=0)
+    ref, out = np.asarray(ref), np.asarray(out)
+    assert out.shape == ref.shape
+    # bf16-compute both sides: expect near-total agreement on a tiny model
+    assert (out == ref).mean() > 0.9, (out, ref)
+
+
+def test_pipeline_params_dtype(tmp_path):
+    """pipeline(..., params_dtype='bfloat16') casts the loaded kernels."""
+    base = str(tmp_path)
+    model_dir = make_pretrained(os.path.join(base, "tiny-bert"))
+    make_args()
+    from easynlp_tpu.appzoo.sequence_classification.model import (
+        SequenceClassification)
+    app = SequenceClassification.from_pretrained(
+        model_dir, dtype=jnp.float32, num_labels=2)
+    ckpt = os.path.join(base, "ck")
+    os.makedirs(ckpt)
+    from easynlp_tpu.modelzoo.modeling_utils import save_params
+    save_params(app.params, ckpt)
+    for extra in ("vocab.txt", "config.json"):
+        with open(os.path.join(model_dir, extra)) as f:
+            data = f.read()
+        with open(os.path.join(ckpt, extra), "w") as f:
+            f.write(data)
+    with open(os.path.join(ckpt, "label_mapping.json"), "w") as f:
+        json.dump({"neg": 0, "pos": 1}, f)
+    with open(os.path.join(ckpt, "train_config.json"), "w") as f:
+        json.dump({"app_name": "text_classify"}, f)
+
+    from easynlp_tpu.pipelines import pipeline
+    pipe = pipeline("text_classify", ckpt, params_dtype="bfloat16",
+                    sequence_length=16, batch_size=4)
+    leaves = jax.tree.leaves(pipe.predictor.model_predictor.app.params)
+    assert any(getattr(l, "dtype", None) == jnp.bfloat16 for l in leaves)
+    assert any(getattr(l, "dtype", None) == jnp.float32 for l in leaves)
+    out = pipe(["good stuff", "bad stuff"])
+    assert len(out) == 2
