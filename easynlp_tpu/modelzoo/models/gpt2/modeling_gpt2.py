@@ -5,8 +5,11 @@ pre-LN causal transformer, learned positions, tied LM head. TPU re-design:
 
 - scanned layer stack (params carry a 'layers' axis), fused QKV matmul,
   Pallas causal flash attention with diagonal block skipping;
-- decode-ready: a static-shape KV cache [L, B, T, H, D] threaded through the
-  layer scan as scan xs/ys, so one jitted function serves prefill (causal
+- decode-ready: a static-shape KV cache [L, B, T, H, D] carried through the
+  layer scan and updated IN PLACE at (layer_idx, :, cache_index) — scanning
+  per-layer slices through scan ys instead was measured rebuilding the whole
+  stacked cache every decode step (2 full-cache copies + stacked rewrites =
+  77% of v5e step time); one jitted function serves prefill (causal
   attention over the prompt chunk) and single-token decode (attention over
   the cache with a validity mask) — generation_utils drives it inside
   lax.while_loop with no recompiles;
@@ -50,7 +53,17 @@ class GPT2Attention(nn.Module):
     deterministic: bool = True
 
     @nn.compact
-    def __call__(self, hidden, kv_mask, layer_cache=None, cache_index=None):
+    def __call__(self, hidden, kv_mask, caches=None, cache_index=None,
+                 layer_idx=None):
+        """caches: STACKED [L, ...] cache arrays ((k, v) or int8
+        (k, v, k_scale, v_scale)) carried through the layer scan, written
+        in place at `layer_idx` — carrying the stack (instead of scanning
+        per-layer slices through scan ys) is what keeps the decode
+        while_loop copy-free: the profiled scan-ys form rebuilt the whole
+        [L, B, T, H, D] cache every step (2 full-cache copies + stacked
+        rewrites = 77% of decode step time on v5e), while a
+        dynamic_update_slice at (layer_idx, :, cache_index) writes only
+        the new token's slots and XLA aliases the while-loop carry."""
         c = self.config
         h, d = c.n_head, c.n_embd // c.n_head
         b, s, _ = hidden.shape
@@ -59,11 +72,11 @@ class GPT2Attention(nn.Module):
         qkv = qkv.reshape(b, s, 3, h, d)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
 
-        if layer_cache is None:
+        if caches is None:
             impl = "ring" if getattr(c, "use_ring_attention", False) \
                 else "auto"
             ctx = attention(q, k, v, kv_mask=kv_mask, causal=True, impl=impl)
-            new_cache = None
+            new_caches = None
         elif cache_index is not None and getattr(cache_index, "ndim", 0) == 1:
             # per-SLOT write indices (continuous-batching decode): each row
             # advances independently, so the write is a scatter instead of a
@@ -75,61 +88,76 @@ class GPT2Attention(nn.Module):
             # heads; rejected drafts' stale KV stays invisible because the
             # caller only commits accepted positions into the mask).
             bidx = jnp.arange(b)
-            k_cache, v_cache = layer_cache
+            k_full, v_full = caches
+            li = layer_idx
             if s == 1:
-                k_cache = k_cache.at[bidx, cache_index].set(
-                    k[:, 0].astype(k_cache.dtype))
-                v_cache = v_cache.at[bidx, cache_index].set(
-                    v[:, 0].astype(v_cache.dtype))
-                new_cache = (k_cache, v_cache)
-                ctx = attention(q, k_cache, v_cache, kv_mask=kv_mask)
+                k_full = k_full.at[li, bidx, cache_index].set(
+                    k[:, 0].astype(k_full.dtype))
+                v_full = v_full.at[li, bidx, cache_index].set(
+                    v[:, 0].astype(v_full.dtype))
+                k_read = jax.lax.dynamic_index_in_dim(k_full, li, 0, False)
+                v_read = jax.lax.dynamic_index_in_dim(v_full, li, 0, False)
+                new_caches = (k_full, v_full)
+                ctx = attention(q, k_read, v_read, kv_mask=kv_mask)
             else:
                 pos = cache_index[:, None] + jnp.arange(s)[None, :]  # [B,S]
-                k_cache = k_cache.at[bidx[:, None], pos].set(
-                    k.astype(k_cache.dtype))
-                v_cache = v_cache.at[bidx[:, None], pos].set(
-                    v.astype(v_cache.dtype))
-                new_cache = (k_cache, v_cache)
-                t = k_cache.shape[1]
+                k_full = k_full.at[li, bidx[:, None], pos].set(
+                    k.astype(k_full.dtype))
+                v_full = v_full.at[li, bidx[:, None], pos].set(
+                    v.astype(v_full.dtype))
+                k_read = jax.lax.dynamic_index_in_dim(k_full, li, 0, False)
+                v_read = jax.lax.dynamic_index_in_dim(v_full, li, 0, False)
+                new_caches = (k_full, v_full)
+                t = k_full.shape[2]
                 bias = jnp.where(
                     jnp.arange(t)[None, None, :] <= pos[:, :, None],
                     0.0, -1e30)[:, None]                          # [B,1,S,T]
-                ctx = attention(q, k_cache, v_cache, kv_mask=kv_mask,
+                ctx = attention(q, k_read, v_read, kv_mask=kv_mask,
                                 bias=bias)
         else:
-            if len(layer_cache) == 4:
+            li = layer_idx
+            if len(caches) == 4:
                 # int8 KV cache: per-(token, head) symmetric scales — halves
                 # the decode-loop's cache HBM traffic (the dominant stream at
                 # long context); XLA fuses convert*scale into the attention
                 # einsum's operand read
-                k_cache, v_cache, k_scale, v_scale = layer_cache
+                k_full, v_full, ks_full, vs_full = caches
                 ks = jnp.maximum(jnp.max(jnp.abs(k), axis=-1) / 127.0, 1e-8)
                 vs = jnp.maximum(jnp.max(jnp.abs(v), axis=-1) / 127.0, 1e-8)
                 k8 = jnp.clip(jnp.round(k / ks[..., None]),
                               -127, 127).astype(jnp.int8)
                 v8 = jnp.clip(jnp.round(v / vs[..., None]),
                               -127, 127).astype(jnp.int8)
-                k_cache = jax.lax.dynamic_update_slice(
-                    k_cache, k8, (0, cache_index, 0, 0))
-                v_cache = jax.lax.dynamic_update_slice(
-                    v_cache, v8, (0, cache_index, 0, 0))
-                k_scale = jax.lax.dynamic_update_slice(
-                    k_scale, ks.astype(k_scale.dtype), (0, cache_index, 0))
-                v_scale = jax.lax.dynamic_update_slice(
-                    v_scale, vs.astype(v_scale.dtype), (0, cache_index, 0))
-                new_cache = (k_cache, v_cache, k_scale, v_scale)
-                k_read = k_cache.astype(self.dtype) \
-                    * k_scale[..., None].astype(self.dtype)
-                v_read = v_cache.astype(self.dtype) \
-                    * v_scale[..., None].astype(self.dtype)
+                k_full = jax.lax.dynamic_update_slice(
+                    k_full, k8[None], (li, 0, cache_index, 0, 0))
+                v_full = jax.lax.dynamic_update_slice(
+                    v_full, v8[None], (li, 0, cache_index, 0, 0))
+                ks_full = jax.lax.dynamic_update_slice(
+                    ks_full, ks.astype(ks_full.dtype)[None],
+                    (li, 0, cache_index, 0))
+                vs_full = jax.lax.dynamic_update_slice(
+                    vs_full, vs.astype(vs_full.dtype)[None],
+                    (li, 0, cache_index, 0))
+                new_caches = (k_full, v_full, ks_full, vs_full)
+                k_read = jax.lax.dynamic_index_in_dim(k_full, li, 0, False) \
+                    .astype(self.dtype) \
+                    * jax.lax.dynamic_index_in_dim(ks_full, li, 0, False)[
+                        ..., None].astype(self.dtype)
+                v_read = jax.lax.dynamic_index_in_dim(v_full, li, 0, False) \
+                    .astype(self.dtype) \
+                    * jax.lax.dynamic_index_in_dim(vs_full, li, 0, False)[
+                        ..., None].astype(self.dtype)
             else:
-                k_cache, v_cache = layer_cache
-                k_cache = jax.lax.dynamic_update_slice(
-                    k_cache, k.astype(k_cache.dtype), (0, cache_index, 0, 0))
-                v_cache = jax.lax.dynamic_update_slice(
-                    v_cache, v.astype(v_cache.dtype), (0, cache_index, 0, 0))
-                new_cache = (k_cache, v_cache)
-                k_read, v_read = k_cache, v_cache
+                k_full, v_full = caches
+                k_full = jax.lax.dynamic_update_slice(
+                    k_full, k.astype(k_full.dtype)[None],
+                    (li, 0, cache_index, 0, 0))
+                v_full = jax.lax.dynamic_update_slice(
+                    v_full, v.astype(v_full.dtype)[None],
+                    (li, 0, cache_index, 0, 0))
+                new_caches = (k_full, v_full)
+                k_read = jax.lax.dynamic_index_in_dim(k_full, li, 0, False)
+                v_read = jax.lax.dynamic_index_in_dim(v_full, li, 0, False)
             if s == 1:
                 # single-token decode: every valid cached position is visible
                 ctx = attention(q, k_read, v_read, kv_mask=kv_mask)
@@ -147,25 +175,27 @@ class GPT2Attention(nn.Module):
         out = _dense(c.n_embd, c, ("joined_kv", "embed"), dtype=self.dtype,
                      name="c_proj")(ctx)
         out = nn.Dropout(c.resid_pdrop)(out, deterministic=self.deterministic)
-        return out, new_cache
+        return out, new_caches
 
 
 class GPT2Block(nn.Module):
-    """Pre-LN block as a scan body: carry=(hidden, kv_mask, cache_index),
-    xs=per-layer (k,v) cache or None."""
+    """Pre-LN block as a scan body: carry=(hidden, kv_mask, cache_index,
+    stacked caches or None), xs=the layer index. The KV cache rides the
+    CARRY (updated in place at (layer_idx, :, cache_index)) instead of
+    scan ys — see GPT2Attention.__call__ for why."""
 
     config: Any
     dtype: Any = jnp.float32
     deterministic: bool = True
 
     @nn.compact
-    def __call__(self, carry, layer_cache=None):
-        hidden, kv_mask, cache_index = carry
+    def __call__(self, carry, layer_idx):
+        hidden, kv_mask, cache_index, caches = carry
         c = self.config
         normed = _ln(c, name="ln_1")(hidden).astype(self.dtype)
-        attn_out, new_cache = GPT2Attention(
+        attn_out, caches = GPT2Attention(
             c, dtype=self.dtype, deterministic=self.deterministic,
-            name="attn")(normed, kv_mask, layer_cache, cache_index)
+            name="attn")(normed, kv_mask, caches, cache_index, layer_idx)
         hidden = hidden + attn_out
         normed = _ln(c, name="ln_2")(hidden).astype(self.dtype)
         aux = jnp.zeros((), jnp.float32)
@@ -191,7 +221,7 @@ class GPT2Block(nn.Module):
                          name="c_proj")(mlp)
         mlp = nn.Dropout(c.resid_pdrop)(mlp, deterministic=self.deterministic)
         hidden = hidden + mlp
-        return (hidden, kv_mask, cache_index), (new_cache, aux)
+        return (hidden, kv_mask, cache_index, caches), aux
 
 
 class GPT2Model(BaseModule):
@@ -224,13 +254,13 @@ class GPT2Model(BaseModule):
 
         if cache is None:
             kv_mask = attention_mask.astype(bool)
-            xs = None
+            caches = None
             cache_index = jnp.zeros((), jnp.int32)
         else:
             kv_mask = cache["mask"].astype(bool)
-            xs = (cache["k"], cache["v"])
+            caches = (cache["k"], cache["v"])
             if "k_scale" in cache:
-                xs = xs + (cache["k_scale"], cache["v_scale"])
+                caches = caches + (cache["k_scale"], cache["v_scale"])
             cache_index = cache["index"]
 
         block_cls = GPT2Block
@@ -245,9 +275,10 @@ class GPT2Model(BaseModule):
             metadata_params={nn.PARTITION_NAME: "layers"},
             unroll=scan_unroll(c, c.n_layer),
         )
-        (hidden, _, _), (new_caches, moe_aux) = scan(
+        (hidden, _, _, new_caches), moe_aux = scan(
             config=c, dtype=self.dtype, deterministic=deterministic,
-            name="h")((hidden, kv_mask, cache_index), xs)
+            name="h")((hidden, kv_mask, cache_index, caches),
+                      jnp.arange(c.n_layer))
         hidden = _ln(c, name="ln_f")(hidden).astype(self.dtype)
 
         out = {"last_hidden_state": hidden}
