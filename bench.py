@@ -308,6 +308,8 @@ def _emit(bert, results):
                   "bf16_weights_token_match_rate",
                   "gpt2_decode_bf16_spec_tokens_per_sec",
                   "speculative_speedup_shared_min",
+                  "speculative_speedup_mixed",
+                  "mean_accepted_per_round_mixed",
                   "speculative_speedup_random_prompts",
                   "speculative_auto_disabled", "mean_accepted_per_round"):
             if k in dx:

@@ -77,10 +77,18 @@ def prompt_lookup_drafts(sequences, valid, cur_len, num_draft_tokens,
     win_valid = jnp.all(valid[:, win_idx] == 1, axis=-1)           # [B, P]
     eq = jnp.all(windows == ngram[:, None, :], axis=-1)            # [B, P]
     # a match must be strictly earlier than the trailing n-gram itself and
-    # have at least one committed token after it to copy from
+    # have at least one committed token after it to copy from. Among
+    # matches, PREFER the most recent one whose K-token continuation is
+    # fully committed: the naive most-recent match on repetitive text sits
+    # right at the buffer end, so its continuation is mostly still-pad —
+    # drafting pads that verification then rejects (measured: acceptance
+    # collapsed to ~1/row/round on perfectly cyclic text).
     usable = (starts + n) <= (cur_len - 1)
-    score = jnp.where(eq & win_valid & usable[None, :], starts, -1)
-    p_best = jnp.max(score, axis=-1)                               # [B]
+    cand = eq & win_valid & usable[None, :]
+    full = (starts + n + k) <= cur_len
+    p_full = jnp.max(jnp.where(cand & full[None, :], starts, -1), axis=-1)
+    p_any = jnp.max(jnp.where(cand, starts, -1), axis=-1)
+    p_best = jnp.where(p_full >= 0, p_full, p_any)                 # [B]
     found = p_best >= 0
     src = jnp.clip(p_best + n, 0, t - 1)
     draft_idx = jnp.clip(src[:, None] + jnp.arange(k)[None, :], 0, t - 1)
@@ -114,8 +122,14 @@ def prompt_lookup_drafts_rowwise(sequences, valid, cur_len,
     win_valid = jnp.all(valid[:, win_idx] == 1, axis=-1)            # [B, P]
     eq = jnp.all(windows == ngram[:, None, :], axis=-1)             # [B, P]
     usable = (starts[None, :] + n) <= (cur_len[:, None] - 1)        # [B, P]
-    score = jnp.where(eq & win_valid & usable, starts[None, :], -1)
-    p_best = jnp.max(score, axis=-1)                                # [B]
+    cand = eq & win_valid & usable
+    # prefer the most recent match with a fully-committed K-token
+    # continuation (see prompt_lookup_drafts: the naive most-recent match
+    # drafts pads on cyclic text), falling back to any match
+    full = (starts[None, :] + n + k) <= cur_len[:, None]            # [B, P]
+    p_full = jnp.max(jnp.where(cand & full, starts[None, :], -1), axis=-1)
+    p_any = jnp.max(jnp.where(cand, starts[None, :], -1), axis=-1)
+    p_best = jnp.where(p_full >= 0, p_full, p_any)                  # [B]
     found = (p_best >= 0) & tail_ok
     src = jnp.clip(p_best + n, 0, t - 1)
     draft_idx = jnp.clip(src[:, None] + jnp.arange(k)[None, :], 0, t - 1)
