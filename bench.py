@@ -323,6 +323,10 @@ def _emit(bert, results):
         # every serving claim must be driver-verifiable: speculative,
         # shared-prefix, int8 and latency-SLO numbers ride the artifact too
         for k in ("speculative_over_plain", "speculative_tokens_per_sec",
+                  "speculative_ceiling_tokens_per_sec",
+                  "speculative_ceiling_over_plain",
+                  "speculative_ceiling_tokens_per_verify_round",
+                  "speculative_ceiling_skipped",
                   "shared_prefix_speedup", "int8_tokens_per_sec",
                   "int8_token_match_rate", "serve_p50_latency_ms",
                   "serve_p99_latency_ms", "serve_p50_ttft_ms",

@@ -130,6 +130,58 @@ def bench_device_decoder_spec(m, params, reqs):
     return sum(len(o) for o in outs), elapsed, per_round
 
 
+def bench_device_decoder_spec_ceiling(m, params, reqs, ref_outs):
+    """Speculative continuous decoding in its FAVORABLE regime: requests
+    whose prompts are cyclic rollout tails (each row re-generates its own
+    repetitive continuation, so prompt-lookup accepts maximally). The
+    mixed-random request set above is the floor; this is the ceiling —
+    real copy-heavy serving (summarization, dialogue, code) sits between.
+    Returns (spec_tokens/s, plain_tokens/s on the same requests,
+    committed-per-round)."""
+    import numpy as np
+
+    from easynlp_tpu.serving.continuous import DeviceContinuousDecoder
+    full = [list(ids) + list(out)
+            for (ids, _), out in zip(reqs, ref_outs)]
+    tails = [row[-PROMPT:] for row in full]
+    # only LONG-budget rollouts can demonstrate convergence to a cycle;
+    # require a period <= 8 over their last 32 tokens (short outputs match
+    # spuriously and their tails don't actually continue cyclically)
+    cyc = []
+    for i, ((_, g), out) in enumerate(zip(reqs, ref_outs)):
+        o = np.asarray(out[-32:])
+        if (g >= GEN_LONG and len(o) >= 32
+                and any(np.all(o[p:] == o[:-p]) for p in range(1, 9))):
+            cyc.append(i)
+    if not cyc:
+        cyc = [0]
+    prompts = [tails[cyc[i % len(cyc)]] for i in range(N_REQ)]
+    budgets = [g for _, g in reqs]
+
+    plain = DeviceContinuousDecoder(
+        m, params, max_slots=SLOTS, max_length=MAX_LEN + 8,
+        prompt_bucket=PROMPT, pad_token_id=0,
+        chunk_size=16 if not TINY else 4)
+    plain(prompts, budgets)
+    t0 = time.perf_counter()
+    pouts = plain(prompts, budgets)
+    plain_s = time.perf_counter() - t0
+
+    dec = DeviceContinuousDecoder(
+        m, params, max_slots=SLOTS, max_length=MAX_LEN + 16,
+        prompt_bucket=PROMPT, pad_token_id=0,
+        speculative=(2, 8 if not TINY else 4))
+    dec(prompts, budgets)
+    t0 = time.perf_counter()
+    outs = dec(prompts, budgets)
+    elapsed = time.perf_counter() - t0
+    stats = dec.last_spec_stats or {}
+    rounds = max(stats.get("verify_rounds", 0), 1)
+    per_round = stats.get("tokens_committed_in_rounds", 0) / rounds
+    return (sum(len(o) for o in outs) / elapsed,
+            sum(len(o) for o in pouts) / plain_s, per_round)
+
+
 def bench_device_decoder_int8(m, params, reqs, ref_outs):
     """Plain device decoder with int8 weight-only params: decode is
     weight-streaming-bound, so halving bytes/weight raises tokens/s;
@@ -314,6 +366,16 @@ def main():
                                                               reqs)
     coal_tokens, coal_s = bench_coalesced(m, params, reqs)
     opt = {}
+    if left() > 150:
+        ceil_tps, ceil_plain_tps, ceil_acc = \
+            bench_device_decoder_spec_ceiling(m, params, reqs, dev_outs)
+        opt["speculative_ceiling_tokens_per_sec"] = round(ceil_tps, 1)
+        opt["speculative_ceiling_over_plain"] = round(
+            ceil_tps / ceil_plain_tps, 3)
+        opt["speculative_ceiling_tokens_per_verify_round"] = round(
+            ceil_acc, 2)
+    else:
+        opt["speculative_ceiling_skipped"] = "leg budget"
     if left() > 120:
         int8_tokens, int8_s, int8_match = bench_device_decoder_int8(
             m, params, reqs, dev_outs)
