@@ -64,7 +64,11 @@ class BartAttention(nn.Module):
 
     @nn.compact
     def __call__(self, hidden, kv_hidden, kv_mask=None, cache=None,
-                 cache_index=None, static_kv=None):
+                 cache_index=None, static_kv=None, layer_idx=None):
+        """cache: STACKED [L, B, T, H, D] (k, v) carried through the layer
+        scan and written in place at (layer_idx, :, cache_index) — the
+        scan-ys form rebuilt the whole stacked cache every decode step
+        (see modeling_gpt2.py's note; same fix here)."""
         c = self.config
         h = self.num_heads
         d = c.d_model // h
@@ -90,12 +94,16 @@ class BartAttention(nn.Module):
         causal = self.causal
         bias = None
         if cache is not None:
-            k_cache, v_cache = cache
-            k = jax.lax.dynamic_update_slice(
-                k_cache, k.astype(k_cache.dtype), (0, cache_index, 0, 0))
-            v = jax.lax.dynamic_update_slice(
-                v_cache, v.astype(v_cache.dtype), (0, cache_index, 0, 0))
-            new_cache = (k, v)
+            k_full, v_full = cache
+            k_full = jax.lax.dynamic_update_slice(
+                k_full, k.astype(k_full.dtype)[None],
+                (layer_idx, 0, cache_index, 0, 0))
+            v_full = jax.lax.dynamic_update_slice(
+                v_full, v.astype(v_full.dtype)[None],
+                (layer_idx, 0, cache_index, 0, 0))
+            k = jax.lax.dynamic_index_in_dim(k_full, layer_idx, 0, False)
+            v = jax.lax.dynamic_index_in_dim(v_full, layer_idx, 0, False)
+            new_cache = (k_full, v_full)
             # s == 1: kv_mask (arange < index + s) already restricts to
             # <= current pos. s > 1 (speculative verify chunks): add
             # intra-chunk causality by absolute position.
@@ -116,7 +124,10 @@ class BartAttention(nn.Module):
 
 class BartLayer(nn.Module):
     """Scan body: carry = (hidden, self_mask, enc_hidden, enc_mask,
-    cache_index)."""
+    cache_index, stacked self caches or None), xs = (layer index,
+    per-layer cross kv or None). The self cache rides the CARRY (updated
+    in place at (layer_idx, :, cache_index)); the read-only cross kv
+    stays scan xs."""
 
     config: Any
     num_heads: int
@@ -127,28 +138,26 @@ class BartLayer(nn.Module):
     kv_precompute: bool = False
 
     @nn.compact
-    def __call__(self, carry, layer_cache=None):
-        hidden, self_mask, enc_hidden, enc_mask, cache_index = carry
+    def __call__(self, carry, xs=None):
         c = self.config
         if self.kv_precompute:
             kv, _ = BartAttention(c, self.num_heads, dtype=self.dtype,
                                   kv_only=True, name="encoder_attn")(
-                None, enc_hidden)
+                None, carry[2])
             return carry, kv
+        hidden, self_mask, enc_hidden, enc_mask, cache_index, \
+            self_caches = carry
+        layer_idx, cross_kv = xs
         pre = c.normalize_before
 
         residual = hidden
         x = _ln(name="self_attn_layer_norm")(hidden).astype(self.dtype) \
             if pre else hidden
-        self_cache = cross_kv = None
-        if layer_cache is not None:
-            self_cache = (layer_cache[0], layer_cache[1])
-            if self.is_decoder and len(layer_cache) > 2:
-                cross_kv = (layer_cache[2], layer_cache[3])
-        attn_out, new_cache = BartAttention(
+        attn_out, self_caches = BartAttention(
             c, self.num_heads, dtype=self.dtype, causal=self.is_decoder,
             deterministic=self.deterministic, name="self_attn")(
-            x, x, self_mask, cache=self_cache, cache_index=cache_index)
+            x, x, self_mask, cache=self_caches, cache_index=cache_index,
+            layer_idx=layer_idx)
         hidden = residual + attn_out
         if not pre:
             hidden = _ln(name="self_attn_layer_norm")(
@@ -181,7 +190,8 @@ class BartLayer(nn.Module):
         hidden = residual + x
         if not pre:
             hidden = _ln(name="final_layer_norm")(hidden).astype(self.dtype)
-        return (hidden, self_mask, enc_hidden, enc_mask, cache_index), new_cache
+        return (hidden, self_mask, enc_hidden, enc_mask, cache_index,
+                self_caches), None
 
 
 class BartStack(nn.Module):
@@ -246,14 +256,21 @@ class BartStack(nn.Module):
                        metadata_params={nn.PARTITION_NAME: "layers"},
                        unroll=scan_unroll(c, n_layers))
         idx = cache_index if cache_index is not None else jnp.zeros((), jnp.int32)
-        carry, new_cache = scan(
+        self_caches = cross = None
+        if cache is not None:
+            self_caches = (cache[0], cache[1])
+            if self.is_decoder and len(cache) > 2:
+                cross = (cache[2], cache[3])
+        carry, _ = scan(
             config=c, num_heads=heads, ffn_dim=ffn, dtype=self.dtype,
             is_decoder=self.is_decoder, deterministic=deterministic,
-            name="layers")((x, self_mask, enc_hidden, enc_mask, idx), cache)
+            name="layers")((x, self_mask, enc_hidden, enc_mask, idx,
+                            self_caches),
+                           (jnp.arange(n_layers), cross))
         x = carry[0]
         if c.final_layer_norm:
             x = _ln(name="layer_norm")(x)
-        return x.astype(self.dtype), new_cache
+        return x.astype(self.dtype), carry[5]
 
 
 class BartForConditionalGeneration(BaseModule):

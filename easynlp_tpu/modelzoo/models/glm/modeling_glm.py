@@ -71,9 +71,12 @@ def _ln(config, name=None):
 
 
 class GLMBlock(nn.Module):
-    """Pre-LN block; carry = (hidden, attn_bias, cache_index),
-    xs = per-layer (k, v) cache, {"mem": [B, M, E]} Transformer-XL segment
-    memories, or None (decode path mirrors models/gpt2/modeling_gpt2.py)."""
+    """Pre-LN block; carry = (hidden, attn_bias, cache_index, stacked
+    (k, v) decode caches or None), xs = (layer index, {"mem": [B, M, E]}
+    Transformer-XL segment memories or None). The decode cache rides the
+    CARRY and is written in place at (layer_idx, :, cache_index) — see
+    modeling_gpt2.py's copy-free-decode note; the read-only mems stay
+    scan xs (their per-layer h_in ys is a genuine output)."""
 
     config: Any
     dtype: Any = jnp.float32
@@ -81,12 +84,9 @@ class GLMBlock(nn.Module):
 
     @nn.compact
     def __call__(self, carry, xs=None):
-        hidden, bias, cache_index = carry
-        layer_cache = mem = None
-        if isinstance(xs, dict):
-            mem = xs.get("mem")
-        elif xs is not None:
-            layer_cache = xs
+        hidden, bias, cache_index, layer_cache = carry
+        layer_idx, extra = xs
+        mem = extra.get("mem") if isinstance(extra, dict) else None
         c = self.config
         h = c.num_attention_heads
         d = c.hidden_size // h
@@ -115,15 +115,21 @@ class GLMBlock(nn.Module):
                 ctx = attention(q, k, v, bias=bias)
                 new_cache = None
             else:
-                k_cache, v_cache = layer_cache
-                k_cache = jax.lax.dynamic_update_slice(
-                    k_cache, k.astype(k_cache.dtype), (0, cache_index, 0, 0))
-                v_cache = jax.lax.dynamic_update_slice(
-                    v_cache, v.astype(v_cache.dtype), (0, cache_index, 0, 0))
+                k_full, v_full = layer_cache
+                k_full = jax.lax.dynamic_update_slice(
+                    k_full, k.astype(k_full.dtype)[None],
+                    (layer_idx, 0, cache_index, 0, 0))
+                v_full = jax.lax.dynamic_update_slice(
+                    v_full, v.astype(v_full.dtype)[None],
+                    (layer_idx, 0, cache_index, 0, 0))
+                k_read = jax.lax.dynamic_index_in_dim(
+                    k_full, layer_idx, 0, False)
+                v_read = jax.lax.dynamic_index_in_dim(
+                    v_full, layer_idx, 0, False)
                 # bias here is [B, 1, S_q, T_cache] over the full cache
                 # buffer
-                ctx = attention(q, k_cache, v_cache, bias=bias)
-                new_cache = (k_cache, v_cache)
+                ctx = attention(q, k_read, v_read, bias=bias)
+                layer_cache = (k_full, v_full)
         attn_out = _dense(c.hidden_size, c, ("joined_kv", "embed"),
                           dtype=self.dtype, name="dense")(
             ctx.reshape(b, s, h * d))
@@ -140,7 +146,8 @@ class GLMBlock(nn.Module):
                      name="dense_4h_to_h")(mlp)
         mlp = nn.Dropout(c.output_dropout_prob)(
             mlp, deterministic=self.deterministic)
-        return (hidden + mlp, bias, cache_index), new_cache
+        ys = new_cache if mem is not None else None
+        return (hidden + mlp, bias, cache_index, layer_cache), ys
 
 
 def glm_attention_bias(prefix_lengths, seq_len):
@@ -251,7 +258,7 @@ class GLMModel(BaseModule):
                 (k_pos[None, None, :] <= q_pos[None, :, None])
             visible = visible & cache["mask"][:, None, :].astype(bool)
             bias = jnp.where(visible[:, None], 0.0, -1e30)
-            xs = (cache["k"], cache["v"])
+            xs = None
 
         block_cls = GLMBlock
         if self.remat in REMAT_POLICIES:
@@ -262,10 +269,13 @@ class GLMModel(BaseModule):
                        length=c.num_layers,
                        metadata_params={nn.PARTITION_NAME: "layers"},
                        unroll=scan_unroll(c, c.num_layers))
-        (hidden, _, _), new_caches = scan(config=c, dtype=self.dtype,
-                                          deterministic=deterministic,
-                                          name="layers")(
-            (hidden, bias, cache_index), xs)
+        caches = (cache["k"], cache["v"]) if cache is not None else None
+        extra = xs if isinstance(xs, dict) else None
+        (hidden, _, _, new_caches), ys = scan(config=c, dtype=self.dtype,
+                                              deterministic=deterministic,
+                                              name="layers")(
+            (hidden, bias, cache_index, caches),
+            (jnp.arange(c.num_layers), extra))
         hidden = _ln(c, name="final_layernorm")(hidden).astype(self.dtype)
         out = {"last_hidden_state": hidden}
         if cache is not None:
@@ -280,7 +290,7 @@ class GLMModel(BaseModule):
                 is not None else jnp.ones((b, s), jnp.int32)
             out["mems"] = {
                 "h": jnp.concatenate(
-                    [mems["h"], new_caches["h_in"].astype(mems["h"].dtype)],
+                    [mems["h"], ys["h_in"].astype(mems["h"].dtype)],
                     axis=2)[:, :, -m_len:] if m_len else mems["h"],
                 "mask": jnp.concatenate(
                     [mems["mask"], seg_mask], axis=-1)[:, -m_len:]

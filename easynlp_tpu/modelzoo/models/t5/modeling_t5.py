@@ -96,7 +96,10 @@ class T5Attention(nn.Module):
 
     @nn.compact
     def __call__(self, hidden, kv_hidden, kv_mask=None, bias=None, cache=None,
-                 cache_index=None, static_kv=None):
+                 cache_index=None, static_kv=None, layer_idx=None):
+        """cache: STACKED [L, B, T, H, D] (k, v) carried through the layer
+        scan, written in place at (layer_idx, :, cache_index) — see
+        modeling_gpt2.py's copy-free-decode note; same fix here."""
         c = self.config
         h, d = c.num_heads, c.d_kv
         if self.kv_only:
@@ -120,12 +123,16 @@ class T5Attention(nn.Module):
                           name="v")(kv_hidden).reshape(b, skv, h, d)
         new_cache = None
         if cache is not None:
-            k_cache, v_cache = cache
-            k = jax.lax.dynamic_update_slice(
-                k_cache, k.astype(k_cache.dtype), (0, cache_index, 0, 0))
-            v = jax.lax.dynamic_update_slice(
-                v_cache, v.astype(v_cache.dtype), (0, cache_index, 0, 0))
-            new_cache = (k, v)
+            k_full, v_full = cache
+            k_full = jax.lax.dynamic_update_slice(
+                k_full, k.astype(k_full.dtype)[None],
+                (layer_idx, 0, cache_index, 0, 0))
+            v_full = jax.lax.dynamic_update_slice(
+                v_full, v.astype(v_full.dtype)[None],
+                (layer_idx, 0, cache_index, 0, 0))
+            k = jax.lax.dynamic_index_in_dim(k_full, layer_idx, 0, False)
+            v = jax.lax.dynamic_index_in_dim(v_full, layer_idx, 0, False)
+            new_cache = (k_full, v_full)
         # T5: no 1/sqrt(d) scaling; bias carries positions
         ctx = attention(q, k, v, kv_mask=kv_mask, scale=1.0, bias=bias)
         ctx = ctx.reshape(b, s, h * d)
@@ -161,7 +168,9 @@ class T5FFN(nn.Module):
 
 class T5Block(nn.Module):
     """Scan body. carry = (hidden, self_mask, enc_hidden, enc_mask, bias,
-    cross_bias, cache_index); xs = per-layer caches or None."""
+    cache_index, stacked self caches or None); xs = (layer index,
+    per-layer cross kv or None). The self cache rides the CARRY (updated
+    in place); the read-only cross kv stays scan xs."""
 
     config: Any
     dtype: Any = jnp.float32
@@ -170,25 +179,25 @@ class T5Block(nn.Module):
     kv_precompute: bool = False  # emit per-layer cross-attention (k, v) only
 
     @nn.compact
-    def __call__(self, carry, layer_cache=None):
-        (hidden, self_mask, enc_hidden, enc_mask, bias, cache_index) = carry
+    def __call__(self, carry, xs=None):
         c = self.config
         if self.kv_precompute:
             kv, _ = T5Attention(c, dtype=self.dtype, kv_only=True,
-                                name="cross_attn")(None, enc_hidden)
+                                name="cross_attn")(None, carry[2])
             return carry, kv
-        self_cache = cross_kv = None
-        if layer_cache is not None:
-            self_cache = (layer_cache[0], layer_cache[1])
-            if self.is_decoder and len(layer_cache) > 2:
-                cross_kv = (layer_cache[2], layer_cache[3])
+        (hidden, self_mask, enc_hidden, enc_mask, bias, cache_index,
+         self_caches) = carry
+        layer_idx, cross_kv = xs
 
         normed = T5LayerNorm(eps=c.layer_norm_epsilon, name="ln_self")(hidden)
         kv_src = normed
         attn_out, new_self_cache = T5Attention(
             c, dtype=self.dtype, deterministic=self.deterministic,
             name="self_attn")(normed, kv_src, self_mask, bias=bias,
-                              cache=self_cache, cache_index=cache_index)
+                              cache=self_caches, cache_index=cache_index,
+                              layer_idx=layer_idx)
+        self_caches = new_self_cache if self_caches is not None \
+            else self_caches
         hidden = hidden + attn_out
 
         if self.is_decoder and (enc_hidden is not None
@@ -207,11 +216,8 @@ class T5Block(nn.Module):
         hidden = hidden + nn.Dropout(c.dropout_rate)(
             ffn, deterministic=self.deterministic)
 
-        ys = None
-        if layer_cache is not None:
-            ys = new_self_cache
         return (hidden, self_mask, enc_hidden, enc_mask, bias,
-                cache_index), ys
+                cache_index, self_caches), None
 
 
 class T5Stack(nn.Module):
@@ -259,13 +265,19 @@ class T5Stack(nn.Module):
                        length=n_layers,
                        metadata_params={nn.PARTITION_NAME: "layers"},
                        unroll=scan_unroll(c, n_layers))
-        xs = None if cache is None else cache
         idx = cache_index if cache_index is not None else jnp.zeros((), jnp.int32)
-        carry, new_cache = scan(
+        self_caches = cross = None
+        if cache is not None:
+            self_caches = (cache[0], cache[1])
+            if self.is_decoder and len(cache) > 2:
+                cross = (cache[2], cache[3])
+        carry, _ = scan(
             config=c, dtype=self.dtype, is_decoder=self.is_decoder,
             deterministic=deterministic, name="layers")(
-            (hidden, self_mask, enc_hidden, enc_mask, bias, idx), xs)
+            (hidden, self_mask, enc_hidden, enc_mask, bias, idx,
+             self_caches), (jnp.arange(n_layers), cross))
         hidden = carry[0]
+        new_cache = carry[6]
         hidden = T5LayerNorm(eps=c.layer_norm_epsilon,
                              name="final_ln")(hidden)
         hidden = nn.Dropout(c.dropout_rate)(hidden,
